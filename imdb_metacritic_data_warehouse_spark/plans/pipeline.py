@@ -1,0 +1,92 @@
+"""Pipeline runner — the Spark-native ``etl_layer_transfer.py`` + ``stg_checker``.
+
+``Warehouse`` owns the physical layout (bronze parquet in, versioned
+parquet tables per stg/mart table) and the M4 dispatch: repair → stg
+layer → mart layer, in the reference's fixed dependency order, choosing
+SCD2 vs insert-only from the registry (not the name-match at
+``ddl.py:526``).
+
+Schema handling: builders emit exactly the registered columns and the
+merge select-aligns against the registry — the Spark analogue of the
+reference's add/retype/drop reconciliation loop (``ddl.py:492-520``);
+a registry change simply re-shapes the next version write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import registry
+from ..operators.repair import repair_role_rotation
+from ..operators.scd2 import OPEN_SENTINEL, insert_only_merge, scd2_apply
+from ..sources.bronze import read_bronze
+from ..sources.table import VersionedParquetTable
+from . import core as core_builders
+from . import marts as mart_builders
+
+
+def _resolve_builder(name: str):
+    for mod in (core_builders, mart_builders):
+        fn = getattr(mod, name, None)
+        if fn is not None:
+            return fn
+    raise KeyError(f"no builder named {name}")
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, bronze_root: str, warehouse_root: str):
+        self.spark = spark
+        self.bronze_root = bronze_root
+        self.root = warehouse_root
+        self._repaired: dict[str, DataFrame] = {}
+
+    # -- reads ---------------------------------------------------------------
+    def bronze(self, table: str) -> DataFrame:
+        """Raw-layer read; actor tables pass through the rotation repair
+        (the reference mutates them in place pre-ELT,
+        ``etl_layer_transfer.py:10-20`` — we repair on read, keeping
+        bronze immutable)."""
+        if table in self._repaired:
+            return self._repaired[table]
+        df = read_bronze(self.spark, self.bronze_root, table)
+        if table.startswith("actor_raw"):
+            df = repair_role_rotation(df)
+        return df
+
+    def table(self, schema: str, name: str) -> VersionedParquetTable:
+        return VersionedParquetTable(self.spark, os.path.join(self.root, schema), name)
+
+    def read(self, schema: str, name: str) -> DataFrame:
+        return self.table(schema, name).read()
+
+    # -- merge dispatch (the stg_checker equivalent) -------------------------
+    def run_table(self, schema: str, name: str, batch_ts: str) -> None:
+        spec = registry.ALL_SPECS[(schema, name)]
+        snapshot = _resolve_builder(spec.builder)(self)
+        tab = self.table(schema, name)
+        target = tab.read() if tab.exists() else None
+        cols = [c for c, _ in spec.columns]
+        if spec.scd2:
+            merged = scd2_apply(target, snapshot, spec.pk, spec.attrs, batch_ts)
+            # partition open vs closed: a cluster merge then only ever
+            # rewrites the (small) open partition
+            merged = merged.withColumn(
+                "is_open", F.col("valid_to") == F.lit(OPEN_SENTINEL).cast("timestamp")
+            )
+            tab.write(merged, partition_by=["is_open"])
+        else:
+            merged = insert_only_merge(target, snapshot, spec.pk, cols)
+            tab.write(merged)
+
+    def run_layer(self, schema: str, batch_ts: str) -> None:
+        order = registry.STG_ORDER if schema == "stg" else registry.MART_ORDER
+        for name in order:
+            self.run_table(schema, name, batch_ts)
+
+    def run_pipeline(self, batch_ts: str) -> None:
+        """Full ELT run (``etl_layer_transfer.py:73-75``)."""
+        self.run_layer("stg", batch_ts)
+        self.run_layer("data_mart", batch_ts)

@@ -1,0 +1,120 @@
+"""End-to-end pipeline test: fixture raw tables → full ELT → mart checks
+(FIXTURES.md §5), including a second batch to exercise historization."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.operators.repair import repair_role_rotation
+from imdb_metacritic_data_warehouse_spark.plans.pipeline import Warehouse
+from tests.fixtures import (
+    MOVIE_IMDB_ROWS,
+    MOVIE_META_ROWS,
+    ACTOR_IMDB_ROWS,
+    ACTOR_META_ROWS,
+    movie_row,
+    write_raw_fixtures,
+)
+
+T0, T1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dwh")
+    bronze = str(root / "bronze")
+    write_raw_fixtures(spark, bronze)
+    w = Warehouse(spark, bronze, str(root / "warehouse"))
+    w.run_pipeline(T0)
+    return w
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_repair_rotation(spark):
+    df = spark.createDataFrame(ACTOR_IMDB_ROWS,
+                               "movie_name string, movie_duration int, name string, raw_role string, role string")
+    out = repair_role_rotation(df)
+    rows = {(r.name, r.raw_role, r.role) for r in out.collect()}
+    assert ("Val Kilmer", "(as Chris)", "actor") in rows
+    assert ("(as Chris)", "actor", "Val Kilmer") not in rows
+    assert (None, "NaN", "producer") in rows  # NULL role rows survive
+
+
+def test_movie_hub(wh):
+    hub = {r.movie_nm: r for r in wh.read("stg", "movie_hub").collect()}
+    # 5 distinct valid (name, duration) pairs; null-key rows dropped
+    assert set(hub) == {"The Matrix", "Heat", "Dogville", "Amelie", "Solo"}
+    assert hub["The Matrix"].movie_id == md5("The Matrix136")
+
+
+def test_genre_hub(wh):
+    genres = {r.genre_nm for r in wh.read("stg", "genre_hub").collect()}
+    assert genres == {"Action", "Sci-Fi", "Crime", "Drama", "Comedy", "Romance"}
+
+
+def test_movie_info_sat_and_movie_data(wh):
+    sat = wh.read("stg", "movie_info_sat")
+    # one row per (movie, url): Matrix has 2 sources
+    matrix = sat.filter(F.col("movie_id") == md5("The Matrix136")).collect()
+    assert len(matrix) == 2 and {r.scr_nm for r in matrix} == {"IMDB", "METACRITIC"}
+
+    md = wh.read("data_mart", "movie_data")
+    rows = md.filter(F.col("movie_name") == "The Matrix").collect()
+    assert {r.rating for r in rows} == {"8.7", "8.8"}
+    # coalesce('') behavior
+    heat = md.filter(F.col("movie_name") == "Heat").collect()[0]
+    assert heat.original_name == "" and heat.worldwide_gross == ""
+
+
+def test_employee_data_mart(wh):
+    ed = {r.name: r for r in wh.read("data_mart", "employee_data").collect()}
+    assert ed["Al Pacino"].role_description == ""  # 'NaN' → ''
+    assert ed["Michael Mann"].role_description == "written by"  # parens stripped
+    assert ed["Val Kilmer"].role == "actor"  # repaired rotation flows through
+
+
+def test_genre_metrics(wh):
+    gm = {r.genre: r for r in wh.read("data_mart", "genre_metrics").collect()}
+    assert gm["Action"].genre_movie_quant == 2  # Matrix + Heat
+    # Matrix budget 63M > Heat 60M
+    assert gm["Action"].max_budget_movie == "The Matrix, 136 min"
+    # rating avg over both sources' rows
+    assert abs(gm["Sci-Fi"].average_rating - 8.75) < 1e-9
+
+
+def test_second_batch_historization(wh, spark):
+    # rating change for Matrix IMDB row → sat row closed + reopened
+    changed = [
+        movie_row("http://im/t1", "The Matrix", "136", original="The Matrix",
+                  year="1999", cert="R", rating="9.0",
+                  genres="['Action', 'Sci-Fi']", budget="63000000", gross="467222728"),
+    ] + MOVIE_IMDB_ROWS[1:]
+    write_raw_fixtures(spark, wh.bronze_root, movie_imdb=changed)
+    wh.run_pipeline(T1)
+
+    sat = wh.read("stg", "movie_info_sat")
+    matrix_imdb = sat.filter(
+        (F.col("movie_id") == md5("The Matrix136")) & (F.col("scr_nm") == "IMDB")
+    ).collect()
+    assert len(matrix_imdb) == 2
+    open_rows = [r for r in matrix_imdb if str(r.valid_to).startswith("9999")]
+    assert len(open_rows) == 1 and open_rows[0].rating == "9.0"
+
+    # movie_data mart is insert-only keyed on title_item_id: original row stays
+    md = wh.read("data_mart", "movie_data")
+    matrix_rows = md.filter(F.col("movie_name") == "The Matrix").collect()
+    assert len(matrix_rows) == 2  # imdb + metacritic title_item_ids, not duplicated
+
+    # rating_slide now sees two snapshots; movies only in earlier snapshot
+    # appear with NULL name (reference's full-join quirk) — here all movies
+    # persist, so every row has a place
+    rs = wh.read("data_mart", "rating_slide").collect()
+    assert len(rs) > 0
+    places = sorted(r.current_place for r in rs if r.current_place is not None)
+    assert places == list(range(1, len(places) + 1))
