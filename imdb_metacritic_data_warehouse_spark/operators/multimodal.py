@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The engine treats media as ``struct<content: binary, media_type:
+string, meta: struct<...>>`` rows in ordinary parquet — at 100 TB this
+is the standard "BLOBs in columnar files" layout: parquet keeps binary
+pages un-encoded, predicate pushdown still prunes on the metadata
+columns, and partitioning on ``media_type``/date keeps scans selective.
+
+Decode / feature-extraction run as Arrow-batched ``mapInPandas``
+operators: whole binary batches cross the JVM↔Python boundary once per
+batch (not per row).  The actual codecs (PIL/ffmpeg/etc.) are NOT in
+this container, so ``decode_image`` raises ``NotImplementedError`` by
+design; ``fake_decode`` is the deterministic stand-in that keeps the
+plumbing (schema, batching, partitioning) fully testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes long, checksum string, feature array<double>"
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a media column from the documents table (UTF-8 bytes
+    stand in for image content); real deployments read binary columns
+    straight from parquet."""
+    content = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col("doc_id"),
+        content.alias("content"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes):  # pragma: no cover - intentional stub
+    """Real image decode — requires PIL/libvips, absent in this
+    environment.  The Spark-side contract (binary in, array out) is
+    exercised through ``fake_decode``."""
+    raise NotImplementedError(
+        "image codecs are not available in this container; "
+        "swap in PIL.Image.open(io.BytesIO(content)) in a full deployment"
+    )
+
+
+def _fake_feature(content: bytes, dims: int = 4) -> list[float]:
+    """Deterministic stand-in feature: byte-sum folded into ``dims``
+    buckets (replaces a CNN embedding)."""
+    acc = [0] * dims
+    for i, b in enumerate(content):
+        acc[i % dims] += b
+    total = float(sum(acc)) or 1.0
+    return [a / total for a in acc]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    ``mapInPandas`` keeps the per-batch pandas DataFrame shape: the UDF
+    sees whole columns of binary values, exactly how a real decoder
+    would consume them."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "checksum": [hashlib.md5(c).hexdigest() for c in pdf["content"]],
+                    "feature": [_fake_feature(c) for c in pdf["content"]],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing demo: slice the binary payload at
+    fixed strides (a video decoder would emit frames here); shows
+    binary slicing stays JVM-side via ``substring`` on binary."""
+    return media.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.octet_length("content") - 1) / every_n_bytes, F.lit(0)
+                    ).cast("int"),
+                ),
+                lambda i: F.substring(
+                    F.col("content"), (i * every_n_bytes + 1).cast("int"), every_n_bytes
+                ),
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    )

@@ -1,0 +1,141 @@
+"""Unit tests for the training-data-pipeline operators: dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from imdb_metacritic_data_warehouse_spark.operators.multimodal import (
+    attach_media,
+    decode_image,
+    extract_features,
+    frame_sample,
+)
+from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from imdb_metacritic_data_warehouse_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),  # case/ws variant
+        (3, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near-dup
+        (4, "der hund ist nicht mit der katze und der maus im haus"),
+        (5, "completely different content about spark engines and data pipelines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_collapses_normalized_dups(docs):
+    out = dedup_exact(docs, "doc_id", "text")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 is a case/whitespace dup of 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 3) in pairs or (1, 2) in pairs  # near-dups collide in some band
+    assert (4, 5) not in pairs  # unrelated docs don't
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 3), (4, 5)], "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(docs, pairs, "doc_id", "text").collect()}
+    assert out[(1, 3)] > 0.5  # one word differs → high overlap
+    assert out[(4, 5)] == 0.0
+
+
+def test_simhash_near_dups_close(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sigs[1], sigs[3]) <= hamming(sigs[1], sigs[4])
+    assert hamming(sigs[1], sigs[2]) <= 2  # case-normalized texts nearly identical
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, [0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].rank == 1 and math.isclose(out[0].score, 0.9, rel_tol=1e-5)
+
+
+def test_lsh_bucketed_subset_of_exact(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(e, [0, 1], k=50).collect()}
+    approx = lsh_bucketed_topk(e, [0, 1], k=50).collect()
+    assert len(approx) > 0
+    # approximate results must be real scored pairs (recall<1 allowed,
+    # but nothing fabricated): every pair's score matches exact scoring
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            break
+    else:
+        pytest.fail("no overlap between LSH candidates and exact top-50")
+
+
+def test_text_analysis_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, 42 times!",), ("der hund ist nicht hier",)],
+        "text string",
+    )
+    out = df.select(
+        language_id(F.col("text")).alias("lang"),
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0].lang == "en" and out[1].lang == "de"
+    assert out[0].ws == 7
+    # bpe: the cat and the dog , 42 times ! → 9
+    assert out[0].bpe == 9
+    assert 0.0 <= out[0].q <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 200)], "doc_id long, text string"
+    )
+    media = attach_media(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 11
+    assert len(feats[1].feature) == 4
+    assert abs(sum(feats[1].feature) - 1.0) < 1e-9  # normalized fake feature
+    import hashlib
+    assert feats[1].checksum == hashlib.md5(b"hello world").hexdigest()
+
+    frames = frame_sample(media, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 4  # 200 bytes → 4 strides
+    assert bytes(by_doc[1][0].frame_bytes) == b"hello world"
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,106 @@
+"""Structured Streaming slice: windowed aggregations driven to
+completion with the memory sink, and the foreachBatch SCD2 upsert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from imdb_metacritic_data_warehouse_spark.sources.table import VersionedParquetTable
+from imdb_metacritic_data_warehouse_spark.streaming.upsert import scd2_upsert_batch
+from imdb_metacritic_data_warehouse_spark.streaming.windows import (
+    dedup_stream,
+    session_window_stream,
+    tumbling_window_stream,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_src")
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+        (3, "2024-01-01 11:10:00", 1, "view", 3.0),   # >30min gap → new session
+        (4, "2024-01-01 10:07:00", 2, "click", 4.0),
+        (4, "2024-01-01 10:07:00", 2, "click", 4.0),  # duplicate event_id
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "events"))
+    return str(root / "events")
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_tumbling_window_stream(spark, event_stream_dir):
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_stream_dir)
+    rows = _run_stream(spark, tumbling_window_stream(src), "tumbling_out")
+    by_key = {(str(r.window_start), r.event_type): r for r in rows}
+    clicks_10 = by_key[("2024-01-01 10:00:00", "click")]
+    assert clicks_10.n == 4 and clicks_10.sum_value == 11.0
+
+
+def test_session_window_stream(spark, event_stream_dir):
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_stream_dir)
+    rows = _run_stream(spark, session_window_stream(src), "session_out")
+    u1 = sorted([r for r in rows if r.user_id == 1], key=lambda r: str(r.session_start))
+    assert len(u1) == 2  # 10:05-10:20 block, then 11:10 after >30min gap
+    assert str(u1[0].session_end) == "2024-01-01 10:50:00"  # last ts + gap
+
+
+def test_dedup_stream(spark, event_stream_dir):
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_stream_dir)
+    q = (
+        dedup_stream(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4]  # duplicate event 4 dropped
+
+
+def test_scd2_upsert_batches(spark, tmp_path):
+    tab = VersionedParquetTable(spark, str(tmp_path), "user_state")
+    b1 = spark.createDataFrame([(1, "bronze"), (2, "bronze")], "user_id long, tier string")
+    b2 = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+    scd2_upsert_batch(tab, b1, "user_id", ["tier"], "2024-01-01 00:00:00")
+    scd2_upsert_batch(tab, b2, "user_id", ["tier"], "2024-01-02 00:00:00")
+    rows = tab.read().collect()
+    u1 = sorted([r for r in rows if r.user_id == 1], key=lambda r: str(r.valid_from))
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u1) == 2 and u1[0].tier == "bronze" and u1[1].tier == "gold"
+    assert str(u1[0].valid_to).startswith("2024-01-02")
+    # key absent from micro-batch stays open (CDC semantics, no close-out)
+    assert len(u2) == 1 and str(u2[0].valid_to).startswith("9999")
