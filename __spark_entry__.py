@@ -27,6 +27,9 @@ from imdb_metacritic_data_warehouse_spark.entry_queries import (  # noqa: E402
 
 
 def _load(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
+    from imdb_metacritic_data_warehouse_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # driver-owned sessions may default ANSI on
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
 
 

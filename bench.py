@@ -33,6 +33,9 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "tumbling_window_events",
     "session_window_events",
+    "asof_join_events",
+    "pipeline_genre_metrics",
+    "rollup_orders",
 ]
 
 

@@ -29,6 +29,9 @@ ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -859,4 +862,546 @@ def session_window_events(spark, sf_dir):
             F.col("session_window.end").cast("string").alias("session_end"),
             "n_events",
         )
+    )
+
+
+# ===========================================================================
+# Remaining SURVEY §2 families + the flagship "real builders on synthetic
+# raw tables" pipeline parity query.
+# ===========================================================================
+
+from .plans import core as _core  # noqa: E402
+from .plans import marts as _marts  # noqa: E402
+
+
+# J2 — composite natural-key join (core/movie_genre_link.sql:18 shape).
+@query(
+    "composite_key_join",
+    """
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderdate = b.o_orderdate
+         AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def composite_key_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderdate") == F.col("b.o_orderdate"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_orderkey").alias("order_a"), F.col("b.o_orderkey").alias("order_b")
+    )
+
+
+# J3 — join on a computed expression (core/movie_info_sat.sql:36-39:
+# md5(name||duration) = hub key).
+@query(
+    "expression_join",
+    """
+    WITH hub AS (
+      SELECT DISTINCT md5(c_name || CAST(c_nationkey AS VARCHAR)) AS cust_id
+      FROM customer
+    )
+    SELECT c.c_custkey, h.cust_id
+    FROM customer c
+    JOIN hub h ON md5(c.c_name || CAST(c.c_nationkey AS VARCHAR)) = h.cust_id
+    """,
+)
+def expression_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    hub = c.select(hash_key("c_name", "c_nationkey").alias("cust_id")).distinct()
+    return c.join(
+        hub, hash_key(c.c_name, c.c_nationkey) == hub.cust_id, "inner"
+    ).select("c_custkey", "cust_id")
+
+
+# J6 — LEFT-join SCD2 change detection (the close-out predicate alone,
+# ddl.py:537-542), null-safe variant.
+@query(
+    "left_join_change_detect",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey AS pk, o_orderpriority AS prio FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END AS prio
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT b1.pk,
+           CASE WHEN b2.pk IS NULL THEN 'vanished' ELSE 'changed' END AS reason
+    FROM b1 LEFT JOIN b2 ON b1.pk = b2.pk
+    WHERE b2.pk IS NULL OR b1.prio IS DISTINCT FROM b2.prio
+    """,
+)
+def left_join_change_detect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("pk"), F.col("o_orderpriority").alias("prio")
+    )
+    b2 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-CHANGED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    j = b1.alias("l").join(b2.alias("r"), F.col("l.pk") == F.col("r.pk"), "left")
+    return j.filter(
+        F.col("r.pk").isNull() | ~F.col("l.prio").eqNullSafe(F.col("r.prio"))
+    ).select(
+        F.col("l.pk").alias("pk"),
+        F.when(F.col("r.pk").isNull(), F.lit("vanished"))
+        .otherwise(F.lit("changed"))
+        .alias("reason"),
+    )
+
+
+# U2 — UNION ALL (core/genre_hub.sql:13).
+@query(
+    "union_all_counts",
+    """
+    SELECT p_brand, COUNT(*) AS n FROM (
+      SELECT p_brand FROM part WHERE p_size > 25
+      UNION ALL
+      SELECT p_brand FROM part WHERE p_retailprice > 1500
+    ) GROUP BY p_brand
+    """,
+)
+def union_all_counts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    u = p.filter(F.col("p_size") > 25).select("p_brand").unionByName(
+        p.filter(F.col("p_retailprice") > 1500).select("p_brand")
+    )
+    return u.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+
+
+# A6 — string_agg (ddl.py:454) with deterministic ordering.
+@query(
+    "string_agg_sorted",
+    """
+    SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS customers
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def string_agg_sorted(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(n)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customers"))
+    )
+
+
+# F6 — cast semantics incl. NULL-on-bad-cast (the documented divergence:
+# Spark non-ANSI == DuckDB TRY_CAST; the reference would crash).
+@query(
+    "typed_casts",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS roundtrip_price,
+           CAST(o_orderdate AS VARCHAR) AS date_str
+    FROM orders
+    """,
+)
+def typed_casts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").cast("int").alias("bad_int"),
+        F.col("o_totalprice").cast("string").cast("double").alias("roundtrip_price"),
+        F.col("o_orderdate").cast("string").alias("date_str"),
+    )
+
+
+# F3/F7/F8 — replace / coalesce / CASE WHEN cleanup (mart/employee_data.sql:5-7).
+@query(
+    "case_when_cleanup",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_brand = 'Brand#33' THEN ''
+                ELSE replace(replace(p_type, ' ', '_'), 'PLATED', 'P')
+           END AS brand_note,
+           COALESCE(NULLIF(p_type, ''), 'unknown') AS type_or_default
+    FROM part
+    """,
+)
+def case_when_cleanup(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_brand") == "Brand#33", F.lit(""))
+        .otherwise(
+            F.replace(
+                F.replace(F.col("p_type"), F.lit(" "), F.lit("_")),
+                F.lit("PLATED"),
+                F.lit("P"),
+            )
+        )
+        .alias("brand_note"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("")), F.lit("unknown")).alias(
+            "type_or_default"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship pipeline-parity query: the REAL core/mart builders (plans/core.py,
+# plans/marts.py) running on movie-raw-shaped tables synthesized from part/
+# supplier/lineitem, checked against a full SQL transcription of the
+# reference's script chain (core/*.sql → mart/genre_metrics.sql shape).
+# ---------------------------------------------------------------------------
+class _ShimWarehouse:
+    """Duck-typed Warehouse over in-memory DataFrames: .bronze() serves
+    synthesized raw tables; .read('stg', t) computes upstream builders
+    on demand (single batch, no historization)."""
+
+    def __init__(self, spark, bronze: dict):
+        self.spark = spark
+        self._bronze = bronze
+        self._stg: dict[str, DataFrame] = {}
+
+    def bronze(self, table):
+        return self._bronze[table]
+
+    def read(self, schema, name):
+        assert schema == "stg"
+        if name not in self._stg:
+            builder = getattr(_core, f"build_{name}")
+            self._stg[name] = builder(self)
+        return self._stg[name]
+
+
+def _synth_movie_raw(spark, sf_dir):
+    """part → movie_raw rows: p_name plays movie_name, p_size the
+    duration, p_type words the stringified genre list, retailprice the
+    rating source; suppliers play the cast via lineitem links."""
+    p = _t(spark, sf_dir, "part")
+    genres = F.concat(
+        F.lit("['"),
+        F.regexp_replace(F.col("p_type"), " ", "', '"),
+        F.lit("']"),
+    )
+    base = p.select(
+        F.concat(F.lit("http://parts/"), F.col("p_partkey").cast("string")).alias("url"),
+        F.col("p_name").alias("movie_name"),
+        F.lit(None).cast("string").alias("original_name"),
+        F.lit("1999").alias("year"),
+        F.col("p_brand").alias("certificate"),
+        F.round(F.col("p_retailprice") / 200.0, 1).cast("string").alias("rating"),
+        genres.alias("genres"),
+        (F.col("p_retailprice") * 1000).cast("long").cast("string").alias("budget"),
+        (F.col("p_retailprice") * 2000).cast("long").cast("string").alias("gross_worldwide"),
+        F.col("p_size").cast("string").alias("min_duration"),
+    )
+    imdb = base.filter(F.col("movie_name").isNotNull())
+    meta = base.filter((_mod_col := F.abs(F.hash("url")) % 2) == 0)
+    return imdb, meta
+
+
+def _synth_actor_raw(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(p.select("p_partkey", "p_name", "p_size"), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), li.l_suppkey == s.s_suppkey)
+    )
+    role = F.element_at(
+        F.array(F.lit("director"), F.lit("producer"), F.lit("writer"), F.lit("actor")),
+        (F.col("s_suppkey") % 4 + 1).cast("int"),
+    )
+    rows = j.select(
+        F.col("p_name").alias("movie_name"),
+        F.col("p_size").cast("int").alias("movie_duration"),
+        F.col("s_name").alias("name"),
+        F.concat(F.lit("(as "), F.col("s_name"), F.lit(")")).alias("raw_role"),
+        role.alias("role"),
+    )
+    return rows, rows.filter(F.col("movie_duration") % 2 == 0)
+
+
+_PIPELINE_SQL_PRELUDE = """
+    WITH movie_raw AS (
+      SELECT 'http://parts/' || CAST(p_partkey AS VARCHAR) AS url,
+             p_name AS movie_name,
+             '1999' AS year,
+             p_brand AS certificate,
+             CAST(ROUND(p_retailprice / 200.0, 1) AS VARCHAR) AS rating,
+             '[''' || replace(p_type, ' ', ''', ''') || ''']' AS genres,
+             CAST(CAST(p_retailprice * 1000 AS BIGINT) AS VARCHAR) AS budget,
+             CAST(CAST(p_retailprice * 2000 AS BIGINT) AS VARCHAR) AS gross_worldwide,
+             CAST(p_size AS VARCHAR) AS min_duration
+      FROM part WHERE p_name IS NOT NULL
+    ),
+    movie_hub AS (
+      SELECT DISTINCT md5(movie_name || CAST(CAST(min_duration AS INTEGER) AS VARCHAR)) AS movie_id,
+             movie_name AS movie_nm, CAST(min_duration AS INTEGER) AS movie_duration
+      FROM movie_raw
+      WHERE md5(movie_name || CAST(CAST(min_duration AS INTEGER) AS VARCHAR)) IS NOT NULL
+    ),
+    genre_hub AS (
+      SELECT md5(genre) AS genre_id, genre AS genre_nm FROM (
+        SELECT DISTINCT replace(unnest(string_split(replace(replace(genres,'[',''),']',''), ', ')), '''', '') AS genre
+        FROM movie_raw
+      ) WHERE genre <> ''
+    )
+"""
+
+
+# The genre-hub build (explode variant 1) through the REAL builder.
+@query(
+    "pipeline_genre_hub",
+    _PIPELINE_SQL_PRELUDE + "SELECT genre_id, genre_nm FROM genre_hub",
+)
+def pipeline_genre_hub(spark, sf_dir):
+    imdb, meta = _synth_movie_raw(spark, sf_dir)
+    # the real builder unions imdb+metacritic; feed imdb twice-distinct
+    # equivalent: metacritic side = imdb subset, union-all then distinct
+    wh = _ShimWarehouse(
+        spark,
+        {"movie_raw_data_imdb": imdb, "movie_raw_data_metacritic": meta},
+    )
+    return _core.build_genre_hub(wh)
+
+
+# The movie-hub build (union-dedup + hash key + null filter) for real.
+@query(
+    "pipeline_movie_hub",
+    _PIPELINE_SQL_PRELUDE + "SELECT movie_id, movie_nm, movie_duration FROM movie_hub",
+)
+def pipeline_movie_hub(spark, sf_dir):
+    imdb, meta = _synth_movie_raw(spark, sf_dir)
+    wh = _ShimWarehouse(
+        spark,
+        {"movie_raw_data_imdb": imdb, "movie_raw_data_metacritic": meta},
+    )
+    return _core.build_movie_hub(wh)
+
+
+# Full chain: hubs → movie_genre_link (JSON explode variant + composite
+# natural-key join) → genre aggregation with the max_by argmax rewrite —
+# mart/genre_metrics.sql end-to-end through the real builders.
+@query(
+    "pipeline_genre_metrics",
+    _PIPELINE_SQL_PRELUDE
+    + """,
+    exploded AS (
+      SELECT DISTINCT movie_name AS movie_nm, CAST(min_duration AS INTEGER) AS duration,
+             unnest(from_json(replace(genres, '''', '"'), '["VARCHAR"]')) AS genre
+      FROM movie_raw
+    ),
+    movie_genre_link AS (
+      SELECT DISTINCT md5(j.movie_id || g.genre_id) AS mv_gen_link_id,
+             j.movie_id, g.genre_id
+      FROM exploded i
+      JOIN movie_hub j ON i.movie_nm = j.movie_nm AND i.duration = j.movie_duration
+      JOIN genre_hub g ON g.genre_nm = i.genre
+    ),
+    movie_info_sat AS (
+      SELECT DISTINCT md5(t2.movie_id || t1.url) AS title_item_id, t2.movie_id,
+             t1.rating, t1.budget, t1.gross_worldwide
+      FROM (SELECT DISTINCT movie_name, CAST(min_duration AS INTEGER) AS duration,
+                   rating, budget, gross_worldwide, url FROM movie_raw) t1
+      JOIN movie_hub t2
+        ON md5(t1.movie_name || CAST(t1.duration AS VARCHAR)) = t2.movie_id
+    ),
+    per_movie AS (
+      SELECT movie_id, AVG(TRY_CAST(rating AS DOUBLE)) AS rating,
+             AVG(TRY_CAST(budget AS BIGINT)) AS budget,
+             AVG(TRY_CAST(gross_worldwide AS BIGINT)) AS gross_worldwide
+      FROM movie_info_sat GROUP BY movie_id
+    ),
+    t3 AS (
+      SELECT gh.genre_id, mh.movie_id, mh.movie_nm, mh.movie_duration,
+             t2.rating, t2.budget, t2.gross_worldwide, gh.genre_nm
+      FROM per_movie t2
+      JOIN movie_hub mh ON mh.movie_id = t2.movie_id
+      JOIN movie_genre_link mgl ON t2.movie_id = mgl.movie_id
+      JOIN genre_hub gh ON gh.genre_id = mgl.genre_id
+    ),
+    labeled AS (
+      SELECT *, movie_nm || ', ' || CAST(movie_duration AS VARCHAR) || ' min' AS label
+      FROM t3
+    )
+    SELECT genre_id, genre_nm AS genre,
+           (SELECT label FROM labeled m1 WHERE m1.genre_nm = m.genre_nm
+            ORDER BY budget DESC NULLS LAST, label DESC LIMIT 1) AS max_budget_movie,
+           (SELECT label FROM labeled m1 WHERE m1.genre_nm = m.genre_nm
+            ORDER BY gross_worldwide DESC NULLS LAST, label DESC LIMIT 1) AS max_gross_movie,
+           (SELECT label FROM labeled m1 WHERE m1.genre_nm = m.genre_nm
+            ORDER BY rating DESC NULLS LAST, label DESC LIMIT 1) AS best_rated_movie,
+           CAST(ROUND(AVG(CAST(rating AS DECIMAL(18,6))), 4) AS DOUBLE) AS average_rating,
+           COUNT(movie_id) AS genre_movie_quant
+    FROM labeled m
+    GROUP BY genre_id, genre_nm
+    """,
+)
+def pipeline_genre_metrics(spark, sf_dir):
+    imdb, _ = _synth_movie_raw(spark, sf_dir)
+    empty = imdb.filter(F.lit(False))
+    wh = _ShimWarehouse(
+        spark,
+        {"movie_raw_data_imdb": imdb, "movie_raw_data_metacritic": empty},
+    )
+    mis = wh.read("stg", "movie_info_sat")
+    per_movie = mis.groupBy("movie_id").agg(
+        F.avg(F.col("rating").cast("double")).alias("rating"),
+        F.avg(F.col("budget").cast("bigint")).alias("budget"),
+        F.avg(F.col("gross_worldwide").cast("bigint")).alias("gross_worldwide"),
+    )
+    mh = wh.read("stg", "movie_hub")
+    mgl = wh.read("stg", "movie_genre_link").select("movie_id", "genre_id")
+    gh = wh.read("stg", "genre_hub")
+    t3 = (
+        per_movie.join(mh, "movie_id")
+        .join(mgl, "movie_id")
+        .join(F.broadcast(gh), "genre_id")
+    )
+    label = F.concat(
+        F.col("movie_nm"), F.lit(", "), F.col("movie_duration").cast("string"), F.lit(" min")
+    )
+    from .operators.argmax import arg_max as _arg_max
+
+    return (
+        t3.groupBy("genre_id", F.col("genre_nm").alias("genre"))
+        .agg(
+            _arg_max(label, F.struct(F.col("budget"), label)).alias("max_budget_movie"),
+            _arg_max(label, F.struct(F.col("gross_worldwide"), label)).alias("max_gross_movie"),
+            _arg_max(label, F.struct(F.col("rating"), label)).alias("best_rated_movie"),
+            F.round(F.avg(F.col("rating").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("average_rating"),
+            F.count("movie_id").alias("genre_movie_quant"),
+        )
+    )
+
+
+# ===========================================================================
+# Custom join operators + OLAP extensions (as-of join, range join,
+# rollup, pivot, approximate sketches).
+# ===========================================================================
+
+from .operators.asof import asof_join, range_join_bucketed  # noqa: E402
+
+
+# As-of join: every click paired with the user's most recent purchase at
+# or before it.  DuckDB has native ASOF JOIN; ours is the union-sort
+# single-shuffle formulation (operators/asof.py).
+@query(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts,
+           p.value AS value_asof
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, key="user_id", right_payload=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("value_asof"),
+    )
+
+
+# Range join: (click, purchase) pairs within a 1-hour lookback, same user.
+@query(
+    "range_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts <= c.click_ts
+     AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR
+    """,
+)
+def range_join_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = range_join_bucketed(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts", range_seconds=3600
+    )
+    return joined.select("click_id", "purchase_id")
+
+
+# Grouping-set aggregation (beyond the reference's plain GROUP BY).
+@query(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )
+
+
+# Pivot (wide aggregation).
+@query(
+    "pivot_lineitem_status",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_linestatus = 'O'), 2) AS DOUBLE) AS O,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (l_linestatus = 'F'), 2) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_lineitem_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double"))
+    )
+    return pv
+
+
+# Approximate sketches (HLL distinct, approximate quantiles) — engine-
+# specific estimators have no cross-engine oracle; rows-only check.
+@query("approx_sketches")
+def approx_sketches(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
     )

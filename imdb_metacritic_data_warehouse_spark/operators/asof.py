@@ -1,0 +1,101 @@
+"""As-of and range joins — operators Spark lacks natively.
+
+``asof_join``: for every left row, the latest right row with
+``right.ts <= left.ts`` within the same key.  Implemented as the
+*union-sort* formulation, not a range join:
+
+    tag rows (left=1, right=0) → one hash-partition shuffle on the key
+    → per-key sort by (ts, tag) → ``last_value(ignorenulls)`` window
+    carries the most recent right payload forward → keep left rows.
+
+One shuffle, no range-condition nested-loop, no per-key blowup — this
+is the formulation that survives 100 TB (a naive ``left.ts >= right.ts``
+join is O(n·m) per key and Spark plans it as BroadcastNestedLoop).
+Skewed keys: the window sort is per-key and AQE splits oversized
+partitions.
+
+``range_join_bucketed``: equi-join on coarse time buckets + residual
+filter — each right row lands in ⌈range/bucket⌉+1 buckets, turning the
+range predicate into a shuffle-friendly equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right payload
+    at or before its timestamp (NULLs where no right row precedes)."""
+    payload = right_payload or [c for c in right.columns if c not in (key, right_ts)]
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload) + ">"
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts (tag 0 < 1): an exact
+    # tie means the right row IS visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__last_r.{c}").alias(f"{c}{suffix}") for c in payload
+    ]
+    return carried.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    range_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Pairs (left, right) with same key and ``left_ts - range <=
+    right_ts <= left_ts``, via bucketized equi-join + residual filter."""
+    bucket = bucket_seconds or max(range_seconds, 1)
+    n_buckets = range_seconds // bucket + 1
+    l_b = left.withColumn(
+        "__bucket", (F.unix_timestamp(left_ts) / bucket).cast("long")
+    )
+    r_b = right.withColumn(
+        "__rbucket", (F.unix_timestamp(right_ts) / bucket).cast("long")
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.col("__rbucket"), F.col("__rbucket") + n_buckets)
+        ),
+    )
+    joined = l_b.join(r_b, [key, "__bucket"]).filter(
+        (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {range_seconds} SECOND"))
+    )
+    return joined.drop("__bucket", "__rbucket")

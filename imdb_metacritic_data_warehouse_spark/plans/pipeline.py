@@ -28,6 +28,25 @@ from . import core as core_builders
 from . import marts as mart_builders
 
 
+def align_to_spec(df: DataFrame, spec) -> DataFrame:
+    """Schema reconciliation — the Spark analogue of the reference's
+    add/retype/drop loop (``ddl.py:492-520``): missing registered
+    columns appear as typed NULLs, every column is cast to its
+    registered type, unregistered columns are dropped (by omission).
+    Extra validity columns (SCD2) pass through untouched."""
+    out = []
+    have = dict(df.dtypes)
+    for name, typ in spec.columns:
+        if name in have:
+            out.append(F.col(name).cast(typ).alias(name))
+        else:
+            out.append(F.lit(None).cast(typ).alias(name))
+    for extra in ("valid_from", "valid_to"):
+        if extra in have:
+            out.append(F.col(extra))
+    return df.select(*out)
+
+
 def _resolve_builder(name: str):
     for mod in (core_builders, mart_builders):
         fn = getattr(mod, name, None)
@@ -38,7 +57,9 @@ def _resolve_builder(name: str):
 
 class Warehouse:
     def __init__(self, spark: SparkSession, bronze_root: str, warehouse_root: str):
-        self.spark = spark
+        from ..session import ensure_engine_confs
+
+        self.spark = ensure_engine_confs(spark)
         self.bronze_root = bronze_root
         self.root = warehouse_root
         self._repaired: dict[str, DataFrame] = {}
@@ -65,9 +86,11 @@ class Warehouse:
     # -- merge dispatch (the stg_checker equivalent) -------------------------
     def run_table(self, schema: str, name: str, batch_ts: str) -> None:
         spec = registry.ALL_SPECS[(schema, name)]
-        snapshot = _resolve_builder(spec.builder)(self)
+        snapshot = align_to_spec(_resolve_builder(spec.builder)(self), spec)
         tab = self.table(schema, name)
-        target = tab.read() if tab.exists() else None
+        # align the target too: a registry change (add/retype/drop)
+        # takes effect on the next merge, like stg_checker's reconcile
+        target = align_to_spec(tab.read(), spec) if tab.exists() else None
         cols = [c for c, _ in spec.columns]
         if spec.scd2:
             merged = scd2_apply(target, snapshot, spec.pk, spec.attrs, batch_ts)

@@ -22,6 +22,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Confs the engine's semantics DEPEND on (not tuning): Spark 4 defaults
+# ANSI mode ON, which makes ''::bigint crash exactly like the reference's
+# PostgreSQL — our documented semantics are NULL-on-bad-cast (SURVEY.md
+# §7.4), and the oracle comparison needs UTC timestamps.  These are
+# runtime-settable, so callers that receive a foreign SparkSession (the
+# driver's, a notebook's) route through ensure_engine_confs().
+_SEMANTIC_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    for k, v in _SEMANTIC_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
 
 def get_spark(
     app_name: str = "imdb_metacritic_dw_spark",

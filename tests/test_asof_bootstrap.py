@@ -1,0 +1,76 @@
+"""As-of / range join unit tests + bootstrap catalog test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.bootstrap import bootstrap, struct_type_for
+from imdb_metacritic_data_warehouse_spark.operators.asof import (
+    asof_join,
+    range_join_bucketed,
+)
+from imdb_metacritic_data_warehouse_spark.plans.pipeline import Warehouse
+from imdb_metacritic_data_warehouse_spark.registry import ALL_SPECS
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in df.dtypes:
+        if c.endswith("ts"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def test_asof_join_semantics(spark):
+    left = _ts(
+        spark,
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"), (3, 2, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0), (1, "2024-01-01 12:00:00", 30.0)],
+        "user_id long, ts string, value double",
+    )
+    out = {r.event_id: r.value_asof for r in asof_join(left, right, "user_id").collect()}
+    assert out[1] == 10.0   # latest at/before 10:00
+    assert out[2] == 30.0   # exact tie at 12:00 is visible (<= semantics)
+    assert out[3] is None   # user 2 has no purchases
+
+
+def test_range_join_bucketed(spark):
+    left = _ts(
+        spark,
+        [(1, 1, "2024-01-01 10:00:00")],
+        "click_id long, user_id long, click_ts string",
+    )
+    right = _ts(
+        spark,
+        [
+            (10, 1, "2024-01-01 09:30:00"),  # in range (30 min back)
+            (11, 1, "2024-01-01 08:59:00"),  # out (61 min back)
+            (12, 1, "2024-01-01 10:01:00"),  # out (future)
+        ],
+        "purchase_id long, user_id long, purchase_ts string",
+    )
+    out = range_join_bucketed(
+        left, right, "user_id", "click_ts", "purchase_ts", range_seconds=3600
+    ).collect()
+    assert [r.purchase_id for r in out] == [10]
+
+
+def test_bootstrap_catalog_and_empty_tables(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "bronze"), str(tmp_path / "wh"))
+    catalog = bootstrap(spark, wh)
+    assert "stg.movie_hub" in catalog and "movie_raw_data_imdb" in catalog
+    # SCD2 tables get validity columns in their declared schema
+    sat = catalog["stg.movie_info_sat"]
+    assert "valid_from" in sat.fieldNames() and "valid_to" in sat.fieldNames()
+    # empty v1 tables materialized with correct schema, idempotent
+    t = wh.table("stg", "movie_hub")
+    assert t.exists() and t.read().count() == 0
+    v1 = t.current_version()
+    bootstrap(spark, wh)
+    assert t.current_version() == v1
+    for (schema, table), spec in ALL_SPECS.items():
+        assert struct_type_for(spec).fieldNames()[0] == spec.columns[0][0]

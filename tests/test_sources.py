@@ -1,0 +1,74 @@
+"""Connector and schema-evolution tests (S8/S9/S13, ddl.py:492-520)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.plans.pipeline import align_to_spec
+from imdb_metacritic_data_warehouse_spark.registry import ALL_SPECS, TableSpec
+from imdb_metacritic_data_warehouse_spark.sources.bronze import BRONZE_SCHEMAS
+from imdb_metacritic_data_warehouse_spark.sources.connectors import (
+    read_csv,
+    read_jdbc,
+    read_json,
+    write_csv,
+    write_json,
+)
+from imdb_metacritic_data_warehouse_spark.sources.table import VersionedParquetTable
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    schema = BRONZE_SCHEMAS["actor_raw_data_imdb"]
+    df = spark.createDataFrame(
+        [("Heat", 170, "Al Pacino", "NaN", "actor")], schema
+    )
+    write_csv(df, str(tmp_path / "csv"))
+    back = read_csv(spark, str(tmp_path / "csv"), schema)
+    assert back.collect() == df.collect()
+
+
+def test_json_roundtrip(spark, tmp_path):
+    schema = BRONZE_SCHEMAS["movie_raw_data_imdb"]
+    df = spark.createDataFrame(
+        [("http://x", "Heat", None, "1995", "R", "8.3", "['Crime']", None, None, "170")],
+        schema,
+    )
+    write_json(df, str(tmp_path / "json"))
+    back = read_json(spark, str(tmp_path / "json"), schema)
+    assert back.collect() == df.collect()
+
+
+def test_jdbc_fails_cleanly_without_driver(spark):
+    with pytest.raises(Exception):
+        read_jdbc(spark, "jdbc:postgresql://localhost/x", "t").collect()
+
+
+def test_align_to_spec_add_retype_drop(spark):
+    spec = TableSpec(
+        "stg", "movie_hub", "movie_id",
+        [("movie_id", "string"), ("movie_nm", "string"), ("movie_duration", "int")],
+        False, "build_movie_hub",
+    )
+    # drifted input: missing movie_duration, extra junk col, wrong type for id
+    df = spark.createDataFrame(
+        [(1, "Heat", "x")], "movie_id int, movie_nm string, junk string"
+    )
+    out = align_to_spec(df, spec)
+    assert [f.name for f in out.schema.fields] == ["movie_id", "movie_nm", "movie_duration"]
+    assert dict(out.dtypes) == {"movie_id": "string", "movie_nm": "string", "movie_duration": "int"}
+    row = out.collect()[0]
+    assert row.movie_id == "1" and row.movie_duration is None
+
+
+def test_versioned_table_atomic_swap_and_gc(spark, tmp_path):
+    tab = VersionedParquetTable(spark, str(tmp_path), "t")
+    assert not tab.exists()
+    for i in range(4):
+        tab.write(spark.createDataFrame([(i,)], "v int"))
+    assert tab.current_version() == 4
+    assert tab.read().collect()[0].v == 3
+    # gc keeps only the retain window
+    import os
+    dirs = sorted(d for d in os.listdir(tab.path) if d.startswith("v="))
+    assert dirs == ["v=3", "v=4"]
