@@ -1061,7 +1061,17 @@ def case_when_cleanup(spark, sf_dir):
 class _ShimWarehouse:
     """Duck-typed Warehouse over in-memory DataFrames: .bronze() serves
     synthesized raw tables; .read('stg', t) computes upstream builders
-    on demand (single batch, no historization)."""
+    on demand (single batch, no historization).
+
+    Bronze entries are FACTORIES (nullary callables), not DataFrames,
+    and built stg tables are not cached: every call produces a fresh
+    logical plan, mirroring the real warehouse where each table read is
+    its own parquet scan.  Serving shared in-memory plans instead makes
+    every hub⋈sat join a self-join of common lineage, which breaks the
+    builders' df.attr column references (dangling attribute ids after
+    Spark's self-join dedup).  ``_stg`` holds explicit overrides only
+    (e.g. an SCD2-historized sat injected by a mart query).
+    """
 
     def __init__(self, spark, bronze: dict):
         self.spark = spark
@@ -1069,14 +1079,13 @@ class _ShimWarehouse:
         self._stg: dict[str, DataFrame] = {}
 
     def bronze(self, table):
-        return self._bronze[table]
+        return self._bronze[table]()
 
     def read(self, schema, name):
         assert schema == "stg"
-        if name not in self._stg:
-            builder = getattr(_core, f"build_{name}")
-            self._stg[name] = builder(self)
-        return self._stg[name]
+        if name in self._stg:
+            return self._stg[name]
+        return getattr(_core, f"build_{name}")(self)
 
 
 def _synth_movie_raw(spark, sf_dir):
@@ -1134,6 +1143,7 @@ _PIPELINE_SQL_PRELUDE = """
     WITH movie_raw AS (
       SELECT 'http://parts/' || CAST(p_partkey AS VARCHAR) AS url,
              p_name AS movie_name,
+             CAST(NULL AS VARCHAR) AS original_name,
              '1999' AS year,
              p_brand AS certificate,
              CAST(ROUND(p_retailprice / 200.0, 1) AS VARCHAR) AS rating,
@@ -1164,12 +1174,14 @@ _PIPELINE_SQL_PRELUDE = """
     _PIPELINE_SQL_PRELUDE + "SELECT genre_id, genre_nm FROM genre_hub",
 )
 def pipeline_genre_hub(spark, sf_dir):
-    imdb, meta = _synth_movie_raw(spark, sf_dir)
     # the real builder unions imdb+metacritic; feed imdb twice-distinct
     # equivalent: metacritic side = imdb subset, union-all then distinct
     wh = _ShimWarehouse(
         spark,
-        {"movie_raw_data_imdb": imdb, "movie_raw_data_metacritic": meta},
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[1],
+        },
     )
     return _core.build_genre_hub(wh)
 
@@ -1180,10 +1192,12 @@ def pipeline_genre_hub(spark, sf_dir):
     _PIPELINE_SQL_PRELUDE + "SELECT movie_id, movie_nm, movie_duration FROM movie_hub",
 )
 def pipeline_movie_hub(spark, sf_dir):
-    imdb, meta = _synth_movie_raw(spark, sf_dir)
     wh = _ShimWarehouse(
         spark,
-        {"movie_raw_data_imdb": imdb, "movie_raw_data_metacritic": meta},
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[1],
+        },
     )
     return _core.build_movie_hub(wh)
 
@@ -1247,11 +1261,14 @@ def pipeline_movie_hub(spark, sf_dir):
     """,
 )
 def pipeline_genre_metrics(spark, sf_dir):
-    imdb, _ = _synth_movie_raw(spark, sf_dir)
-    empty = imdb.filter(F.lit(False))
     wh = _ShimWarehouse(
         spark,
-        {"movie_raw_data_imdb": imdb, "movie_raw_data_metacritic": empty},
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[0].filter(
+                F.lit(False)
+            ),
+        },
     )
     mis = wh.read("stg", "movie_info_sat")
     per_movie = mis.groupBy("movie_id").agg(
@@ -1404,4 +1421,374 @@ def approx_sketches(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+    )
+
+
+# ===========================================================================
+# Full pipeline parity: the REAL builders for every remaining core table
+# and mart (employee chain, movie_info_sat, movie_data, employee_data,
+# movie_employee_link, rating_slide) on synthesized raw tables.
+# ===========================================================================
+
+from pyspark.sql import Window  # noqa: E402
+
+from .operators.dedup import embedding_neardup  # noqa: E402
+
+# Actor-raw synthesis (portable to DuckDB) + the employee-side core
+# tables, as reusable CTEs appended to _PIPELINE_SQL_PRELUDE.
+_ACTOR_SQL_CTES = """,
+    actor_raw AS (
+      SELECT p_name AS movie_name, p_size AS movie_duration, s_name AS name,
+             '(as ' || s_name || ')' AS raw_role,
+             (['director','producer','writer','actor'])[CAST(s_suppkey % 4 AS INTEGER) + 1] AS role
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+    ),
+    emp_hub AS (
+      SELECT md5(name) AS emp_id, name AS emp_nm
+      FROM (SELECT DISTINCT name FROM actor_raw)
+    ),
+    mel_t2 AS (
+      SELECT DISTINCT md5(movie_nm || CAST(duration AS VARCHAR)) AS movie_id,
+             md5(name) AS emp_id
+      FROM (SELECT DISTINCT movie_name AS movie_nm, movie_duration AS duration, name
+            FROM actor_raw)
+      WHERE md5(movie_nm || CAST(duration AS VARCHAR)) IS NOT NULL
+    ),
+    movie_emp_link AS (
+      SELECT DISTINCT md5(t.movie_id || t.emp_id) AS movie_emp_link_id,
+             t.movie_id, t.emp_id
+      FROM mel_t2 t
+      JOIN emp_hub e ON t.emp_id = e.emp_id
+      JOIN movie_hub m ON t.movie_id = m.movie_id
+    ),
+    sat_t3 AS (
+      SELECT DISTINCT
+             md5(md5(movie_name || CAST(movie_duration AS VARCHAR)) || md5(name)) AS link_id,
+             raw_role, role
+      FROM (SELECT DISTINCT movie_name, movie_duration, name, raw_role, role FROM actor_raw)
+    ),
+    emp_movie_l_sat AS (
+      SELECT DISTINCT md5(t3.link_id || t3.raw_role || t3.role) AS movie_emp_role_id,
+             t3.link_id AS movie_emp_link_id, t3.raw_role AS description, t3.role
+      FROM sat_t3 t3 JOIN movie_emp_link l ON t3.link_id = l.movie_emp_link_id
+    )
+"""
+
+# Two-source movie_info_sat (METACRITIC = url-digit-parity subset so the
+# source split is expressible in both engines).
+_SAT_SQL_CTES = """,
+    meta_raw AS (
+      SELECT * FROM movie_raw
+      WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
+    ),
+    sat_films AS (
+      SELECT movie_name, CAST(min_duration AS INTEGER) AS duration, original_name, year,
+             certificate, rating, budget, gross_worldwide, 'IMDB' AS scr_nm, url
+      FROM movie_raw
+      UNION
+      SELECT movie_name, CAST(min_duration AS INTEGER) AS duration, original_name, year,
+             certificate, rating, budget, gross_worldwide, 'METACRITIC' AS scr_nm, url
+      FROM meta_raw
+    ),
+    movie_info_sat AS (
+      SELECT DISTINCT md5(t2.movie_id || t1.url) AS title_item_id, t2.movie_id,
+             t1.original_name, t1.year, t1.certificate, t1.rating, t1.budget,
+             t1.gross_worldwide, t1.scr_nm, t1.url
+      FROM sat_films t1
+      JOIN movie_hub t2 ON md5(t1.movie_name || CAST(t1.duration AS VARCHAR)) = t2.movie_id
+    )
+"""
+
+_SAT_ATTRS = [
+    "movie_id",
+    "original_name",
+    "year",
+    "certificate",
+    "rating",
+    "budget",
+    "gross_worldwide",
+    "scr_nm",
+    "url",
+]
+
+
+def _url_parity(n: int) -> F.Column:
+    """Engine-portable pseudo-split: partkey digits at the url tail."""
+    return F.regexp_extract("url", r"([0-9]+)$", 1).cast("int") % n == 0
+
+
+def _movie_meta_wh(spark, sf_dir) -> _ShimWarehouse:
+    return _ShimWarehouse(
+        spark,
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[0].filter(
+                _url_parity(2)
+            ),
+        },
+    )
+
+
+def _actor_wh(spark, sf_dir) -> _ShimWarehouse:
+    return _ShimWarehouse(
+        spark,
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[1],
+            "actor_raw_data_imdb": lambda: _synth_actor_raw(spark, sf_dir)[0],
+            "actor_raw_data_metacritic": lambda: _synth_actor_raw(spark, sf_dir)[1],
+        },
+    )
+
+
+@query(
+    "pipeline_employee_hub",
+    _PIPELINE_SQL_PRELUDE + _ACTOR_SQL_CTES + "SELECT emp_id, emp_nm FROM emp_hub",
+)
+def pipeline_employee_hub(spark, sf_dir):
+    return _core.build_employee_hub(_actor_wh(spark, sf_dir))
+
+
+@query(
+    "pipeline_movie_emp_link",
+    _PIPELINE_SQL_PRELUDE
+    + _ACTOR_SQL_CTES
+    + "SELECT movie_emp_link_id, movie_id, emp_id FROM movie_emp_link",
+)
+def pipeline_movie_emp_link(spark, sf_dir):
+    return _core.build_movie_emp_link(_actor_wh(spark, sf_dir))
+
+
+@query(
+    "pipeline_emp_movie_l_sat",
+    _PIPELINE_SQL_PRELUDE
+    + _ACTOR_SQL_CTES
+    + "SELECT movie_emp_role_id, movie_emp_link_id, description, role FROM emp_movie_l_sat",
+)
+def pipeline_emp_movie_l_sat(spark, sf_dir):
+    return _core.build_emp_movie_l_sat(_actor_wh(spark, sf_dir))
+
+
+@query(
+    "pipeline_movie_info_sat",
+    _PIPELINE_SQL_PRELUDE
+    + _SAT_SQL_CTES
+    + """
+    SELECT title_item_id, movie_id, original_name, year, certificate, rating,
+           budget, gross_worldwide, scr_nm, url
+    FROM movie_info_sat
+    """,
+)
+def pipeline_movie_info_sat(spark, sf_dir):
+    return _core.build_movie_info_sat(_movie_meta_wh(spark, sf_dir))
+
+
+# mart/movie_data.sql through the real builder, over an SCD2-historized
+# sat (single batch → every row current; P6 filter exercised for real).
+@query(
+    "pipeline_movie_data",
+    _PIPELINE_SQL_PRELUDE
+    + _SAT_SQL_CTES
+    + """
+    SELECT s.title_item_id, m.movie_nm AS movie_name, m.movie_duration,
+           COALESCE(s.original_name, '') AS original_name,
+           COALESCE(s.year, '') AS year,
+           s.rating,
+           COALESCE(s.budget, '') AS budget,
+           COALESCE(s.gross_worldwide, '') AS worldwide_gross,
+           s.scr_nm AS rating_source, s.url
+    FROM movie_hub m JOIN movie_info_sat s ON m.movie_id = s.movie_id
+    """,
+)
+def pipeline_movie_data(spark, sf_dir):
+    wh = _movie_meta_wh(spark, sf_dir)
+    sat = wh.read("stg", "movie_info_sat")
+    wh._stg["movie_info_sat"] = scd2_apply(None, sat, "title_item_id", _SAT_ATTRS, _SCD2_T0)
+    return _marts.build_movie_data(wh)
+
+
+@query(
+    "pipeline_employee_data",
+    _PIPELINE_SQL_PRELUDE
+    + _ACTOR_SQL_CTES
+    + """
+    SELECT DISTINCT s.movie_emp_role_id, h.emp_nm AS name, s.role,
+           CASE WHEN s.description = 'NaN' THEN ''
+                ELSE replace(replace(s.description, ')', ''), '(', '')
+           END AS role_description
+    FROM emp_hub h
+    JOIN movie_emp_link l ON h.emp_id = l.emp_id
+    JOIN emp_movie_l_sat s ON l.movie_emp_link_id = s.movie_emp_link_id
+    """,
+)
+def pipeline_employee_data(spark, sf_dir):
+    wh = _actor_wh(spark, sf_dir)
+    mel = wh.read("stg", "movie_emp_link")
+    wh._stg["movie_emp_link"] = scd2_apply(
+        None, mel, "movie_emp_link_id", ["movie_id", "emp_id"], _SCD2_T0
+    )
+    s = wh.read("stg", "emp_movie_l_sat")
+    wh._stg["emp_movie_l_sat"] = scd2_apply(
+        None, s, "movie_emp_role_id", ["movie_emp_link_id", "description", "role"], _SCD2_T0
+    )
+    return _marts.build_employee_data(wh)
+
+
+@query(
+    "pipeline_movie_employee_link",
+    _PIPELINE_SQL_PRELUDE
+    + _ACTOR_SQL_CTES
+    + """
+    SELECT DISTINCT l.movie_emp_link_id, m.movie_nm, m.movie_duration, h.emp_nm
+    FROM movie_hub m
+    JOIN movie_emp_link l ON m.movie_id = l.movie_id
+    JOIN emp_hub h ON l.emp_id = h.emp_id
+    """,
+)
+def pipeline_movie_employee_link(spark, sf_dir):
+    return _marts.build_movie_employee_link(_actor_wh(spark, sf_dir))
+
+
+# mart/rating_slide.sql end-to-end: two SCD2 batches (batch 2 changes
+# ratings for url-digit %7 movies), latest-vs-top2 snapshot compare,
+# global rank, full outer join — all through the real builders.
+@query(
+    "pipeline_rating_slide",
+    _PIPELINE_SQL_PRELUDE
+    + """,
+    sat1 AS (
+      SELECT DISTINCT md5(t2.movie_id || t1.url) AS title_item_id, t2.movie_id,
+             t1.rating, t1.url
+      FROM (SELECT DISTINCT movie_name, CAST(min_duration AS INTEGER) AS duration,
+                   rating, url FROM movie_raw) t1
+      JOIN movie_hub t2 ON md5(t1.movie_name || CAST(t1.duration AS VARCHAR)) = t2.movie_id
+    ),
+    changed AS (
+      SELECT movie_id, rating || '5' AS rating
+      FROM sat1
+      WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS INTEGER) % 7 = 0
+    ),
+    t1g AS (
+      SELECT m.movie_nm, m.movie_duration, c.movie_id,
+             AVG(TRY_CAST(c.rating AS DOUBLE)) AS rating
+      FROM changed c JOIN movie_hub m ON m.movie_id = c.movie_id
+      GROUP BY m.movie_nm, m.movie_duration, c.movie_id
+    ),
+    t1 AS (
+      SELECT *, row_number() OVER (
+        ORDER BY rating DESC, CAST(movie_duration AS INTEGER) DESC, movie_id) AS place
+      FROM t1g
+    ),
+    t2 AS (SELECT DISTINCT movie_id FROM sat1)
+    SELECT COALESCE(t1.movie_id, t2.movie_id) AS movie_id,
+           t1.movie_nm AS movie_name,
+           CAST(t1.movie_duration AS INTEGER) AS duration,
+           ROUND(t1.rating, 4) AS current_rating,
+           t1.place AS current_place
+    FROM t1 FULL JOIN t2 ON t1.movie_id = t2.movie_id
+    """,
+)
+def pipeline_rating_slide(spark, sf_dir):
+    wh = _ShimWarehouse(
+        spark,
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[0].filter(
+                F.lit(False)
+            ),
+        },
+    )
+    sat = wh.read("stg", "movie_info_sat")
+    b2 = sat.withColumn(
+        "rating",
+        F.when(_url_parity(7), F.concat(F.col("rating"), F.lit("5"))).otherwise(
+            F.col("rating")
+        ),
+    )
+    s1 = scd2_apply(None, sat, "title_item_id", _SAT_ATTRS, _SCD2_T0)
+    wh._stg["movie_info_sat"] = scd2_apply(s1, b2, "title_item_id", _SAT_ATTRS, _SCD2_T1)
+    out = _marts.build_rating_slide(wh)
+    return out.select(
+        "movie_id",
+        "movie_name",
+        "duration",
+        F.round("current_rating", 4).alias("current_rating"),
+        "current_place",
+    )
+
+
+# ===========================================================================
+# Embedding-cosine near-dup (5th dedup variant) + window frame functions.
+# ===========================================================================
+
+_ND_SIG_SQL = "concat(" + ", ".join(
+    f"CASE WHEN v[{2 * j + 1}] - v[{2 * j + 2}] >= 0 THEN '1' ELSE '0' END"
+    for j in range(8)
+) + ")"
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+    WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    copies AS (
+      SELECT id + 1000000 AS id, list_concat([v[1] + 0.05], v[2:]) AS v
+      FROM base WHERE id % 20 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+    sig AS (SELECT id, v, {_ND_SIG_SQL} AS sig FROM corpus),
+    scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS score
+      FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.9
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(F.col("vec_id"), v.alias("embedding"))
+    copies = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(copies)
+    return embedding_neardup(corpus, threshold=0.9).select("id_a", "id_b", "score")
+
+
+# Window frames beyond the reference's bare row_number: lag/lead deltas,
+# running total (ROWS UNBOUNDED PRECEDING), ntile quartiles.
+@query(
+    "window_frame_functions",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 6) AS delta_prev,
+           round(lead(value) OVER w - value, 6) AS delta_next,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_frame_functions(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
+        F.round(F.sum(_dec("value")).over(wcum), 2).cast("double").alias("running_total"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
     )

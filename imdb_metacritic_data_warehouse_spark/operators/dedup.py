@@ -145,6 +145,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def embedding_neardup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup variant.
+
+    Scale shape (same philosophy as MinHash+LSH): never the O(n²)
+    cross-join.  Each vector gets an ``n_bits``-bit sign signature from
+    fixed coordinate-difference hyperplanes (bit j = sign of
+    ``v[2j] − v[2j+1]``); only vectors sharing the full signature are
+    exact-scored with cosine = dot/(‖a‖·‖b‖).  Fixed-coordinate planes
+    (instead of pseudo-random ones) keep the bucketing expressible in
+    plain SQL for the oracle, and near-identical vectors agree on every
+    sign bit except within an O(ε) slab around each hyperplane — the
+    standard random-projection recall argument.  One shuffle on the
+    (short string) signature; bucket sizes ≈ n/2^bits, AQE splits any
+    boilerplate-heavy skew.  Output: (id_a, id_b, score), id_a < id_b.
+    """
+
+    def bit(j: int) -> F.Column:
+        d = F.element_at(F.col(vec_col), 2 * j + 1).cast("double") - F.element_at(
+            F.col(vec_col), 2 * j + 2
+        ).cast("double")
+        return F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit(j) for j in range(n_bits)])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

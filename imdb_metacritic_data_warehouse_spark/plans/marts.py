@@ -123,7 +123,10 @@ def build_genre_metrics(wh) -> DataFrame:
 def _rating_snapshot(wh, snapshot_filter) -> DataFrame:
     """Shared shape of rating_slide's temp1/temp2: hub ⋈ sat (sat rows
     restricted by ``snapshot_filter`` on valid_from), avg rating per
-    movie, global rank by (rating desc, duration desc)."""
+    movie, global rank by (rating desc, duration desc).  The reference's
+    ORDER BY leaves rating/duration ties in arbitrary heap order
+    (``mart/rating_slide.sql:7``); we append movie_id as a final key so
+    places are deterministic across runs — documented divergence."""
     mh = wh.read("stg", "movie_hub")
     mis = snapshot_filter(wh.read("stg", "movie_info_sat"))
     grouped = (
@@ -133,7 +136,11 @@ def _rating_snapshot(wh, snapshot_filter) -> DataFrame:
     )
     return global_row_number(
         grouped,
-        [F.desc("rating"), F.desc(F.col("movie_duration").cast("int"))],
+        [
+            F.desc("rating"),
+            F.desc(F.col("movie_duration").cast("int")),
+            F.asc("movie_id"),
+        ],
         out_col="place",
     )
 

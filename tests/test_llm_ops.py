@@ -139,3 +139,18 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_embedding_neardup(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import embedding_neardup
+
+    base = [1.0 if i % 2 == 0 else 0.0 for i in range(16)]
+    near = list(base)
+    near[2] += 0.01  # same bucket, cosine ≈ 1
+    far = [-x for x in base]  # opposite signs → different bucket
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_neardup(df, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].score > 0.999

@@ -104,3 +104,26 @@ def test_scd2_upsert_batches(spark, tmp_path):
     assert str(u1[0].valid_to).startswith("2024-01-02")
     # key absent from micro-batch stays open (CDC semantics, no close-out)
     assert len(u2) == 1 and str(u2[0].valid_to).startswith("9999")
+
+
+def test_stateful_running_totals(spark, event_stream_dir):
+    from imdb_metacritic_data_warehouse_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_stream_dir)
+    q = (
+        running_user_totals(src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stateful_out").collect()
+    finally:
+        q.stop()
+    latest = {r.user_id: r for r in rows}  # update mode: last row per user wins
+    assert latest[1].n_events == 3 and latest[1].total_value == 6.0
+    assert latest[2].n_events == 2 and latest[2].total_value == 8.0
