@@ -551,16 +551,9 @@ _LANG_CASE = (
     """,
 )
 def text_analysis(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        language_id(t).alias("lang_id"),
-        token_count_ws(t).alias("n_tokens_ws"),
-        token_count_bpe(t).alias("n_tokens_bpe"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fp"),
-    )
+    from .operators.text import text_analysis_frame
+
+    return text_analysis_frame(_t(spark, sf_dir, "documents"))
 
 
 # Exact dedup: corpus + case-mutated copies; normalization collapses them.
@@ -1073,10 +1066,16 @@ class _ShimWarehouse:
     (e.g. an SCD2-historized sat injected by a mart query).
     """
 
-    def __init__(self, spark, bronze: dict):
+    def __init__(self, spark, bronze: dict, cache_stg: bool = False):
         self.spark = spark
         self._bronze = bronze
         self._stg: dict[str, DataFrame] = {}
+        # cache_stg=True reuses one logical plan per stg table (what the
+        # caching warehouse does) — safe only for consumers that join on
+        # string keys / F.col refs, NOT df.attr refs (shared lineage
+        # breaks those, see class docstring).  genre_metrics qualifies
+        # and rebuilds hubs 3× without it.
+        self._cache_stg = cache_stg
 
     def bronze(self, table):
         return self._bronze[table]()
@@ -1085,7 +1084,10 @@ class _ShimWarehouse:
         assert schema == "stg"
         if name in self._stg:
             return self._stg[name]
-        return getattr(_core, f"build_{name}")(self)
+        built = getattr(_core, f"build_{name}")(self)
+        if self._cache_stg:
+            self._stg[name] = built
+        return built
 
 
 def _synth_movie_raw(spark, sf_dir):
@@ -1269,6 +1271,7 @@ def pipeline_genre_metrics(spark, sf_dir):
                 F.lit(False)
             ),
         },
+        cache_stg=True,
     )
     mis = wh.read("stg", "movie_info_sat")
     per_movie = mis.groupBy("movie_id").agg(

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, word_shingles
+from .text import fingerprint, shingle_rows
 
 MINHASH_HASHES = 12
 MINHASH_BANDS = 4  # 4 bands × 3 rows
@@ -45,16 +45,13 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _minhash_cols(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int
 ) -> DataFrame:
-    """MinHash as explode → groupBy-min: one row per shingle, ``H`` md5
-    columns, map-side partial min then one shuffle of H short strings
-    per doc.  (A nested arrays-of-arrays formulation recomputes the
-    whole shingle pipeline once per downstream use and overwhelms
+    """MinHash as shingle-rows → groupBy-min: one row per shingle, ``H``
+    md5 columns, map-side partial min then one shuffle of H short
+    strings per doc.  (A nested arrays-of-arrays formulation recomputes
+    the whole shingle pipeline once per downstream use and overwhelms
     codegen — measured 20× slower; rows + aggregate is the plan that
     scales.)  Output: doc_id, h0..h{H-1}."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col))).alias("s"),
-    )
+    sh = shingle_rows(df, id_col, text_col)
     hashes = [
         F.md5(F.concat(F.col("s"), F.lit(f"#{j}"))).alias(f"h{j}")
         for j in range(num_hashes)
@@ -101,16 +98,22 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.band_sig")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # One pass, no self-join: a band-bucket self-join would recompute the
+    # whole shingle→minhash pipeline once per side (Catalyst does no
+    # cross-branch CSE) AND shuffle the table twice.  Instead: group by
+    # bucket (single shuffle of (band, sig, id) triples), emit in-bucket
+    # pairs with a double explode.  Bucket fan-out is quadratic only in
+    # the bucket size, which for honest near-dup workloads is tiny; a
+    # pathological boilerplate bucket hits AQE skew-split either way.
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -213,10 +216,7 @@ def ngram_jaccard(
     Explodes distinct shingles once, joins pairs twice (semi-bounded:
     only candidate docs' shingles move), counts |A∩B| group-wise and
     derives |A∪B| = |A|+|B|−|A∩B|.  Output: pairs + ``jaccard``."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
-    )
+    sh = shingle_rows(df, id_col, text_col, n).distinct().withColumnRenamed("s", "sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")

@@ -99,6 +99,65 @@ def lsh_bucket(vec, table: int, n_planes: int = N_PLANES) -> F.Column:
     )
 
 
+def _sign_buckets(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dims: int = 64,
+) -> DataFrame:
+    """(vec_id, v, tbl, bucket) for every hash table, fully codegen'd.
+
+    ``hyperplane_sign``'s ``aggregate(zip_with(...))`` is a higher-order
+    function — Spark interprets its lambda per element, and n_tables ×
+    n_planes separate chains made bucket assignment the dominant (and
+    jittery) cost.  Here: ONE ``posexplode`` of the vector, then a
+    single groupBy(vec_id) computing all projections as plain
+    ``sum(x · element_at(weights, pos))`` aggregates against literal
+    weight arrays — whole-stage codegen with map-side partial
+    aggregation, one shuffle of #tables×#planes doubles per vector."""
+    projs = [
+        F.sum(
+            F.col("x")
+            * F.element_at(
+                F.array(*[F.lit(w) for w in _plane_weights(t * 1000 + p, dims)]),
+                F.col("pos") + 1,
+            )
+        ).alias(f"s_{t}_{p}")
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    per_vec = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("vec_id")
+        .agg(*projs)
+    )
+
+    def bucket(t: int):
+        return F.concat(
+            *[
+                F.when(F.col(f"s_{t}_{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(n_planes)
+            ]
+        )
+
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    tb = per_vec.select("vec_id", F.explode(tables).alias("tb")).select(
+        "vec_id", "tb.tbl", "tb.bucket"
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return tb.join(vecs, "vec_id")
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -113,22 +172,10 @@ def lsh_bucketed_topk(
     ``n_tables`` independent sign-bit hashes: a candidate is scored iff
     it shares a bucket with the query in ≥1 table (misses a cos-θ
     neighbor in all tables with prob. (1−(1−θ/π)^b)^L).  Plan: one scan
-    assigns all buckets, explode over tables, shuffle on (table,
-    bucket) — candidate sets stay bucket-bounded instead of O(N·|Q|)."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col(vec_col), t, n_planes).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    with_bucket = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        F.explode(buckets).alias("tb"),
-    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+    assigns all buckets (``_sign_buckets``), explode over tables,
+    shuffle on (table, bucket) — candidate sets stay bucket-bounded
+    instead of O(N·|Q|)."""
+    with_bucket = _sign_buckets(embeddings, id_col, vec_col, n_planes, n_tables)
     q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket",
     )
