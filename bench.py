@@ -35,7 +35,13 @@ HEADLINE = [
     "session_window_events",
     "asof_join_events",
     "pipeline_genre_metrics",
+    "pipeline_rating_slide",
     "rollup_orders",
+    "scalar_parsing",
+    "exists_semi_join",
+    "salted_groupby_events",
+    "window_frame_functions",
+    "embedding_neardup_pairs",
 ]
 
 

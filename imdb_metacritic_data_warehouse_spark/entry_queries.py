@@ -1711,7 +1711,14 @@ def pipeline_rating_slide(spark, sf_dir):
         ),
     )
     s1 = scd2_apply(None, sat, "title_item_id", _SAT_ATTRS, _SCD2_T0)
-    wh._stg["movie_info_sat"] = scd2_apply(s1, b2, "title_item_id", _SAT_ATTRS, _SCD2_T1)
+    # .cache(): rating_slide reads the historized sat in BOTH snapshot
+    # branches (t1 latest / t2 top-2) — Spark has no cross-branch plan
+    # CSE, so without materialization the whole raw→hub→sat→merge chain
+    # executes twice.
+    wh._stg["movie_info_sat"] = scd2_apply(
+        s1, b2, "title_item_id", _SAT_ATTRS, _SCD2_T1
+    ).cache()
+    wh._stg["movie_hub"] = wh.read("stg", "movie_hub").cache()
     out = _marts.build_rating_slide(wh)
     return out.select(
         "movie_id",
@@ -1795,3 +1802,131 @@ def window_frame_functions(spark, sf_dir):
         F.round(F.sum(_dec("value")).over(wcum), 2).cast("double").alias("running_total"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# ===========================================================================
+# Scalar parsing (F13-F16), EXISTS semi-join, skew-salted aggregation,
+# multimodal feature extraction.
+# ===========================================================================
+
+from .functions.parsing import (  # noqa: E402
+    parse_digits_to_long,
+    parse_duration_minutes,
+    parse_year,
+)
+from .operators.multimodal import extract_features  # noqa: E402
+from .operators.skew import salted_agg  # noqa: E402
+
+
+# F13 digit-extraction, F14 duration parse, F15 rating rescale, F16 year
+# extraction — the scrapers' parse helpers as engine scalar functions,
+# exercised on synthesized messy strings.
+@query(
+    "scalar_parsing",
+    """
+    WITH messy AS (
+      SELECT p_partkey,
+             '$' || CAST(CAST(p_retailprice * 100 AS BIGINT) AS VARCHAR) || ' (est.)' AS budget_txt,
+             CASE WHEN p_size >= 60
+                  THEN CAST(p_size // 60 AS VARCHAR) || ' hours ' || CAST(p_size % 60 AS VARCHAR) || ' minutes'
+                  ELSE CAST(p_size AS VARCHAR) || ' minutes'
+             END AS dur_txt,
+             'released (' || CAST(1900 + p_size AS VARCHAR) || ')' AS year_txt,
+             p_retailprice % 100 AS metascore
+      FROM part
+    )
+    SELECT p_partkey,
+           TRY_CAST(NULLIF(regexp_replace(budget_txt, '[^0-9]', '', 'g'), '') AS BIGINT) AS budget_parsed,
+           CAST(COALESCE(TRY_CAST(regexp_extract(dur_txt, '([0-9]+)\\s*h', 1) AS INTEGER), 0) * 60
+                + COALESCE(TRY_CAST(regexp_extract(dur_txt, '([0-9]+)\\s*m', 1) AS INTEGER), 0) AS INTEGER) AS duration_min,
+           TRY_CAST(regexp_extract(year_txt, '([0-9]{4})', 1) AS INTEGER) AS year_parsed,
+           round(metascore / 10, 6) AS rating_rescaled
+    FROM messy
+    """,
+)
+def scalar_parsing(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    messy = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("$"),
+            (F.col("p_retailprice") * 100).cast("bigint").cast("string"),
+            F.lit(" (est.)"),
+        ).alias("budget_txt"),
+        F.when(
+            F.col("p_size") >= 60,
+            F.concat(
+                F.floor(F.col("p_size") / 60).cast("string"),
+                F.lit(" hours "),
+                (F.col("p_size") % 60).cast("string"),
+                F.lit(" minutes"),
+            ),
+        )
+        .otherwise(F.concat(F.col("p_size").cast("string"), F.lit(" minutes")))
+        .alias("dur_txt"),
+        F.concat(
+            F.lit("released ("), (F.lit(1900) + F.col("p_size")).cast("string"), F.lit(")")
+        ).alias("year_txt"),
+        (F.col("p_retailprice") % 100).alias("metascore"),
+    )
+    return messy.select(
+        "p_partkey",
+        parse_digits_to_long(F.col("budget_txt")).alias("budget_parsed"),
+        parse_duration_minutes(F.col("dur_txt")).alias("duration_min"),
+        parse_year(F.col("year_txt")).alias("year_parsed"),
+        F.round(F.col("metascore") / 10, 6).alias("rating_rescaled"),
+    )
+
+
+# EXISTS semi-join (the IN-subquery family's join form; P6 relative).
+@query(
+    "exists_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def exists_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# Skew-salted two-phase aggregation: results must equal the plain
+# groupBy (the oracle IS the plain groupBy).
+@query(
+    "salted_groupby_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_groupby_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        partial_aggs={
+            "__n": F.count(F.lit(1)),
+            "__s": F.sum(_dec("value")),
+        },
+        final_aggs={
+            "n": F.sum("__n"),
+            "sum_value": F.round(F.sum("__s"), 2).cast("double"),
+        },
+        salt_col="event_id",
+    )
+
+
+# Multimodal feature extraction through the Arrow-batched mapInPandas
+# path (fake decoder — real codecs absent by design); rows-only check.
+@query("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media)
