@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 item 5.
+
+Model-based checking of the SCD2 merge against a plain-Python reference
+model over random batch sequences, plus the two genre-parse variants'
+equivalence on arbitrary well-formed scraper output, and hash-key
+stability under repartitioning.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.functions.keys import hash_key
+from imdb_metacritic_data_warehouse_spark.functions.parsing import (
+    explode_genres_json,
+    explode_genres_split,
+)
+from imdb_metacritic_data_warehouse_spark.operators.scd2 import (
+    OPEN_SENTINEL,
+    scd2_apply,
+)
+
+# pk → attr value per batch; None attr values exercise the null-safe
+# change predicate.
+_BATCH = st.dictionaries(
+    st.integers(0, 5), st.sampled_from(["a", "b", None]), min_size=0, max_size=6
+)
+_SEQS = st.lists(_BATCH, min_size=1, max_size=3)
+
+_TS = [f"2024-0{i}-01 00:00:00" for i in range(1, 10)]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=_SEQS)
+def test_scd2_model_check(spark, batches):
+    state = None
+    open_model: dict[int, str | None] = {}
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()] or [(None, None)],
+            "pk int, x string",
+        )
+        if not batch:
+            df = df.filter(F.lit(False))
+        state = scd2_apply(state, df, "pk", ["x"], _TS[i])
+        open_model = dict(batch)
+
+    rows = state.collect()
+    open_rows = [r for r in rows if str(r.valid_to).startswith("9999")]
+    # exactly the last batch's keys are open, with its values
+    assert {r.pk: r.x for r in open_rows} == open_model
+    # ≤1 open row per pk
+    assert len({r.pk for r in open_rows}) == len(open_rows)
+    # per-pk validity intervals never overlap and are well-formed
+    by_pk: dict[int, list] = {}
+    for r in rows:
+        by_pk.setdefault(r.pk, []).append(r)
+    for vers in by_pk.values():
+        vers.sort(key=lambda r: str(r.valid_from))
+        for a, b in zip(vers, vers[1:]):
+            assert str(a.valid_to) <= str(b.valid_from)
+        for r in vers:
+            assert str(r.valid_from) <= str(r.valid_to)
+
+
+_GENRE = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz -", min_size=1, max_size=12
+).filter(lambda s: s.strip(" -") == s and s != "")
+_GENRE_LISTS = st.lists(_GENRE, min_size=0, max_size=5, unique=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(genres=_GENRE_LISTS)
+def test_genre_parse_variants_agree_property(spark, genres):
+    """F4 (split) and F5 (json) must parse every well-formed scraper
+    list identically (the scraper never emits quotes/commas inside a
+    genre — SURVEY.md §7.5 documents that fragility)."""
+    raw = repr(genres)  # exactly what the scraper stringifies
+    df = spark.createDataFrame([(raw,)], "genres string")
+    split_out = df.select(
+        F.array_sort(explode_genres_split(F.col("genres"))).alias("g")
+    ).first().g
+    json_out = df.select(
+        F.array_sort(
+            F.filter(
+                F.coalesce(
+                    explode_genres_json(F.col("genres")),
+                    F.array().cast("array<string>"),
+                ),
+                lambda x: x != "",
+            )
+        ).alias("g")
+    ).first().g
+    assert split_out == json_out == sorted(genres)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.text(max_size=8), st.integers(0, 1000)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_hash_key_stable_under_repartitioning(spark, rows):
+    df = spark.createDataFrame(rows, "name string, dur int")
+    one = df.coalesce(1).select(hash_key("name", "dur").alias("k"))
+    many = df.repartition(8, "dur").select(hash_key("name", "dur").alias("k"))
+    assert sorted(r.k for r in one.collect()) == sorted(
+        r.k for r in many.collect()
+    )
