@@ -1930,3 +1930,13 @@ def salted_groupby_events(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = attach_media(_t(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+# IVF ANN — k-means cell pruning (the other scale path next to LSH);
+# engine-internal index → rows-only check.
+@query("ann_ivf")
+def ann_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, [0, 1, 2, 3, 4], k=10)

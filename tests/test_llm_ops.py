@@ -154,3 +154,27 @@ def test_embedding_neardup(spark):
     pairs = embedding_neardup(df, threshold=0.99).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     assert pairs[0].score > 0.999
+
+
+def test_ivf_topk(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import ivf_topk
+
+    import math
+
+    # two well-separated clusters of near-identical vectors
+    def vec(center, eps):
+        raw = [center + eps * ((i % 5) - 2) for i in range(8)]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    rows = [(i, vec(1.0, 0.01 * i)) for i in range(5)] + [
+        (10 + i, vec(-1.0, 0.01 * i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, [0, 10], k=3, n_lists=2, n_probe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    # each query's neighbors come from its own cluster
+    assert set(by_q[0]) <= {1, 2, 3, 4}
+    assert set(by_q[10]) <= {11, 12, 13, 14}
