@@ -99,3 +99,36 @@ def test_scd2_merge_single_shuffle_join(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    from imdb_metacritic_data_warehouse_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucket_test")
+    write_bucketed(li, "bucket_test.li_b", "l_orderkey", num_buckets=8)
+    write_bucketed(o, "bucket_test.o_b", "l_orderkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bucket_test.li_b", "bucket_test.o_b", "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # groupBy on the bucket key is shuffle-free too
+        agg_plan = _plan(
+            spark.table("bucket_test.li_b").groupBy("l_orderkey").count()
+        )
+        assert "Exchange hashpartitioning" not in agg_plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bucket_test CASCADE")

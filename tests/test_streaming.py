@@ -127,3 +127,43 @@ def test_stateful_running_totals(spark, event_stream_dir):
     latest = {r.user_id: r for r in rows}  # update mode: last row per user wins
     assert latest[1].n_events == 3 and latest[1].total_value == 6.0
     assert latest[2].n_events == 2 and latest[2].total_value == 8.0
+
+
+def test_streaming_scd2_sink_end_to_end(spark, tmp_path):
+    """readStream → foreachBatch SCD2 upsert → VersionedParquetTable,
+    driven with availableNow across two source files (two micro-batches
+    in one run is not guaranteed, so run the stream twice — each run is
+    one reference 're-parse')."""
+    from imdb_metacritic_data_warehouse_spark.streaming.upsert import (
+        scd2_streaming_sink,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tab = VersionedParquetTable(spark, str(tmp_path / "tables"), "user_tier")
+
+    def run_batch(rows, fname):
+        df = spark.createDataFrame(
+            rows, "user_id long, tier string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(src_dir / fname))
+        schema = "user_id long, tier string, ts timestamp"
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / fname))
+        q = scd2_streaming_sink(
+            stream,
+            tab,
+            "user_id",
+            ["tier"],
+            checkpoint=str(tmp_path / f"ckpt_{fname}"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_batch([(1, "bronze", "2024-01-01 00:00:00"), (2, "bronze", "2024-01-01 00:00:00")], "b1")
+    run_batch([(1, "gold", "2024-02-01 00:00:00")], "b2")
+
+    rows = tab.read().collect()
+    u1 = sorted([r for r in rows if r.user_id == 1], key=lambda r: str(r.valid_from))
+    assert [r.tier for r in u1] == ["bronze", "gold"]
+    assert str(u1[0].valid_to) == str(u1[1].valid_from)  # contiguous history
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and str(u2[0].valid_to).startswith("9999")
