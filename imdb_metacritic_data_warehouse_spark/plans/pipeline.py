@@ -62,16 +62,15 @@ class Warehouse:
         self.spark = ensure_engine_confs(spark)
         self.bronze_root = bronze_root
         self.root = warehouse_root
-        self._repaired: dict[str, DataFrame] = {}
 
     # -- reads ---------------------------------------------------------------
     def bronze(self, table: str) -> DataFrame:
         """Raw-layer read; actor tables pass through the rotation repair
         (the reference mutates them in place pre-ELT,
         ``etl_layer_transfer.py:10-20`` — we repair on read, keeping
-        bronze immutable)."""
-        if table in self._repaired:
-            return self._repaired[table]
+        bronze immutable).  Each call is a fresh scan on purpose: shared
+        in-memory plans across builders break df.attr references in
+        join consumers (see entry_queries._ShimWarehouse docstring)."""
         df = read_bronze(self.spark, self.bronze_root, table)
         if table.startswith("actor_raw"):
             df = repair_role_rotation(df)
