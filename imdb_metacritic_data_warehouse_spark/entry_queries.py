@@ -1940,3 +1940,37 @@ def ann_ivf(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+# Correlated aggregate subquery (TPC-H Q17 shape): per-group average
+# joined back as a per-row threshold — the decorrelated groupBy+join
+# rewrite of `WHERE x < (SELECT avg(x) ... correlated)`.
+@query(
+    "correlated_agg_threshold",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey, AVG(CAST(l_quantity AS DECIMAL(18,4))) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey,
+           COUNT(*) AS n_below,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS below_revenue
+    FROM lineitem l
+    JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) < 0.5 * pa.avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def correlated_agg_threshold(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg(_dec("l_quantity")).alias("avg_qty"))
+    l = li.alias("l")
+    return (
+        l.join(part_avg.alias("pa"), "l_partkey")
+        .filter(_dec("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_below"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("below_revenue"),
+        )
+    )
