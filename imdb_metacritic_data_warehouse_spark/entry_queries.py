@@ -1942,6 +1942,27 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(e, [0, 1, 2, 3, 4], k=10)
 
 
+# Rolling (polynomial) fingerprint — order-sensitive document identity
+# (vs the md5 normalization fingerprint in text_analysis).
+@query(
+    "rolling_fingerprint_docs",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(text), ' '),
+                 t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+)
+def rolling_fingerprint_docs(spark, sf_dir):
+    from .operators.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
+
+
 # Correlated aggregate subquery (TPC-H Q17 shape): per-group average
 # joined back as a per-row threshold — the decorrelated groupBy+join
 # rewrite of `WHERE x < (SELECT avg(x) ... correlated)`.

@@ -175,6 +175,29 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 2147483647  # 2^31 − 1: acc·B + tokhash stays < 2^63
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Rolling (polynomial) document fingerprint over word hashes:
+    ``acc ← (acc·B + md5_60bit(token)) mod (2³¹−1)``, left-to-right.
+
+    Order-sensitive (unlike the md5-of-normalized-text ``fingerprint``):
+    permuted documents get different prints, shared prefixes diverge at
+    the first differing token — the classic Rabin-Karp shape.  A single
+    interpreted ``aggregate`` pass per row (cold path — fingerprints are
+    computed once per document at ingest)."""
+    tok_hash = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t), 1, 15), 16, 10
+    ).cast("long")
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_BASE + tok_hash(t)) % ROLLING_MOD,
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); fewer than ``n`` words →
     one shingle of the whole text.
