@@ -167,3 +167,65 @@ def test_streaming_scd2_sink_end_to_end(spark, tmp_path):
     assert str(u1[0].valid_to) == str(u1[1].valid_from)  # contiguous history
     u2 = [r for r in rows if r.user_id == 2]
     assert len(u2) == 1 and str(u2[0].valid_to).startswith("9999")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    rows_c = [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 12:00:00", 1)]
+    rows_p = [(91, "2024-01-01 09:30:00", 1), (92, "2024-01-01 09:00:00", 1)]
+    cdf = spark.createDataFrame(rows_c, "click_id long, cts string, user_id long").withColumn(
+        "cts", F.col("cts").cast("timestamp")
+    )
+    pdf = spark.createDataFrame(rows_p, "purchase_id long, pts string, user_id long").withColumn(
+        "pts", F.col("pts").cast("timestamp")
+    )
+    cdf.coalesce(1).write.parquet(str(tmp_path / "clicks"))
+    pdf.coalesce(1).write.parquet(str(tmp_path / "purchases"))
+    cs = spark.readStream.schema("click_id long, cts timestamp, user_id long").parquet(
+        str(tmp_path / "clicks")
+    )
+    ps = spark.readStream.schema("purchase_id long, pts timestamp, user_id long").parquet(
+        str(tmp_path / "purchases")
+    )
+    joined = interval_join_streams(
+        cs, ps, "user_id", "cts", "pts", lookback_seconds=3600
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssjoin_out").collect()}
+    # click 1 at 10:00 sees both purchases within 1h lookback (9:30, 9:00);
+    # click 2 at 12:00 sees neither
+    assert got == {(1, 91), (1, 92)}
+
+
+def test_versioned_table_crash_safety(spark, tmp_path):
+    """An orphan version directory (crash after data write, before
+    pointer swap) must be invisible to readers and harmless to the next
+    writer."""
+    import os
+
+    from imdb_metacritic_data_warehouse_spark.sources.table import (
+        VersionedParquetTable,
+    )
+
+    tab = VersionedParquetTable(spark, str(tmp_path), "t")
+    tab.write(spark.createDataFrame([(1, "a")], "id long, x string"))
+    # simulate a crashed writer: v=2 data exists, pointer still says 1
+    spark.createDataFrame([(99, "junk")], "id long, x string").write.parquet(
+        os.path.join(tab.path, "v=2")
+    )
+    assert tab.current_version() == 1
+    assert [r.id for r in tab.read().collect()] == [1]
+    # next commit overwrites the orphan and swaps atomically
+    tab.write(spark.createDataFrame([(2, "b")], "id long, x string"))
+    assert tab.current_version() == 2
+    assert [r.id for r in tab.read().collect()] == [2]
