@@ -1963,6 +1963,65 @@ def rolling_fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
 
 
+# CUBE grouping sets (all 4 combinations).
+@query(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# Exact interpolated percentiles (continuous quantiles).
+@query(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+# INTERSECT / EXCEPT (absent from the reference — SURVEY §2.7 notes —
+# but part of a complete set-operation surface).
+@query(
+    "intersect_except_sets",
+    """
+    WITH big_spenders AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+    ),
+    urgent AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM big_spenders INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'only_big' AS tag, o_custkey FROM (SELECT * FROM big_spenders EXCEPT SELECT * FROM urgent)
+    """,
+)
+def intersect_except_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey").distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    both = big.intersect(urgent).select(F.lit("both").alias("tag"), "o_custkey")
+    only_big = big.exceptAll(urgent).select(F.lit("only_big").alias("tag"), "o_custkey")
+    return both.unionByName(only_big)
+
+
 # Correlated aggregate subquery (TPC-H Q17 shape): per-group average
 # joined back as a per-row threshold — the decorrelated groupBy+join
 # rewrite of `WHERE x < (SELECT avg(x) ... correlated)`.
