@@ -112,3 +112,18 @@ class Warehouse:
         """Full ELT run (``etl_layer_transfer.py:73-75``)."""
         self.run_layer("stg", batch_ts)
         self.run_layer("data_mart", batch_ts)
+
+    def register_views(self) -> list[str]:
+        """Expose every committed table to ``spark.sql`` as
+        ``<schema>_<table>`` temp views — the SQL surface reference
+        users query (``select * from data_mart.movie_data`` becomes
+        ``data_mart_movie_data``).  Views resolve the version pointer at
+        registration; re-register after a pipeline run to advance."""
+        names = []
+        for (schema, name), _spec in registry.ALL_SPECS.items():
+            tab = self.table(schema, name)
+            if tab.exists():
+                view = f"{schema}_{name}"
+                tab.read().createOrReplaceTempView(view)
+                names.append(view)
+        return names

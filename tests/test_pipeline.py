@@ -118,3 +118,19 @@ def test_second_batch_historization(wh, spark):
     assert len(rs) > 0
     places = sorted(r.current_place for r in rs if r.current_place is not None)
     assert places == list(range(1, len(places) + 1))
+
+
+def test_sql_view_surface(wh):
+    """The spark.sql surface reference users query (their mart SQL
+    translated table-name-for-table-name)."""
+    views = wh.register_views()
+    assert "data_mart_movie_data" in views and "stg_movie_hub" in views
+    rows = wh.spark.sql(
+        """
+        SELECT movie_name, COUNT(*) AS n_sources
+        FROM data_mart_movie_data
+        GROUP BY movie_name
+        ORDER BY n_sources DESC, movie_name
+        """
+    ).collect()
+    assert rows[0].movie_name == "The Matrix" and rows[0].n_sources == 2
