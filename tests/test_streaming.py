@@ -229,3 +229,68 @@ def test_versioned_table_crash_safety(spark, tmp_path):
     tab.write(spark.createDataFrame([(2, "b")], "id long, x string"))
     assert tab.current_version() == 2
     assert [r.id for r in tab.read().collect()] == [2]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two availableNow runs sharing a checkpoint: run 1 advances the
+    watermark past the 10:00 window; run 2's late event for that window
+    is dropped, so the finalized (append-mode) window excludes it."""
+    from imdb_metacritic_data_warehouse_spark.streaming.windows import (
+        tumbling_window_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def add_file(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name):
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(src) + "/*")
+        q = (
+            tumbling_window_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")  # memory sink cannot recover checkpoints
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    # run 1: two events in the 10:00 window + one at 14:00 that pushes
+    # the watermark (2h delay) to 12:00
+    add_file(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "click", 2.0),
+            (3, "2024-01-01 14:00:00", 1, "click", 9.0),
+        ],
+        "a",
+    )
+    run("wm_run1")
+    # run 2: a LATE event for the already-finalized 10:00 window (must
+    # be dropped) plus a fresh one keeping the stream alive
+    add_file(
+        [
+            (4, "2024-01-01 10:15:00", 1, "click", 100.0),
+            (5, "2024-01-01 14:30:00", 1, "click", 1.0),
+        ],
+        "b",
+    )
+    rows = run("wm_run2")
+    by_window = {str(r.window_start): r for r in rows}
+    w10 = by_window["2024-01-01 10:00:00"]
+    assert w10.n == 2 and w10.sum_value == 3.0  # late event 4 excluded
+    assert "2024-01-01 14:00:00" not in by_window  # not finalized yet
