@@ -60,10 +60,16 @@ class VersionedParquetTable:
         return os.path.join(self.path, f"v={v}")
 
     # -- IO -----------------------------------------------------------------
-    def read(self) -> DataFrame:
-        v = self.current_version()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the committed version, or time-travel to an older one
+        still inside the retention window (``_gc`` keeps the last 2)."""
+        v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
+        if version is not None and not os.path.isdir(self._version_dir(version)):
+            raise FileNotFoundError(
+                f"table {self.name} version {version} is gone (outside retention)"
+            )
         df = self.spark.read.parquet(self._version_dir(v))
         # `is_open` is a physical partitioning column (open-vs-closed
         # pruning for SCD2 merges), not part of the logical schema
@@ -83,6 +89,18 @@ class VersionedParquetTable:
         os.replace(tmp, self._pointer_path())  # atomic commit
         self._gc(keep=v)
         return v
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the current version into ``target_partitions`` files —
+        the small-files countermeasure.  Every SCD2 merge writes a fresh
+        version whose open partition can fragment into one file per
+        shuffle task; at cluster scale thousands of tiny files per table
+        degrade scan planning and NameNode/listing pressure, so compact
+        periodically (target ≈ table_bytes / 128 MB).  Runs through the
+        same atomic commit as any write."""
+        df = self.spark.read.parquet(self._version_dir(self.current_version()))
+        part = ["is_open"] if "is_open" in df.columns else None
+        return self.write(df.coalesce(target_partitions), partition_by=part)
 
     def _gc(self, keep: int, retain: int = 2) -> None:
         """Drop version dirs older than the last ``retain`` (time-travel

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from imdb_metacritic_data_warehouse_spark.operators.repair import repair_role_rotation
 from imdb_metacritic_data_warehouse_spark.plans.pipeline import Warehouse
+from imdb_metacritic_data_warehouse_spark.sources.table import VersionedParquetTable
 from tests.fixtures import (
     MOVIE_IMDB_ROWS,
     MOVIE_META_ROWS,
@@ -134,3 +135,26 @@ def test_sql_view_surface(wh):
         """
     ).collect()
     assert rows[0].movie_name == "The Matrix" and rows[0].n_sources == 2
+
+
+def test_table_time_travel_and_compaction(spark, tmp_path):
+    import os
+
+    tab = VersionedParquetTable(spark, str(tmp_path), "tt")
+    tab.write(spark.createDataFrame([(1,)], "id long"))
+    tab.write(spark.createDataFrame([(2,)], "id long"))
+    assert [r.id for r in tab.read().collect()] == [2]
+    assert [r.id for r in tab.read(version=1).collect()] == [1]  # time travel
+    v = tab.compact()
+    assert v == 3 and [r.id for r in tab.read().collect()] == [2]
+    files = [
+        f
+        for f in os.listdir(os.path.join(tab.path, "v=3"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1  # compacted to one file
+    # v=1 is now outside the retention window
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tab.read(version=1)
