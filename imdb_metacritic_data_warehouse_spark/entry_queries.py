@@ -1963,6 +1963,38 @@ def rolling_fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
 
 
+# Deterministic hash sampling + train/test split (reproducible dataset
+# curation — membership is a pure function of the row id).
+@query(
+    "deterministic_sample_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_doc
+    FROM b GROUP BY 1
+    """,
+)
+def deterministic_sample_split(spark, sf_dir):
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    splits = hash_split(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    tagged = None
+    for name, df in splits.items():
+        part = df.select(F.lit(name).alias("split"), "doc_id")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
 # CUBE grouping sets (all 4 combinations).
 @query(
     "cube_orders",

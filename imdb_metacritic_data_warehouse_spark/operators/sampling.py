@@ -1,0 +1,64 @@
+"""Deterministic sampling & splits for training-data pipelines.
+
+``df.sample()``/``sampleBy()`` draw from a per-partition RNG — results
+change with partitioning, retries, and engine version, which is exactly
+wrong for reproducible dataset curation.  These operators derive the
+sampling decision from a *content hash* of a stable id column instead:
+
+    bucket(id) = int(md5(id)[:8], 16) % 10_000   (uniform, engine-portable)
+
+so membership is a pure function of the row — stable across reruns,
+partitionings, engines (the DuckDB oracle computes the same buckets),
+and incremental loads (new rows don't reshuffle old ones between
+splits — the property that keeps a train/test split honest as the
+corpus grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """Uniform bucket in [0, 10000) from the md5 of the id (8 hex chars
+    → modulo bias 2^-19, vs a visible 6-vs-7/65536 skew with 4)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+        % _BUCKETS
+    ).cast("int")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by id hash."""
+    return df.filter(hash_bucket(F.col(id_col)) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): strata
+    absent from ``fractions`` are dropped."""
+    expr = None
+    b = hash_bucket(F.col(id_col))
+    for value, frac in fractions.items():
+        cond = (F.col(strata_col) == value) & (b < int(frac * _BUCKETS))
+        expr = cond if expr is None else (expr | cond)
+    return df.filter(expr if expr is not None else F.lit(False))
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float]
+) -> dict[str, DataFrame]:
+    """Disjoint named splits (e.g. {'train': .9, 'test': .1}) by hash
+    range; weights must sum to ≤ 1."""
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    b = hash_bucket(F.col(id_col))
+    for name, w in weights.items():
+        hi = lo + int(w * _BUCKETS)
+        out[name] = df.filter((b >= lo) & (b < hi))
+        lo = hi
+    return out

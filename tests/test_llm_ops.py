@@ -178,3 +178,28 @@ def test_ivf_topk(spark):
     # each query's neighbors come from its own cluster
     assert set(by_q[0]) <= {1, 2, 3, 4}
     assert set(by_q[10]) <= {11, 12, 13, 14}
+
+
+def test_deterministic_sampling(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("cls"))
+    s1 = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
+    s2 = {r.id for r in deterministic_sample(df.repartition(7), "id", 0.3).collect()}
+    assert s1 == s2  # partitioning-independent
+    assert 200 < len(s1) < 400
+    # nested fractions: a 10% sample is a subset of the 30% sample
+    s_small = {r.id for r in deterministic_sample(df, "id", 0.1).collect()}
+    assert s_small <= s1
+    splits = hash_split(df, "id", {"train": 0.8, "test": 0.2})
+    tr = {r.id for r in splits["train"].collect()}
+    te = {r.id for r in splits["test"].collect()}
+    assert tr.isdisjoint(te) and len(tr) + len(te) == 1000
+    strat = stratified_sample(df, "id", "cls", {"true": 0.5, "false": 0.1})
+    got = strat.groupBy("cls").count().collect()
+    by_cls = {r.cls: r["count"] for r in got}
+    assert by_cls["true"] > by_cls["false"]
