@@ -42,6 +42,11 @@ HEADLINE = [
     "salted_groupby_events",
     "window_frame_functions",
     "embedding_neardup_pairs",
+    "correlated_agg_threshold",
+    "exact_percentiles",
+    "deterministic_sample_split",
+    "scrub_documents",
+    "rolling_fingerprint_docs",
 ]
 
 

@@ -1942,6 +1942,57 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(e, [0, 1, 2, 3, 4], k=10)
 
 
+# PII/noise scrubbing over synthesized dirty text (emails + urls
+# injected deterministically so the redaction paths actually fire).
+@query(
+    "scrub_documents",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN ' see https://site' || CAST(doc_id AS VARCHAR) || '.example/path?q=1 ok'
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g') AS clean_text
+    FROM dirty
+    """,
+)
+def scrub_documents(spark, sf_dir):
+    from .operators.text import scrub_text
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".example/path?q=1 ok"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dirty.select("doc_id", scrub_text(F.col("text")).alias("clean_text"))
+
+
 # Rolling (polynomial) fingerprint — order-sensitive document identity
 # (vs the md5 normalization fingerprint in text_analysis).
 @query(

@@ -175,6 +175,20 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+
+
+def scrub_text(text: Column) -> Column:
+    """PII/noise redaction for training corpora: emails → ``<EMAIL>``,
+    URLs → ``<URL>``.  Patterns restricted to syntax shared by Java
+    regex (Spark) and RE2 (DuckDB) so the oracle matches exactly; order
+    matters (emails first — a URL can't swallow an address's domain
+    once it is already redacted)."""
+    no_email = F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(no_email, URL_REGEX, "<URL>")
+
+
 ROLLING_BASE = 31
 ROLLING_MOD = 2147483647  # 2^31 − 1: acc·B + tokhash stays < 2^63
 
