@@ -158,3 +158,57 @@ def test_table_time_travel_and_compaction(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         tab.read(version=1)
+
+
+def test_two_batch_reparse_history(spark, tmp_path):
+    """The reference's core behavioral contract (readme.txt:5): a
+    re-parse with changed ratings closes the old sat versions, opens new
+    ones, and rating_slide compares the two snapshots."""
+    from tests.fixtures import MOVIE_IMDB_ROWS, write_raw_fixtures
+
+    bronze = str(tmp_path / "bronze")
+    write_raw_fixtures(spark, bronze)
+    w = Warehouse(spark, bronze, str(tmp_path / "wh"))
+    w.run_pipeline(T0)
+
+    # re-parse: The Matrix's IMDB rating moves 8.7 → 9.0
+    updated = [
+        (url, name, orig, year, cert, "9.0" if name == "The Matrix" else rating,
+         genres, budget, gross, duration)
+        for (url, name, orig, year, cert, rating, genres, budget, gross, duration)
+        in MOVIE_IMDB_ROWS
+    ]
+    write_raw_fixtures(spark, bronze, movie_imdb=updated)
+    w.run_pipeline(T1)
+
+    sat = w.read("stg", "movie_info_sat")
+    matrix_imdb = sorted(
+        sat.filter(
+            (F.col("movie_id") == md5("The Matrix136")) & (F.col("scr_nm") == "IMDB")
+        ).collect(),
+        key=lambda r: str(r.valid_from),
+    )
+    assert [r.rating for r in matrix_imdb] == ["8.7", "9.0"]
+    assert str(matrix_imdb[0].valid_to).startswith("2024-02")  # closed at T1
+    assert str(matrix_imdb[1].valid_to).startswith("9999")  # open
+    # unchanged movie keeps ONE open version from T0
+    heat = sat.filter(F.col("movie_id") == md5("Heat170")).collect()
+    assert len(heat) == 1 and str(heat[0].valid_from).startswith("2024-01")
+
+    # Mart semantics faithfully follow the reference: data_mart tables
+    # take the INSERT-ONLY path (ddl.py:526,551-556), so the committed
+    # rating_slide still holds the T0 rows for existing movie_ids —
+    # including the NaN-rating quirk (Spark, like PG float ordering,
+    # sorts NaN above every number, so Solo ranks 1 at T0).
+    rs = {r.movie_id: r for r in w.read("data_mart", "rating_slide").collect()}
+    m0 = rs[md5("The Matrix136")]
+    assert m0.current_place == 3 and abs(m0.current_rating - 8.75) < 1e-9
+    # the BUILDER's fresh output sees the T1 snapshot: only the changed
+    # sat row carries valid_from=T1, so Matrix's "current" rating is the
+    # updated IMDB 9.0 alone and every unchanged movie gets NULL attrs
+    from imdb_metacritic_data_warehouse_spark.plans.marts import build_rating_slide
+
+    fresh = {r.movie_id: r for r in build_rating_slide(w).collect()}
+    m1 = fresh[md5("The Matrix136")]
+    assert m1.current_place == 1 and abs(m1.current_rating - 9.0) < 1e-9
+    assert fresh[md5("Heat170")].current_place is None
