@@ -2014,6 +2014,30 @@ def rolling_fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
 
 
+# Unpivot (wide → long): stack() — the inverse of pivot.
+@query(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice))
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice) AS (measure, value)",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round(_dec("value"), 2).cast("double").alias("value"),
+    )
+
+
 # Deterministic hash sampling + train/test split (reproducible dataset
 # curation — membership is a pure function of the row id).
 @query(
