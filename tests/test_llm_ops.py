@@ -203,3 +203,39 @@ def test_deterministic_sampling(spark):
     got = strat.groupBy("cls").count().collect()
     by_cls = {r.cls: r["count"] for r in got}
     assert by_cls["true"] > by_cls["false"]
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """Recall@10 of the approximate ANN paths vs exact brute force on
+    the driver's random-unit-vector corpus (a hard regime: neighbors
+    are weak, cos ≈ 0.2).  Floors sit under the measured values (LSH
+    ≈ 0.68, IVF@2-probe ≈ 0.34) to document the accuracy/cost point
+    without flaking; probing more cells must not lose recall."""
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+
+    def nbrs(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    exact = nbrs(cosine_topk(e, qids, k=10))
+
+    def mean_recall(df):
+        approx = nbrs(df)
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    assert mean_recall(lsh_bucketed_topk(e, qids, k=10)) >= 0.5
+    r2 = mean_recall(ivf_topk(e, qids, k=10, n_probe=2))
+    r8 = mean_recall(ivf_topk(e, qids, k=10, n_probe=8))
+    assert r2 >= 0.2
+    assert r8 >= r2  # more cells probed → recall can only improve
