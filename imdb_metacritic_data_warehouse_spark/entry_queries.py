@@ -726,12 +726,55 @@ def embedding_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
-# LSH-bucketed approximate ANN — the scale path. Bucketing is engine-
-# internal (no portable SQL oracle); driver records a rows-only check.
-@query("ann_lsh_bucketed")
+# LSH-bucketed approximate ANN — the scale path.  The md5-parity
+# hyperplane weights are deterministic plan literals, so the ENTIRE
+# index is SQL-expressible: the oracle inlines the same 32 weight
+# vectors and reproduces bucket assignment, candidate join, and
+# scoring value-for-value.
+def _ann_lsh_oracle(n_planes: int = 4, n_tables: int = 8, dims: int = 64) -> str:
+    from .operators.similarity import _plane_weights
+
+    def sig(t: int) -> str:
+        cases = []
+        for p in range(n_planes):
+            w = "[" + ", ".join(str(x) for x in _plane_weights(t * 1000 + p, dims)) + "]"
+            cases.append(
+                f"CASE WHEN list_dot_product(v, {w}) >= 0 THEN '1' ELSE '0' END"
+            )
+        return "concat(" + ", ".join(cases) + ")"
+
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {sig(t)} AS bucket FROM vecs"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {buckets}
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM b
+      WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+      SELECT DISTINCT q.query_id, b.vec_id,
+             round(list_dot_product(q.qv, b.v), 6) AS score
+      FROM q JOIN b ON q.tbl = b.tbl AND q.bucket = b.bucket
+                    AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@query("ann_lsh_bucketed", _ann_lsh_oracle())
 def ann_lsh_bucketed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(e, [0, 1, 2, 3, 4], k=10)
+    out = lsh_bucketed_topk(e, [0, 1, 2, 3, 4], k=10)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
 # Multimodal: binary content column + typed metadata, hashed JVM-side.
