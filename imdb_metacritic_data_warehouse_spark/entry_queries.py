@@ -492,15 +492,7 @@ from .operators.dedup import (  # noqa: E402
 )
 from .operators.multimodal import attach_media  # noqa: E402
 from .operators.similarity import cosine_topk, lsh_bucketed_topk  # noqa: E402
-from .operators.text import (  # noqa: E402
-    STOPWORDS,
-    TOKEN_REGEX,
-    fingerprint,
-    language_id,
-    quality_score,
-    token_count_bpe,
-    token_count_ws,
-)
+from .operators.text import STOPWORDS, TOKEN_REGEX  # noqa: E402
 
 _NORM_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
