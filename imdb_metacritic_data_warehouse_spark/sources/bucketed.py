@@ -44,3 +44,75 @@ def bucketed_join(
     """Equi-join of two co-bucketed tables — plans with zero Exchange
     on either side when bucket specs match."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+class BucketedVersionedTable:
+    """Versioned table whose versions are BUCKETED catalog tables —
+    the storage layout for big silver tables whose joins should
+    co-locate (e.g. movie_emp_link ⋈ emp_movie_l_sat on the link key).
+
+    Same commit protocol as ``VersionedParquetTable`` (version number in
+    a pointer file, atomic rename) but each version is
+    ``saveAsTable``-written with ``bucketBy(key)``, because bucketing
+    metadata only exists in the catalog — a plain parquet directory
+    cannot carry it.  Readers resolve the pointer and ``spark.table``
+    the versioned name, so an SCD2 merge rewrite keeps the bucket
+    layout on every version, and downstream joins between two tables
+    bucketed on the same key with the same count plan with no shuffle.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        database: str,
+        name: str,
+        bucket_key: str,
+        num_buckets: int = 32,
+        pointer_root: str | None = None,
+    ):
+        import os
+
+        self.spark = spark
+        self.database = database
+        self.name = name
+        self.bucket_key = bucket_key
+        self.num_buckets = num_buckets
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        root = pointer_root or spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        self._pointer = os.path.join(root, f"_{database}_{name}_VERSION")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def _vname(self, v: int) -> str:
+        return f"{self.database}.{self.name}_v{v}"
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"{self.database}.{self.name}: no committed version")
+        return self.spark.table(self._vname(v))
+
+    def write(self, df: DataFrame) -> int:
+        import os
+
+        v = (self.current_version() or 0) + 1
+        write_bucketed(df, self._vname(v), self.bucket_key, self.num_buckets)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)
+        # retain previous version for snapshot readers; drop older
+        old = v - 2
+        if old >= 1:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._vname(old)}")
+        return v

@@ -132,3 +132,52 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE bucket_test CASCADE")
+
+
+def test_bucketed_scd2_tables_join_without_shuffle(spark, tmp_path):
+    """Two SCD2 tables kept in bucketed versioned storage on the same
+    key: the merge rewrite preserves the bucket layout on every new
+    version, and their join needs no Exchange on either side."""
+    from imdb_metacritic_data_warehouse_spark.operators.scd2 import scd2_apply
+    from imdb_metacritic_data_warehouse_spark.sources.bucketed import (
+        BucketedVersionedTable,
+    )
+
+    link = BucketedVersionedTable(
+        spark, "bkt_scd2", "link", "link_id", 8, pointer_root=str(tmp_path)
+    )
+    sat = BucketedVersionedTable(
+        spark, "bkt_scd2", "sat", "link_id", 8, pointer_root=str(tmp_path)
+    )
+    try:
+        b1 = spark.range(200).select(
+            F.md5(F.col("id").cast("string")).alias("link_id"),
+            F.lit("m").alias("mv"),
+        )
+        s1 = spark.range(200).select(
+            F.md5(F.col("id").cast("string")).alias("link_id"),
+            F.lit("actor").alias("role"),
+        )
+        link.write(scd2_apply(None, b1, "link_id", ["mv"], "2024-01-01 00:00:00"))
+        sat.write(scd2_apply(None, s1, "link_id", ["role"], "2024-01-01 00:00:00"))
+        # second batch: changed rows → merge rewrite, still bucketed
+        s2 = s1.withColumn(
+            "role",
+            F.when(F.substring("link_id", 1, 1) == "a", F.lit("writer")).otherwise(
+                F.col("role")
+            ),
+        )
+        sat.write(
+            scd2_apply(sat.read(), s2, "link_id", ["role"], "2024-02-01 00:00:00")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = link.read().join(sat.read(), "link_id")
+            plan = _plan(joined)
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() >= 200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_scd2 CASCADE")
