@@ -23,6 +23,7 @@ from .. import registry
 from ..operators.repair import repair_role_rotation
 from ..operators.scd2 import OPEN_SENTINEL, insert_only_merge, scd2_apply
 from ..sources.bronze import read_bronze
+from ..sources.bucketed import BucketedVersionedTable
 from ..sources.table import VersionedParquetTable
 from . import core as core_builders
 from . import marts as mart_builders
@@ -76,7 +77,24 @@ class Warehouse:
             df = repair_role_rotation(df)
         return df
 
-    def table(self, schema: str, name: str) -> VersionedParquetTable:
+    def table(self, schema: str, name: str):
+        """Physical handle for a registered table.  Layout dispatch is
+        registry-driven: specs with a ``bucket_key`` get bucketed
+        versioned storage (catalog tables, shuffle-free co-located
+        joins); everything else gets plain versioned parquet."""
+        spec = registry.ALL_SPECS.get((schema, name))
+        if spec is not None and spec.bucket_key:
+            import hashlib
+
+            db = "wh_" + hashlib.md5(self.root.encode()).hexdigest()[:10]
+            return BucketedVersionedTable(
+                self.spark,
+                db,
+                f"{schema}_{name}",
+                spec.bucket_key,
+                spec.num_buckets,
+                pointer_root=os.path.join(self.root, schema),
+            )
         return VersionedParquetTable(self.spark, os.path.join(self.root, schema), name)
 
     def read(self, schema: str, name: str) -> DataFrame:

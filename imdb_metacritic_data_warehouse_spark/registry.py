@@ -34,6 +34,12 @@ class TableSpec:
     columns: list[tuple[str, str]]  # (name, spark type) — excl. valid_from/valid_to
     scd2: bool
     builder: str  # function name in plans.core / plans.marts
+    # Physical layout: None → versioned parquet directories; a column
+    # name → BucketedVersionedTable on that key, so every version of
+    # big silver tables sharing a bucket key joins co-located (no
+    # Exchange) — the 100 TB layout for link ⋈ sat chains.
+    bucket_key: str | None = None
+    num_buckets: int = 32
 
     @property
     def attrs(self) -> list[str]:
@@ -41,8 +47,8 @@ class TableSpec:
         return [c for c, _ in self.columns if c != self.pk]
 
 
-def _spec(schema, table, pk, cols, scd2, builder):
-    return TableSpec(schema, table, pk, cols, scd2, builder)
+def _spec(schema, table, pk, cols, scd2, builder, **kw):
+    return TableSpec(schema, table, pk, cols, scd2, builder, **kw)
 
 
 # Column registry mirrors ddl.py:378-444 (types mapped PG→Spark).
@@ -63,13 +69,17 @@ STG_SPECS: list[TableSpec] = [
     _spec("stg", "movie_genre_link", "mv_gen_link_id",
           [("mv_gen_link_id", "string"), ("movie_id", "string"), ("genre_id", "string")],
           True, "build_movie_genre_link"),
+    # The two big SCD2 tables the marts repeatedly join on
+    # movie_emp_link_id: bucket both on that key so the link ⋈ sat
+    # join (employee_data, movie_employee_link) is shuffle-free on
+    # every version the merge writes.
     _spec("stg", "movie_emp_link", "movie_emp_link_id",
           [("movie_emp_link_id", "string"), ("movie_id", "string"), ("emp_id", "string")],
-          True, "build_movie_emp_link"),
+          True, "build_movie_emp_link", bucket_key="movie_emp_link_id"),
     _spec("stg", "emp_movie_l_sat", "movie_emp_role_id",
           [("movie_emp_role_id", "string"), ("movie_emp_link_id", "string"),
            ("description", "string"), ("role", "string")],
-          True, "build_emp_movie_l_sat"),
+          True, "build_emp_movie_l_sat", bucket_key="movie_emp_link_id"),
 ]
 
 MART_SPECS: list[TableSpec] = [

@@ -30,9 +30,16 @@ def write_bucketed(
     bucket_key: str,
     num_buckets: int = 32,
     sort: bool = True,
+    partition_by: list[str] | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table."""
-    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+    ``partition_by`` composes with bucketing (partition dirs, buckets
+    within each) — co-located joins survive it (asserted in
+    tests/test_plan_quality.py)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w = w.bucketBy(num_buckets, bucket_key)
     if sort:
         w = w.sortBy(bucket_key)
     w.saveAsTable(table)
@@ -91,7 +98,11 @@ class BucketedVersionedTable:
             return None
 
     def exists(self) -> bool:
-        return self.current_version() is not None
+        v = self.current_version()
+        # a pointer can outlive the session-scoped catalog (fresh
+        # session over an old warehouse dir): treat that as absent so
+        # the next merge starts clean instead of failing the read
+        return v is not None and self.spark.catalog.tableExists(self._vname(v))
 
     def _vname(self, v: int) -> str:
         return f"{self.database}.{self.name}_v{v}"
@@ -100,13 +111,19 @@ class BucketedVersionedTable:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"{self.database}.{self.name}: no committed version")
-        return self.spark.table(self._vname(v))
+        df = self.spark.table(self._vname(v))
+        # `is_open` is physical layout (partition pruning), not schema
+        return df.drop("is_open") if "is_open" in df.columns else df
 
-    def write(self, df: DataFrame) -> int:
+    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         import os
 
         v = (self.current_version() or 0) + 1
-        write_bucketed(df, self._vname(v), self.bucket_key, self.num_buckets)
+        write_bucketed(
+            df, self._vname(v), self.bucket_key, self.num_buckets,
+            partition_by=partition_by,
+        )
+        os.makedirs(os.path.dirname(self._pointer) or ".", exist_ok=True)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))

@@ -137,6 +137,32 @@ def test_sql_view_surface(wh):
     assert rows[0].movie_name == "The Matrix" and rows[0].n_sources == 2
 
 
+def test_registry_bucketed_layout(wh):
+    """The registry's bucket_key flag routes the big link/sat tables to
+    bucketed versioned storage, and their recurring mart join
+    (movie_emp_link ⋈ emp_movie_l_sat on movie_emp_link_id) plans
+    without an Exchange on either scan."""
+    from imdb_metacritic_data_warehouse_spark.sources.bucketed import (
+        BucketedVersionedTable,
+    )
+
+    assert isinstance(wh.table("stg", "movie_emp_link"), BucketedVersionedTable)
+    assert isinstance(wh.table("stg", "emp_movie_l_sat"), BucketedVersionedTable)
+    assert isinstance(wh.table("stg", "movie_hub"), VersionedParquetTable)
+
+    prev = wh.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        wh.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = wh.read("stg", "movie_emp_link").join(
+            wh.read("stg", "emp_movie_l_sat"), "movie_emp_link_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        wh.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_table_time_travel_and_compaction(spark, tmp_path):
     import os
 
