@@ -47,6 +47,12 @@ HEADLINE = [
     "deterministic_sample_split",
     "scrub_documents",
     "rolling_fingerprint_docs",
+    "neardup_clusters",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "doc_frequency_terms",
+    "grouping_sets_orders",
 ]
 
 

@@ -2196,3 +2196,219 @@ def correlated_agg_threshold(spark, sf_dir):
             F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("below_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup stage 3 — near-dup clustering.  LSH emits candidate PAIRS;
+# keeping one doc per transitive group needs connected components
+# (min-label propagation, operators/dedup.connected_components).  The
+# oracle expresses the same fixpoint as a recursive CTE.
+from .operators.dedup import connected_components  # noqa: E402
+
+
+@query(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_CORPUS_SQL},
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(0, 12),
+          j -> list_min(list_transform(shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    )
+    SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n
+    """,
+)
+def neardup_clusters(spark, sf_dir):
+    pairs = lsh_candidate_pairs(_minhash_corpus(spark, sf_dir), "doc_id", "text")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: selective dimension filter on both sides of a fact
+# join, agg, deterministic top-k.  Exercises filter pushdown through a
+# 3-table join plus a bounded sort (TakeOrderedAndProject, not a global
+# sort) — the plan every "top revenue" dashboard query wants at scale.
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# TPC-H Q6 shape: pure scan + conjunctive predicates + single agg — the
+# canonical predicate-pushdown / row-group-skipping probe.
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# TPC-H Q18 shape: HAVING-filtered agg reused as a semi-join filter on
+# the same fact table (agg → broadcast semi-join, no self-join rescan
+# of orders/customer).
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    )
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.join(big, "l_orderkey", "left_semi"), o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics (document frequency + IDF) — the vocabulary
+# pass every TF-IDF / quality-filter pipeline runs over a crawl.  One
+# explode of per-doc DISTINCT terms, one groupBy(term) shuffle, N from
+# a broadcast 1-row agg.
+@query(
+    "doc_frequency_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      FROM documents
+    ),
+    stats AS (SELECT term, COUNT(*) AS doc_freq FROM tok WHERE length(term) >= 3 GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, doc_freq,
+           round(ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS idf
+    FROM stats, n
+    ORDER BY doc_freq DESC, term
+    LIMIT 50
+    """,
+)
+def doc_frequency_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("term"),
+    ).filter(F.length("term") >= 3)
+    stats = tok.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(50)
+    )
+
+
+# Explicit GROUPING SETS (beyond rollup/cube): the two single-key
+# slices plus the grand total, skipping the full cross combination.
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )

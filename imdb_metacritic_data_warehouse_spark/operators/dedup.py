@@ -209,6 +209,64 @@ def embedding_neardup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Group near-duplicate candidate pairs into clusters — the final
+    stage of large-scale dedup (LSH emits *pairs*; keeping one document
+    per transitive group needs components).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the min label among itself and its neighbors;
+    stop when a round changes nothing.  Rounds = graph diameter, which
+    for near-dup clusters (cliques plus a few bridges) is ~2-3.  Each
+    round is one distributed join+groupBy shuffle on the edge list —
+    never a driver-side graph.  ``localCheckpoint`` truncates lineage
+    per round so the plan doesn't grow with iterations (the classic
+    iterative-algorithm trap at scale).
+
+    Output: (node, cluster) for every node appearing in ``pairs``,
+    cluster = min node id reachable (the canonical keeper).
+    """
+    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("n")).distinct().withColumn(
+        "lbl", F.col("n")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.n)
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.n == nbr_min.s, "left")
+            .select(
+                labels.n,
+                F.least(labels.lbl, F.coalesce(nbr_min.nbr_lbl, labels.lbl)).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.lbl") != F.col("y.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("cluster"))
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

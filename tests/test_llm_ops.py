@@ -239,3 +239,32 @@ def test_ann_recall_floor(spark, sf_dir):
     r8 = mean_recall(ivf_topk(e, qids, k=10, n_probe=8))
     assert r2 >= 0.2
     assert r8 >= r2  # more cells probed → recall can only improve
+
+
+def test_connected_components_clusters(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two components: a 4-node chain (diameter 3 — needs >1 round to
+    # converge) and a disjoint pair; node 9 absent from any pair stays out
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert out == {2: 2, 3: 2, 4: 2, 5: 2, 7: 7, 8: 7}
+
+
+def test_connected_components_merges_bridged_cliques(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two LSH cliques bridged by one pair collapse to one cluster
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (21, 22), (12, 20)],
+        "doc_a long, doc_b long",
+    )
+    out = connected_components(pairs)
+    assert {r.cluster for r in out.collect()} == {10}
+    assert out.count() == 6
