@@ -53,6 +53,7 @@ HEADLINE = [
     "q18_large_orders",
     "doc_frequency_terms",
     "grouping_sets_orders",
+    "ann_ivf_sampled",
 ]
 
 

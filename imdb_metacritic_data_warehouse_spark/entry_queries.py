@@ -2412,3 +2412,51 @@ def grouping_sets_orders(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN with the deterministic sampled quantizer — upgrades the IVF
+# cell/probe machinery from a rows-only check (k-means internals aren't
+# reproducible cross-engine) to a full value-checked oracle.
+from .operators.similarity import ivf_sampled_topk  # noqa: E402
+
+
+@query(
+    "ann_ivf_sampled",
+    """
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM vecs WHERE vec_id < 16),
+    dist AS (
+      SELECT vecs.vec_id, vecs.v, cent.cell,
+             round(list_sum(list_transform(range(1, 65),
+                    i -> (vecs.v[i] - cent.cv[i]) * (vecs.v[i] - cent.cv[i]))), 6) AS d2
+      FROM vecs CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist WHERE vec_id IN (0, 1, 2, 3, 4)
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, round(list_dot_product(p.qv, a.v), 6) AS score
+      FROM probed p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_ivf_sampled(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_sampled_topk(e, [0, 1, 2, 3, 4], k=10)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
+    )

@@ -176,6 +176,79 @@ def ivf_topk(
     )
 
 
+def ivf_sampled_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a *deterministic sampled quantizer*: centroids are
+    the first ``n_lists`` corpus vectors (by id) instead of k-means
+    means.  Identical IVF structure to ``ivf_topk`` — cell assignment
+    by nearest centroid, queries probe ``n_probe`` nearest cells, exact
+    scoring only inside probed cells — but every step is a pure
+    function of the data, so the whole index is SQL-expressible and the
+    driver value-checks it end-to-end (k-means IVF can only be
+    rows-checked; this variant proves the cell/probe machinery).
+
+    Plan shape: centroids broadcast (tiny), assignment = one map-side
+    combined groupBy(vec) over the N×n_lists distance rows, probe
+    routing over |Q|×n_lists rows, candidates bucket-bounded by cell.
+    Distances round to 6 dp before argmin (both engines) so float
+    summation order can't flip a cell choice."""
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cent = vecs.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dist = vecs.join(F.broadcast(cent)).select(
+        "vec_id", "v", "cell", d2.alias("d2")
+    )
+    assigned = dist.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        dist.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell", "d2")
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def _sign_buckets(
     embeddings: DataFrame,
     id_col: str,

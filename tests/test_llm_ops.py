@@ -240,6 +240,15 @@ def test_ann_recall_floor(spark, sf_dir):
     assert r2 >= 0.2
     assert r8 >= r2  # more cells probed → recall can only improve
 
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        ivf_sampled_topk,
+    )
+
+    s2 = mean_recall(ivf_sampled_topk(e, qids, k=10, n_probe=2))
+    s8 = mean_recall(ivf_sampled_topk(e, qids, k=10, n_probe=8))
+    assert s2 >= 0.1  # sampled centroids are a weaker quantizer than k-means
+    assert s8 >= s2
+
 
 def test_connected_components_clusters(spark):
     from imdb_metacritic_data_warehouse_spark.operators.dedup import (

@@ -181,3 +181,55 @@ def test_bucketed_scd2_tables_join_without_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_scd2 CASCADE")
+
+
+def test_q3_bounded_topk_and_pushdown(spark):
+    """Q3 shape: no global sort (TakeOrderedAndProject bounds the top-k)
+    and the selective filters reach all three parquet scans."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # top-k must not globally sort
+    assert "(c_mktsegment" in plan and "= BUILDING" in plan
+    assert "(o_orderdate" in plan and "(l_shipdate" in plan
+
+
+def test_q6_scan_predicates_pushed(spark):
+    """Q6 shape: every predicate is a DataFilter on the one scan; the
+    scan reads only the 4 referenced columns."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"isnotnull({col}" in plan
+    assert "l_orderkey" not in plan  # pruned
+    assert "PushedFilters: [" in plan
+
+
+def test_q18_having_agg_feeds_semi_join(spark):
+    """Q18 shape: the HAVING aggregate becomes the build side of a
+    LeftSemi join on the fact table — no extra shuffle of lineitem
+    beyond the aggregate itself."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q18_large_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_connected_components_lineage_is_bounded(spark):
+    """Iterative min-label propagation must checkpoint per round: the
+    final plan depends on the checkpointed RDD, not on a join tree that
+    grows with iteration count."""
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )  # a path graph: worst-case diameter for label propagation
+    out = connected_components(pairs)
+    plan = _plan(out)
+    assert "Scan ExistingRDD" in plan  # checkpoint cut the lineage
+    assert plan.count("Join") <= 1
+    assert {r.cluster for r in out.collect()} == {1}

@@ -39,6 +39,25 @@ def test_json_roundtrip(spark, tmp_path):
     assert back.collect() == df.collect()
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.sources.connectors import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_orc(df, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc"))
+    assert back.count() == 100
+    filtered = back.filter(F.col("k") > 90).select("k")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # ORC scans get the same pushdown/pruning treatment as parquet
+    assert "PushedFilters" in plan and "GreaterThan(k" in plan
+    assert filtered.count() == 9
+
+
 def test_jdbc_fails_cleanly_without_driver(spark):
     with pytest.raises(Exception):
         read_jdbc(spark, "jdbc:postgresql://localhost/x", "t").collect()
