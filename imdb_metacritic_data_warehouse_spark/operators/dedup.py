@@ -240,6 +240,10 @@ def connected_components(
     labels = edges.select(F.col("s").alias("n")).distinct().withColumn(
         "lbl", F.col("n")
     ).localCheckpoint(eager=True)
+    # labels only ever decrease under min-propagation, so Σlbl strictly
+    # decreases until the fixpoint: a stable sum IS convergence.  One
+    # cheap aggregate per round instead of a join-based diff.
+    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.d == labels.n)
@@ -254,16 +258,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("x")
-            .join(labels.alias("y"), "n")
-            .filter(F.col("x.lbl") != F.col("y.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("cluster"))
 
 

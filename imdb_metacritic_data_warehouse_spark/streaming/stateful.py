@@ -70,3 +70,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark ≥4.0) — the successor API: named
+# state variables on a handle instead of one opaque tuple, usable for
+# quota/rate-limit operators a crawl-ingest pipeline runs per source.
+
+QUOTA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def quota_filter(events: DataFrame, quota: int = 2) -> DataFrame:
+    """Admit at most ``quota`` events per key across the whole stream,
+    tagging each admitted event with its per-key sequence number.
+
+    The streaming form of "cap documents per source/domain" in a
+    training-data ingest.  State is one counter per key (ValueState),
+    partitioned by the grouping key; per-batch input arrives as Arrow
+    batches, sorted here by event_id for deterministic admission.
+
+    Environment gate: transformWithStateInPandas speaks protobuf to the
+    JVM state server; containers without the ``protobuf`` wheel crash
+    the streaming Python runner at query start (the operator itself
+    constructs fine).  The test suite skips accordingly;
+    ``applyInPandasWithState`` (``running_user_totals`` above) is the
+    dependency-free fallback with equivalent semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class QuotaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n_admitted", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            got = self._n.get()
+            n = got[0] if got is not None else 0
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values("event_id")
+            take = batch.head(max(quota - n, 0))
+            if len(take):
+                yield pd.DataFrame(
+                    {
+                        "user_id": take["user_id"],
+                        "event_id": take["event_id"],
+                        "seq": range(n + 1, n + 1 + len(take)),
+                    }
+                )
+            self._n.update((n + len(take),))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=QuotaProcessor(),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -294,3 +294,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
     w10 = by_window["2024-01-01 10:00:00"]
     assert w10.n == 2 and w10.sum_value == 3.0  # late event 4 excluded
     assert "2024-01-01 14:00:00" not in by_window  # not finalized yet
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf wheel for its "
+    "state-server protocol; not shipped in this container",
+)
+def test_quota_filter_transform_with_state(spark, event_stream_dir):
+    """transformWithStateInPandas (Spark 4 stateful API): at most 2
+    events admitted per user, tagged with per-key sequence numbers."""
+    from imdb_metacritic_data_warehouse_spark.streaming.stateful import quota_filter
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_stream_dir)
+    q = (
+        quota_filter(src, quota=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM quota_out").collect()
+    finally:
+        q.stop()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.seq))
+    # user 1 has 3 events; only the 2 lowest event_ids admitted
+    assert sorted(by_user[1]) == [(1, 1), (2, 2)]
+    # user 2's duplicate rows both count toward the quota
+    assert sorted(by_user[2]) == [(4, 1), (4, 2)]
