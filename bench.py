@@ -54,6 +54,7 @@ HEADLINE = [
     "doc_frequency_terms",
     "grouping_sets_orders",
     "ann_ivf_sampled",
+    "quality_quantile_filter",
 ]
 
 

@@ -2460,3 +2460,61 @@ def ann_ivf_sampled(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-quantile corpus filter — the "drop the worst quartile per
+# language" pass of a training-data pipeline: score every doc
+# (JVM-side, one scan), learn the per-language p25 cutoff (exact
+# interpolated percentile), keep docs strictly above it.  Cutoffs and
+# scores round to 6 dp on both engines before comparison so the
+# boundary is engine-stable.
+_QUALITY_SQL = f"""round(
+             0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
+             + 0.3 * (1.0 - CASE WHEN strlen(text) > 0
+                 THEN (strlen(text) - strlen(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(strlen(text) AS DOUBLE)
+                 ELSE 0.0 END)
+             + 0.3 * least(1.0, 5.0 * CASE WHEN len(string_split(lower(text), ' ')) > 0
+                 THEN CAST({_lang_hits_sql("en")} AS DOUBLE) / len(string_split(lower(text), ' '))
+                 ELSE 0.0 END),
+             6)"""
+
+
+@query(
+    "quality_quantile_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS q FROM documents
+    ),
+    cuts AS (
+      SELECT lang, round(quantile_cont(q, 0.25), 6) AS cut
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang, COUNT(*) AS n_kept,
+           round(AVG(s.q), 6) AS avg_quality,
+           ANY_VALUE(c.cut) AS cutoff
+    FROM scored s JOIN cuts c ON s.lang = c.lang
+    WHERE s.q > c.cut
+    GROUP BY s.lang
+    """,
+)
+def quality_quantile_filter(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile(F.col("q"), F.lit(0.25)), 6).alias("cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("q") > F.col("cut"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.any_value("cut").alias("cutoff"),
+        )
+    )

@@ -237,9 +237,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("s").alias("n")).distinct().withColumn(
-        "lbl", F.col("n")
-    ).localCheckpoint(eager=True)
+    # round 0 fused into init: with identity labels, the first
+    # propagation is just min(least(n, neighbor)) — one aggregate over
+    # the edge list, no join.  Cliques converge here immediately.
+    labels = (
+        edges.groupBy(F.col("s").alias("n"))
+        .agg(F.min(F.least(F.col("s"), F.col("d"))).alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
     # labels only ever decrease under min-propagation, so Σlbl strictly
     # decreases until the fixpoint: a stable sum IS convergence.  One
     # cheap aggregate per round instead of a join-based diff.
