@@ -55,6 +55,8 @@ HEADLINE = [
     "grouping_sets_orders",
     "ann_ivf_sampled",
     "quality_quantile_filter",
+    "profile_lineitem_numeric",
+    "histogram_extendedprice",
 ]
 
 

@@ -2518,3 +2518,56 @@ def quality_quantile_filter(spark, sf_dir):
             F.any_value("cut").alias("cutoff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling — per-column stats in ONE scan (wide agg → stack) and
+# an equi-width histogram with broadcast min/max.
+from .operators.profile import fixed_histogram, profile_numeric  # noqa: E402
+
+
+@query(
+    "profile_lineitem_numeric",
+    """
+    SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           round(MIN(CAST(l_quantity AS DOUBLE)), 6) AS min_v,
+           round(MAX(CAST(l_quantity AS DOUBLE)), 6) AS max_v,
+           round(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+           round(MIN(CAST(l_discount AS DOUBLE)), 6),
+           round(MAX(CAST(l_discount AS DOUBLE)), 6),
+           round(AVG(CAST(l_discount AS DOUBLE)), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(l_tax), COUNT(DISTINCT l_tax),
+           round(MIN(CAST(l_tax AS DOUBLE)), 6),
+           round(MAX(CAST(l_tax AS DOUBLE)), 6),
+           round(AVG(CAST(l_tax AS DOUBLE)), 6)
+    FROM lineitem
+    """,
+)
+def profile_lineitem_numeric(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_discount", "l_tax"])
+
+
+@query(
+    "histogram_extendedprice",
+    """
+    WITH mm AS (
+      SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n FROM (
+      SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 10)) AS INTEGER), 9) AS bucket
+      FROM lineitem, mm
+    ) GROUP BY bucket
+    """,
+)
+def histogram_extendedprice(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return fixed_histogram(li, "l_extendedprice", bins=10)

@@ -277,3 +277,29 @@ def test_connected_components_merges_bridged_cliques(spark):
     out = connected_components(pairs)
     assert {r.cluster for r in out.collect()} == {10}
     assert out.count() == 6
+
+
+def test_profile_and_histogram(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.profile import (
+        fixed_histogram,
+        profile_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (None, 30.0), (2.0, 40.0)], "a double, b double"
+    )
+    prof = {r.col: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert prof["a"].n == 4 and prof["a"].n_nonnull == 3 and prof["a"].n_distinct == 2
+    assert prof["a"].min_v == 1.0 and prof["a"].max_v == 2.0
+    assert prof["b"].avg_v == 25.0
+    # single scan: the plan contains exactly one parquet/LocalTableScan leaf
+    plan = profile_numeric(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("LocalTableScan")
+        + plan.count("Scan parquet")
+        + plan.count("Scan ExistingRDD")
+        == 1
+    )
+
+    hist = {r.bucket: r.n for r in fixed_histogram(df, "b", bins=3).collect()}
+    assert hist == {0: 1, 1: 1, 2: 2}  # max folds into last bucket
