@@ -120,13 +120,18 @@ def build_genre_metrics(wh) -> DataFrame:
     )
 
 
-def _rating_snapshot(wh, snapshot_filter) -> DataFrame:
+def _rating_snapshot(wh, snapshot_filter, with_rank: bool = True) -> DataFrame:
     """Shared shape of rating_slide's temp1/temp2: hub ⋈ sat (sat rows
     restricted by ``snapshot_filter`` on valid_from), avg rating per
     movie, global rank by (rating desc, duration desc).  The reference's
     ORDER BY leaves rating/duration ties in arbitrary heap order
     (``mart/rating_slide.sql:7``); we append movie_id as a final key so
-    places are deterministic across runs — documented divergence."""
+    places are deterministic across runs — documented divergence.
+
+    ``with_rank=False`` skips the global ranking: temp2's rank is
+    computed-then-discarded in the reference (SURVEY.md §2.12), and only
+    row membership survives the full outer join — at scale the discarded
+    rank is a whole range-exchange + window we can elide."""
     mh = wh.read("stg", "movie_hub")
     mis = snapshot_filter(wh.read("stg", "movie_info_sat"))
     grouped = (
@@ -134,6 +139,8 @@ def _rating_snapshot(wh, snapshot_filter) -> DataFrame:
         .groupBy("movie_nm", "movie_duration", "movie_id")
         .agg(F.avg(F.col("rating").cast("double")).alias("rating"))
     )
+    if not with_rank:
+        return grouped
     return global_row_number(
         grouped,
         [
@@ -153,7 +160,11 @@ def build_rating_slide(wh) -> DataFrame:
     snapshot — is preserved (SURVEY.md §2.12)."""
     t1 = _rating_snapshot(wh, lambda df: filter_latest(df, "valid_from")).alias("t1")
     t2 = (
-        _rating_snapshot(wh, lambda df: filter_top_snapshots(df, "valid_from", k=2))
+        _rating_snapshot(
+            wh,
+            lambda df: filter_top_snapshots(df, "valid_from", k=2),
+            with_rank=False,
+        )
         .select("movie_id")
         .alias("t2")
     )
