@@ -231,9 +231,21 @@ def connected_components(
     Output: (node, cluster) for every node appearing in ``pairs``,
     cluster = min node id reachable (the canonical keeper).
     """
-    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Both edge directions from ONE pass over ``pairs``: a union of
+    # (s,d) and (d,s) branches would execute the candidate-pair
+    # pipeline twice (no cross-branch CSE in Catalyst — measured 2× on
+    # the LSH input at sf0.1); explode duplicates rows inside a single
+    # scan instead.
     edges = (
-        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .localCheckpoint(eager=True)
     )
