@@ -57,6 +57,8 @@ HEADLINE = [
     "quality_quantile_filter",
     "profile_lineitem_numeric",
     "histogram_extendedprice",
+    "q21_waiting_suppliers",
+    "q16_supplier_count_distinct",
 ]
 
 

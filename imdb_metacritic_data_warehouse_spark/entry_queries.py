@@ -2934,6 +2934,280 @@ def topk_per_group_brand(spark, sf_dir):
 
 
 # ===========================================================================
+# Correlated-existence and share-of-total shapes (TPC-H Q4/Q21/Q22/
+# Q16/Q8/Q11 adapted to the driver's columns — the testdata has no
+# partsupp/l_commitdate/c_phone, so lateness is l_shipdate vs
+# o_orderdate and market segments play Q22's country codes).  New
+# operator families vs the rest of the surface: correlated EXISTS on a
+# non-key predicate, EXISTS + NOT EXISTS self-joins with an inequality
+# correlate, NOT-IN uncorrelated subquery feeding COUNT(DISTINCT), and
+# group-share-of-global-scalar thresholds.
+# ===========================================================================
+
+
+# TPC-H Q4 shape: correlated EXISTS — count orders having at least one
+# "late" line (shipped >60 days after order date), by priority.  The
+# EXISTS decorrelates to a left-semi join on the fact.
+@query(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins with an inequality
+# correlate — suppliers who were the ONLY late shipper on a
+# multi-supplier order.  Decorrelation: one left-semi (another supplier
+# exists on the order) + one left-anti (no OTHER supplier was late).
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    def late():
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        return li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        ).select("l_orderkey", "l_suppkey")
+
+    s = _t(spark, sf_dir, "supplier")
+    l1 = late()
+    l2 = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late().select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    alone = cand.join(
+        l3, (cand.l_orderkey == l3.o3) & (cand.l_suppkey != l3.s3), "left_anti"
+    )
+    return (
+        alone.join(F.broadcast(s), alone.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# TPC-H Q22 shape: NOT EXISTS anti-join + uncorrelated scalar-average
+# filter — rich customers (balance above the positive-balance mean)
+# with no RECENT order (none since 1997-06-01), rolled up by market
+# segment.  "Never ordered" is empty at every SF of this testdata, so
+# the dormancy cutoff keeps the anti-join result non-trivial.
+@query(
+    "q22_dormant_rich_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_dormant_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-06-01")
+    avg_bal = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(_dec("c_acctbal")).alias("__avg"))
+    )
+    rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("__avg")).drop("__avg")
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# TPC-H Q16 shape: NOT-IN uncorrelated subquery (→ left-anti; the
+# blacklist key is non-null so PG/Spark NOT-IN null traps don't differ)
+# feeding COUNT(DISTINCT) per group.
+@query(
+    "q16_supplier_count_distinct",
+    """
+    SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand
+    ORDER BY supplier_cnt DESC, p_brand
+    """,
+)
+def q16_supplier_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand")
+    )
+
+
+# TPC-H Q8 shape: market share — a conditional aggregate divided by the
+# group total, per year.  Both sums are exact DECIMAL; the ratio is
+# taken in DOUBLE on identical inputs so both engines emit the same
+# bits.
+@query(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year, n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY year(o_orderdate), n_name
+    )
+    SELECT o_year,
+           CAST(ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"), "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+                "volume"
+            )
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# TPC-H Q11 shape: group aggregate kept only when it exceeds a fraction
+# of the GLOBAL total — the share-of-total threshold every "important
+# stock" / top-contributor report runs.  The total is a broadcast 1-row
+# aggregate, not a driver collect.
+@query(
+    "q11_important_suppliers",
+    """
+    WITH sup_val AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(ROUND(val, 2) AS DOUBLE) AS value
+    FROM sup_val
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.0011 FROM sup_val)
+    ORDER BY value DESC, l_suppkey
+    """,
+)
+def q11_important_suppliers(spark, sf_dir):
+    def sup_val():
+        return (
+            _t(spark, sf_dir, "lineitem")
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+                    "val"
+                )
+            )
+        )
+
+    sv = sup_val()
+    thr = sup_val().agg((F.sum("val").cast("double") * F.lit(0.0011)).alias("__thr"))
+    return (
+        sv.join(F.broadcast(thr), sv.val.cast("double") > F.col("__thr"))
+        .select(
+            "l_suppkey",
+            F.round("val", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+# ===========================================================================
 # Registration-order curation.
 #
 # The round-1 driver record (CORRECTNESS_r01.json) contains EXACTLY the

@@ -233,3 +233,35 @@ def test_connected_components_lineage_is_bounded(spark):
     assert "Scan ExistingRDD" in plan  # checkpoint cut the lineage
     assert plan.count("Join") <= 1
     assert {r.cluster for r in out.collect()} == {1}
+
+
+def test_q21_decorrelates_to_semi_and_anti_joins(spark):
+    """Q21's EXISTS / NOT EXISTS self-correlates must plan as one
+    left-semi + one left-anti equi-join on l_orderkey — never a
+    cartesian/broadcast-nested-loop over the fact."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q21_waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_broadcasts_blacklist(spark):
+    """The NOT-IN supplier blacklist is dimension-sized: the anti-join
+    must broadcast it rather than shuffling the fact."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q16_supplier_count_distinct"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    """The share-of-total threshold joins as a broadcast one-row
+    aggregate — no driver collect, no cartesian blow-up."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q11_important_suppliers"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
