@@ -816,7 +816,7 @@ def multimodal_metadata(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+           CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -2635,8 +2635,8 @@ def histogram_extendedprice(spark, sf_dir):
     "q12_priority_case_agg",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus

@@ -40,6 +40,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
+    # The driver's value-hash is dtype-sensitive across the int/float
+    # divide (round-1 evidence: int64-vs-float64 simhash FAILED while
+    # int32-vs-int64 and ns-vs-us datetimes passed).  DuckDB returns
+    # HUGEINT sums as float64 — flag any int↔float pairing that is not
+    # explained by NULLs forcing both sides wide.
+    for c in spark_pdf.columns:
+        sa, da = spark_pdf[c].dtype, duck_pdf[c].dtype
+        s_int = np.issubdtype(sa, np.integer)
+        d_int = np.issubdtype(da, np.integer)
+        s_flt = np.issubdtype(sa, np.floating)
+        d_flt = np.issubdtype(da, np.floating)
+        if (s_int and d_flt and not duck_pdf[c].isna().any()) or (
+            s_flt and d_int and not spark_pdf[c].isna().any()
+        ):
+            problems.append(
+                f"dtype drift col={c}: spark={sa} duck={da} (int↔float kills the "
+                f"driver's value-hash; CAST the oracle aggregate to BIGINT/DOUBLE)"
+            )
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return problems
