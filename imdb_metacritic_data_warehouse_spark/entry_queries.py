@@ -3207,6 +3207,54 @@ def q11_important_suppliers(spark, sf_dir):
     )
 
 
+# Incremental mart maintenance: the mart is kept as MERGEABLE partial
+# state (sum/count/min/max) and each new batch folds in with one
+# delta-scan + one mart-key shuffle — never a rescan of history (the
+# reference re-materializes every mart from a full core-layer scan per
+# run, ddl.py:521,559-570; at 100 TB that is the difference between a
+# refresh bounded by the delta and one bounded by the corpus).  The
+# oracle IS the correctness contract: merge(state(≤1996), delta(1997+))
+# must equal a full recompute over all orders, value-for-value.
+@query(
+    "incremental_mart_merge",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_mart_merge(spark, sf_dir):
+    from .operators.incremental import incremental_refresh
+
+    spec = {
+        "n_orders": ("sum", F.lit(1).cast("long")),
+        "sum_price": ("sum", _dec("o_totalprice")),
+        "min_price": ("min", F.col("o_totalprice")),
+        "max_price": ("max", F.col("o_totalprice")),
+    }
+    keys = ["o_orderpriority"]
+    batch1 = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    delta = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    state = incremental_refresh(None, batch1, keys, spec)
+    merged = incremental_refresh(state, delta, keys, spec)
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").alias("n_orders"),
+        F.round(F.col("sum_price"), 2).cast("double").alias("total_price"),
+        F.round(F.col("sum_price").cast("double") / F.col("n_orders"), 6)
+        .cast("double")
+        .alias("avg_price"),
+        "min_price",
+        "max_price",
+    ).orderBy("o_orderpriority")
+
+
 # ===========================================================================
 # Registration-order curation.
 #
@@ -3218,8 +3266,10 @@ def q11_important_suppliers(spark, sf_dir):
 # scalar-parsing parity, sampling, quality filtering).  Micro-queries
 # whose operator family is ALSO value-checked inside a pipeline_* oracle
 # (anti_join_new_keys ⊂ insert_only_merge_customers; full_outer_snapshots,
-# expression_join, composite_key_join, union_all_counts ⊂ pipeline_*)
-# and the rows-only approx_sketches follow after the prefix; every entry
+# expression_join, composite_key_join, union_all_counts ⊂ pipeline_*),
+# the rows-only approx_sketches, and the hash-bucket family's second
+# representative (deterministic_sample_split shares its content-hash
+# machinery with dedup_exact_docs) follow after the prefix; every entry
 # remains locally verified by tools/check_oracle.py regardless of order.
 # ===========================================================================
 
@@ -3276,7 +3326,7 @@ _PRIORITY_PREFIX = [
     "ann_lsh_bucketed",
     "multimodal_metadata",
     "rolling_fingerprint_docs",
-    "deterministic_sample_split",
+    "incremental_mart_merge",
     "quality_quantile_filter",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
