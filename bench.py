@@ -59,6 +59,8 @@ HEADLINE = [
     "histogram_extendedprice",
     "q21_waiting_suppliers",
     "q16_supplier_count_distinct",
+    "q2_cheapest_supplier",
+    "incremental_mart_merge",
 ]
 
 

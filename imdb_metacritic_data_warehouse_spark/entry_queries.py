@@ -3207,6 +3207,62 @@ def q11_important_suppliers(spark, sf_dir):
     )
 
 
+# TPC-H Q2 shape: join back on a per-group MINIMUM — "the cheapest
+# supplier(s) per part".  Unlike argmax (max_by keeps ONE row), the
+# min-cost join keeps every supplier tied at the minimum, which is why
+# the decorrelation is a groupBy + equality join rather than an
+# aggregate.  Unit cost stays in DOUBLE end-to-end: both engines do
+# IEEE division on the same stored doubles, so the min and the
+# equality against it are bit-identical (a DECIMAL division would hit
+# engine-specific scale rules).
+@query(
+    "q2_cheapest_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS best_cost FROM cost GROUP BY l_partkey)
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(ROUND(c.unit_cost, 6) AS DOUBLE) AS unit_cost
+    FROM part
+    JOIN best ON p_partkey = best.l_partkey
+    JOIN cost c ON c.l_partkey = best.l_partkey AND c.unit_cost = best.best_cost
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size <= 3
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_cheapest_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    winners = cost.join(
+        best, (cost.l_partkey == best.bk) & (cost.unit_cost == best.best_cost)
+    )
+    return (
+        winners.join(F.broadcast(p), winners.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), winners.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).cast("double").alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
 # Incremental mart maintenance: the mart is kept as MERGEABLE partial
 # state (sum/count/min/max) and each new batch folds in with one
 # delta-scan + one mart-key shuffle — never a rescan of history (the

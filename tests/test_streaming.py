@@ -335,3 +335,64 @@ def test_quota_filter_transform_with_state(spark, event_stream_dir):
     assert sorted(by_user[1]) == [(1, 1), (2, 2)]
     # user 2's duplicate rows both count toward the quota
     assert sorted(by_user[2]) == [(4, 1), (4, 2)]
+
+
+def test_streaming_incremental_mart_refresh(spark, tmp_path):
+    """readStream → foreachBatch incremental_refresh → versioned mart
+    state.  The streaming mart must equal a full batch recompute over
+    everything ingested — the same mergeable-state contract as
+    tests/test_incremental.py, now maintained per micro-batch (refresh
+    cost bounded by the epoch's delta, not the accumulated history)."""
+    from imdb_metacritic_data_warehouse_spark.operators.incremental import (
+        incremental_refresh,
+        partial_state,
+    )
+    from imdb_metacritic_data_warehouse_spark.sources.table import (
+        VersionedParquetTable,
+    )
+
+    def spec():
+        return {
+            "n": ("sum", F.lit(1).cast("long")),
+            "total": ("sum", F.col("amount").cast("decimal(18,4)")),
+            "mx": ("max", F.col("amount")),
+        }
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tab = VersionedParquetTable(spark, str(tmp_path / "tables"), "sales_mart")
+
+    def sink(batch_df, epoch_id):
+        state = tab.read() if tab.exists() else None
+        tab.write(incremental_refresh(state, batch_df, ["seg"], spec()))
+
+    all_rows = []
+
+    def run_batch(rows, fname):
+        all_rows.extend(rows)
+        df = spark.createDataFrame(rows, "seg string, amount double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src_dir / fname))
+        stream = spark.readStream.schema("seg string, amount double").parquet(
+            str(src_dir / fname)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{fname}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("A", 10.0), ("A", 5.0), ("B", 7.0)], "b1")
+    run_batch([("A", 1.0), ("C", 2.0)], "b2")
+    run_batch([("B", 100.0)], "b3")
+
+    got = {
+        r.seg: (r.n, float(r.total), r.mx)
+        for r in tab.read().collect()
+    }
+    full = partial_state(
+        spark.createDataFrame(all_rows, "seg string, amount double"), ["seg"], spec()
+    )
+    want = {r.seg: (r.n, float(r.total), r.mx) for r in full.collect()}
+    assert got == want
