@@ -828,6 +828,34 @@ def events_json_stats(spark, sf_dir):
     )
 
 
+# Spark 4 VARIANT path for the same extraction: props parses ONCE into
+# the binary-encoded VARIANT type, fields project via variant_get — at
+# scale this beats re-tokenizing the JSON string per field access
+# (get_json_object above), and it is the idiomatic Spark-4 answer for
+# semi-structured columns.  Same aggregate contract as
+# events_json_stats, so the oracle doubles as an equivalence check
+# between the two extraction paths.
+@query(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           CAST(MIN(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+           CAST(MAX(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+           CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_stats(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    staged = e.select("event_type", k.alias("__k"))
+    return staged.groupBy("event_type").agg(
+        F.min("__k").alias("min_k"),
+        F.max("__k").alias("max_k"),
+        F.sum("__k").alias("sum_k"),
+    )
+
+
 # Streaming-shaped windows, batch-checked (streaming/ has the readStream
 # twins; semantics identical per Structured Streaming's model).
 @query(
@@ -3204,6 +3232,61 @@ def q11_important_suppliers(spark, sf_dir):
             F.round("val", 2).cast("double").alias("value"),
         )
         .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+# The end-product of the dedup chain: the CLEANED corpus.  LSH pairs →
+# connected components → drop every non-canonical cluster member
+# (keep the min-id representative) → anti-join the survivors.  This is
+# the operator a training-data pipeline actually materializes; the
+# pieces are each checked above, this checks their composition.
+@query(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_MINHASH_CORPUS_SQL},
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(0, 12),
+          j -> list_min(list_transform(shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    clusters AS (SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n)
+    SELECT c.doc_id, length(c.text) AS n_chars
+    FROM corpus c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM clusters cl WHERE cl.node = c.doc_id AND cl.node <> cl.cluster
+    )
+    ORDER BY c.doc_id
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "text")
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select("node")
+    return (
+        corpus.join(F.broadcast(losers), corpus.doc_id == F.col("node"), "left_anti")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
     )
 
 
