@@ -828,6 +828,49 @@ def events_json_stats(spark, sf_dir):
     )
 
 
+# Salted JOIN on a pathologically skewed key: event_type has 5 values,
+# so a shuffle join funnels each type through one task.  salted_join
+# appends pmod(hash(event_id), S) to the fact's key and replicates the
+# dim S×, splitting every hot key S ways — AQE's skew splitting
+# post-hoc fixes what it detects; salting is the layout guarantee when
+# the skew is known (SCALE.md).  Result must be bit-identical to the
+# unsalted join — which is exactly what the oracle (a plain join)
+# checks.
+@query(
+    "salted_join_events",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type, md5(event_type) AS type_code FROM events
+    )
+    SELECT type_code,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY type_code
+    ORDER BY type_code
+    """,
+)
+def salted_join_events(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    e = _events(spark, sf_dir)
+    dim = (
+        _events(spark, sf_dir)
+        .select("event_type")
+        .distinct()
+        .withColumn("type_code", F.md5("event_type"))
+    )
+    joined = salted_join(e, dim, ["event_type"], salt_col="event_id", salt_buckets=16)
+    return (
+        joined.groupBy("type_code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("type_code")
+    )
+
+
 # Spark 4 VARIANT path for the same extraction: props parses ONCE into
 # the binary-encoded VARIANT type, fields project via variant_get — at
 # scale this beats re-tokenizing the JSON string per field access

@@ -50,3 +50,40 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in final_aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    salt_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-split equi-join: big skewed ``fact`` ⋈ replicated ``dim``.
+
+    AQE splits skewed SHUFFLE partitions after the fact; salting fixes
+    the layout up front and is the only option when the engine must
+    guarantee bounded task size (or when AQE's split heuristics miss —
+    e.g. one key = 30% of the fact).  Rewrite:
+
+      fact side: salt = pmod(hash(salt_col), S) — appends the salt to
+                 the join key, splitting each hot key S ways;
+      dim side:  every row replicated S times, once per salt value
+                 (posexplode of a literal range — dim grows S×, which
+                 is why this is for big⋈SMALLISH-but-not-broadcastable
+                 or hot-key-heavy shapes).
+
+    Join on (keys + salt); the salt column never escapes.  Semantics
+    identical to ``fact.join(dim, keys, how)`` for inner/left joins
+    because every fact row finds exactly its one salted dim copy.
+    Deterministic: salt comes from a data column, not rand().
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = ",".join(str(i) for i in range(salt_buckets))
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_col)), F.lit(salt_buckets))
+    )
+    dim_s = dim.withColumn("__salt", F.explode(F.expr(f"array({salts})")))
+    return fact_s.join(dim_s, [*keys, "__salt"], how).drop("__salt")

@@ -265,3 +265,26 @@ def test_q11_threshold_is_broadcast_scalar(spark):
     plan = _plan(QUERIES["q11_important_suppliers"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_splits_hot_keys(spark):
+    """With broadcast disabled (the big-big case salting exists for),
+    the join must be a shuffle join keyed on (event_type, __salt) —
+    each hot key spread over salt_buckets reducers — and the dim side
+    must carry the salt-replicating explode."""
+    from imdb_metacritic_data_warehouse_spark.operators.skew import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        dim = e.select("event_type").distinct().withColumn(
+            "code", F.md5("event_type")
+        )
+        joined = salted_join(e, dim, ["event_type"], salt_col="event_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "__salt" in plan
+        assert "Generate explode" in plan or "explode" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
