@@ -288,3 +288,31 @@ def test_salted_join_splits_hot_keys(spark):
         assert "Generate explode" in plan or "explode" in plan.lower()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Silver/gold tables partitioned by a query key (SCALE.md layout)
+    must get runtime partition pruning when joined against a filtered
+    dimension: the fact scan's partition filters carry a dynamicpruning
+    subquery instead of reading every partition."""
+    fact_path = str(tmp_path / "orders_part")
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .write.partitionBy("o_orderstatus")
+        .mode("overwrite")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    # the dim filter is on a NON-join column, so the surviving join-key
+    # values are unknowable statically — only runtime pruning can skip
+    # fact partitions (a literal filter on the key itself would be
+    # propagated by static constraint propagation instead)
+    dim = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderstatus")
+        .distinct()
+    )
+    joined = fact.join(dim, "o_orderstatus").groupBy("o_orderstatus").count()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower()
