@@ -3448,7 +3448,8 @@ def incremental_mart_merge(spark, sf_dir):
 # scalar-parsing parity, sampling, quality filtering).  Micro-queries
 # whose operator family is ALSO value-checked inside a pipeline_* oracle
 # (anti_join_new_keys ⊂ insert_only_merge_customers; full_outer_snapshots,
-# expression_join, composite_key_join, union_all_counts ⊂ pipeline_*),
+# expression_join, composite_key_join, union_all_counts,
+# latest_snapshot_filter ⊂ pipeline_*),
 # the rows-only approx_sketches, and the hash-bucket family's second
 # representative (deterministic_sample_split shares its content-hash
 # machinery with dedup_exact_docs) follow after the prefix; every entry
@@ -3462,7 +3463,7 @@ _PRIORITY_PREFIX = [
     "hash_key_generation",
     "union_distinct",
     "rotation_repair",
-    "latest_snapshot_filter",
+    "salted_join_events",
     "top2_snapshots_filter",
     "argmax_per_group",
     "global_rank_leaderboard",
