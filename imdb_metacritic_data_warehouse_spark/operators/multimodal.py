@@ -127,3 +127,90 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for a codec-free format: binary PPM (P6).
+#
+# The container has no PIL/ffmpeg, so compressed formats stay stubbed
+# (``decode_image`` above) — but P6 PPM is a pure header + raw RGB
+# layout that numpy decodes by itself, which makes the WHOLE pipeline
+# (binary column → Arrow batch → decode → per-image features) real for
+# at least one format instead of a fake end to end.
+# ---------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w, c = a.shape
+    assert c == 3, "PPM P6 is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(content: bytes):
+    """Binary PPM (P6) bytes → (width, height, (h,w,3) uint8 array).
+    Handles whitespace and ``#`` comments in the header per the spec."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(content[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    arr = np.frombuffer(content, dtype=np.uint8, offset=i, count=w * h * 3)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image dimensions + channel means via REAL PPM decode,
+    Arrow-batched: each ``mapInPandas`` batch decodes whole columns of
+    binary payloads Python-side exactly once.  Rows whose payload is
+    not valid P6 yield NULL stats (bad media never kills the batch —
+    the permissive-read discipline every large media corpus needs)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                    "mean_r": [], "mean_g": [], "mean_b": []}
+            for content in pdf["content"]:
+                try:
+                    w, h, arr = decode_ppm(bytes(content))
+                    means = arr.reshape(-1, 3).mean(axis=0)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(float(means[0]))
+                    rows["mean_g"].append(float(means[1]))
+                    rows["mean_b"].append(float(means[2]))
+                except (ValueError, IndexError):
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_r"].append(None)
+                    rows["mean_g"].append(None)
+                    rows["mean_b"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "content").mapInPandas(
+        op, schema=IMAGE_STATS_SCHEMA
+    )

@@ -303,3 +303,46 @@ def test_profile_and_histogram(spark):
 
     hist = {r.bucket: r.n for r in fixed_histogram(df, "b", bins=3).collect()}
     assert hist == {0: 1, 1: 1, 2: 2}  # max folds into last bucket
+
+
+def test_ppm_roundtrip_and_image_stats(spark):
+    """REAL image decode (binary PPM, pure numpy — no codec libs):
+    encode known gradients, run the Arrow-batched decoder, check
+    dimensions and channel means against numpy; a corrupt payload
+    yields NULL stats instead of failing the batch."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        image_stats,
+    )
+
+    imgs = []
+    for doc_id, (h, w) in enumerate([(4, 6), (3, 3), (8, 2)]):
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        arr[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 10  # R gradient
+        arr[..., 1] = doc_id * 7
+        arr[..., 2] = 200
+        imgs.append((doc_id, arr))
+
+    # driver-side roundtrip
+    for _, arr in imgs:
+        w, h, back = decode_ppm(encode_ppm(arr))
+        assert (w, h) == (arr.shape[1], arr.shape[0])
+        assert (back == arr).all()
+
+    rows = [(i, bytearray(encode_ppm(a)), "image/ppm") for i, a in imgs]
+    rows.append((99, bytearray(b"not an image"), "image/ppm"))
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    )
+    got = {r.doc_id: r for r in image_stats(media).collect()}
+    for doc_id, arr in imgs:
+        r = got[doc_id]
+        assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
+        means = arr.reshape(-1, 3).mean(axis=0)
+        assert abs(r.mean_r - means[0]) < 1e-9
+        assert abs(r.mean_g - means[1]) < 1e-9
+        assert abs(r.mean_b - means[2]) < 1e-9
+    assert got[99].width is None and got[99].mean_r is None
