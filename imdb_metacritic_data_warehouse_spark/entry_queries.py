@@ -1768,15 +1768,27 @@ def pipeline_movie_data(spark, sf_dir):
     """,
 )
 def pipeline_employee_data(spark, sf_dir):
+    # Same eager-cache discipline as pipeline_rating_slide (NOTES.md):
+    # the historized link feeds the sat builder's membership semi-join
+    # AND the mart's filter_latest (which itself references its input
+    # twice: rows + the broadcast max aggregate) — uncached, the heavy
+    # actor_raw→link chain executed ~5× (measured 34.7s cold at sf0.1).
     wh = _actor_wh(spark, sf_dir)
-    mel = wh.read("stg", "movie_emp_link")
-    wh._stg["movie_emp_link"] = scd2_apply(
-        None, mel, "movie_emp_link_id", ["movie_id", "emp_id"], _SCD2_T0
-    )
+    mel = scd2_apply(
+        None,
+        wh.read("stg", "movie_emp_link"),
+        "movie_emp_link_id",
+        ["movie_id", "emp_id"],
+        _SCD2_T0,
+    ).cache()
+    mel.count()
+    wh._stg["movie_emp_link"] = mel
     s = wh.read("stg", "emp_movie_l_sat")
-    wh._stg["emp_movie_l_sat"] = scd2_apply(
+    sat = scd2_apply(
         None, s, "movie_emp_role_id", ["movie_emp_link_id", "description", "role"], _SCD2_T0
-    )
+    ).cache()
+    sat.count()
+    wh._stg["emp_movie_l_sat"] = sat
     return _marts.build_employee_data(wh)
 
 
