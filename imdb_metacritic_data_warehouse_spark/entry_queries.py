@@ -3401,6 +3401,52 @@ def q2_cheapest_supplier(spark, sf_dir):
     )
 
 
+# TPC-H Q20 shape: NESTED semi-join chain — supplier IN (aggregated
+# fact subquery over part IN (filtered dim subquery)) AND nation IN
+# (literal-filtered dim).  Composes three membership levels: each IN
+# decorrelates to a left-semi with the inner one feeding the outer's
+# build side; the HAVING-agg semi (q18's family) sits in the middle.
+@query(
+    "q20_part_volume_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 100
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_part_volume_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("n_nationkey")
+    )
+    heavy = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 # Incremental mart maintenance: the mart is kept as MERGEABLE partial
 # state (sum/count/min/max) and each new batch folds in with one
 # delta-scan + one mart-key shuffle — never a rescan of history (the
