@@ -13,6 +13,7 @@ and typing rules (driver compares row-count + schema + value-hash):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1179,6 +1180,24 @@ def case_when_cleanup(spark, sf_dir):
 # supplier/lineitem, checked against a full SQL transcription of the
 # reference's script chain (core/*.sql → mart/genre_metrics.sql shape).
 # ---------------------------------------------------------------------------
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eager materialization for a plan referenced by 2+ branches.
+
+    ``localCheckpoint`` instead of ``.cache()``: a query-shaped callable
+    has no unpersist point, and round 2's leaked cache entries degraded
+    every later bench query (ADVICE.md) — checkpoint blocks are freed by
+    the ContextCleaner once the plan is dropped.  The trailing
+    per-column Alias re-keys the output attributes: a checkpoint
+    PRESERVES its plan's expression ids, so a table materialized over
+    another materialized table (employee_data's sat over the link)
+    re-exposes its parent's ids and later parent⋈child joins fail as
+    ambiguous self-joins; fresh Aliases give each table its own ids.
+    The projection is lazy but sits on the materialized RDD — branches
+    re-run only the no-op column map, never the upstream chain."""
+    ck = df.localCheckpoint(eager=True)
+    return ck.select(*[F.col(c).alias(c) for c in ck.columns])
+
+
 class _ShimWarehouse:
     """Duck-typed Warehouse over in-memory DataFrames: .bronze() serves
     synthesized raw tables; .read('stg', t) computes upstream builders
@@ -1194,7 +1213,13 @@ class _ShimWarehouse:
     (e.g. an SCD2-historized sat injected by a mart query).
     """
 
-    def __init__(self, spark, bronze: dict, cache_stg: bool = False):
+    def __init__(
+        self,
+        spark,
+        bronze: dict,
+        cache_stg: bool = False,
+        materialize_stg: bool = False,
+    ):
         self.spark = spark
         self._bronze = bronze
         self._stg: dict[str, DataFrame] = {}
@@ -1203,7 +1228,15 @@ class _ShimWarehouse:
         # string keys / F.col refs, NOT df.attr refs (shared lineage
         # breaks those, see class docstring).  genre_metrics qualifies
         # and rebuilds hubs 3× without it.
+        # materialize_stg=True additionally localCheckpoints each built
+        # stg table: a shared LOGICAL plan still re-executes once per
+        # consuming branch (no cross-branch CSE in Catalyst — round 2's
+        # genre_metrics rebuilt the hub chain ×3, 25.9s driver-bench);
+        # a checkpointed table executes once, and its blocks are
+        # ContextCleaner-freed when the query's plan is dropped (unlike
+        # .cache(), which leaks across bench invocations).
         self._cache_stg = cache_stg
+        self._materialize_stg = materialize_stg
 
     def bronze(self, table):
         return self._bronze[table]()
@@ -1213,7 +1246,9 @@ class _ShimWarehouse:
         if name in self._stg:
             return self._stg[name]
         built = getattr(_core, f"build_{name}")(self)
-        if self._cache_stg:
+        if self._materialize_stg:
+            built = _materialize(built)
+        if self._cache_stg or self._materialize_stg:
             self._stg[name] = built
         return built
 
@@ -1399,7 +1434,7 @@ def pipeline_genre_metrics(spark, sf_dir):
                 F.lit(False)
             ),
         },
-        cache_stg=True,
+        materialize_stg=True,
     )
     mis = wh.read("stg", "movie_info_sat")
     per_movie = mis.groupBy("movie_id").agg(
@@ -1753,6 +1788,139 @@ def pipeline_movie_data(spark, sf_dir):
     return _marts.build_movie_data(wh)
 
 
+# The same mart through the REAL persistence path: bronze parquet on
+# disk → Warehouse.run_table (repair → builder → align_to_spec → SCD2 /
+# insert-only merge → VersionedParquetTable atomic version swap) → read
+# the COMMITTED mart version back from parquet.  Round 2's pipeline_*
+# queries all ran through the in-memory _ShimWarehouse; this closes the
+# "no driver-checked query runs Warehouse/VersionedParquetTable"
+# verification gap (VERDICT r2).  Same oracle as pipeline_movie_data.
+@query(
+    "warehouse_movie_data_disk",
+    _PIPELINE_SQL_PRELUDE
+    + _SAT_SQL_CTES
+    + """
+    SELECT s.title_item_id, m.movie_nm AS movie_name, m.movie_duration,
+           COALESCE(s.original_name, '') AS original_name,
+           COALESCE(s.year, '') AS year,
+           s.rating,
+           COALESCE(s.budget, '') AS budget,
+           COALESCE(s.gross_worldwide, '') AS worldwide_gross,
+           s.scr_nm AS rating_source, s.url
+    FROM movie_hub m JOIN movie_info_sat s ON m.movie_id = s.movie_id
+    """,
+)
+def warehouse_movie_data_disk(spark, sf_dir):
+    import shutil
+
+    from .plans.pipeline import Warehouse
+    from .sources.bronze import write_bronze
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(
+        repo_root, ".scratch", f"wh_disk_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # fresh layout per run: deterministic v1 commits (a re-merge of the
+    # identical snapshot is also a no-op — pytest covers idempotence —
+    # but starting clean keeps this query pure for the oracle compare)
+    shutil.rmtree(root, ignore_errors=True)
+    bronze_root = os.path.join(root, "bronze")
+    imdb, _ = _synth_movie_raw(spark, sf_dir)
+    write_bronze(imdb, bronze_root, "movie_raw_data_imdb")
+    write_bronze(imdb.filter(_url_parity(2)), bronze_root, "movie_raw_data_metacritic")
+    wh = Warehouse(spark, bronze_root, os.path.join(root, "warehouse"))
+    wh.run_table("stg", "movie_hub", _SCD2_T0)
+    wh.run_table("stg", "movie_info_sat", _SCD2_T0)
+    wh.run_table("data_mart", "movie_data", _SCD2_T0)
+    return wh.read("data_mart", "movie_data")
+
+
+# Two SCD2 batches through the REAL disk path: batch 1 loads the sat,
+# the bronze table is then OVERWRITTEN with changed ratings (url-digit
+# %7 movies, the rating_slide scenario) and the merge re-runs — so the
+# version-2 table on disk must hold, per changed key, a closed T0 row
+# (valid_to = T1) plus an open T1 row, and untouched keys keep their
+# single open T0 row.  Exercises: versioned re-merge (v1→v2 commit +
+# atomic pointer swap), the is_open partition split, align_to_spec on
+# the committed target, and bronze truncate-then-load (S10).  Validity
+# columns cast to string (9999-12-31 sentinel overflows pandas ns).
+@query(
+    "warehouse_scd2_two_batch_disk",
+    _PIPELINE_SQL_PRELUDE
+    + """,
+    sat_films AS (
+      SELECT DISTINCT movie_name, CAST(min_duration AS INTEGER) AS duration,
+             rating, url
+      FROM movie_raw
+    ),
+    movie_info_sat AS (
+      SELECT DISTINCT md5(t2.movie_id || t1.url) AS title_item_id, t2.movie_id,
+             t1.rating, t1.url
+      FROM sat_films t1
+      JOIN movie_hub t2 ON md5(t1.movie_name || CAST(t1.duration AS VARCHAR)) = t2.movie_id
+    ),
+    changed AS (
+      SELECT title_item_id FROM movie_info_sat
+      WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS INTEGER) % 7 = 0
+    )
+    SELECT s.title_item_id, s.movie_id,
+           CASE WHEN c.title_item_id IS NOT NULL AND v.batch = 1
+                THEN s.rating || '5' ELSE s.rating END AS rating,
+           CASE WHEN v.batch = 1 AND c.title_item_id IS NOT NULL
+                THEN '2024-02-01 00:00:00' ELSE '2024-01-01 00:00:00' END AS valid_from,
+           CASE WHEN v.batch = 0 AND c.title_item_id IS NOT NULL
+                THEN '2024-02-01 00:00:00' ELSE '9999-12-31 00:00:00' END AS valid_to
+    FROM movie_info_sat s
+    LEFT JOIN changed c ON s.title_item_id = c.title_item_id
+    JOIN (SELECT 0 AS batch UNION ALL SELECT 1) v
+      ON v.batch = 0 OR c.title_item_id IS NOT NULL
+    """,
+)
+def warehouse_scd2_two_batch_disk(spark, sf_dir):
+    import shutil
+
+    from .plans.pipeline import Warehouse
+    from .sources.bronze import write_bronze
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(
+        repo_root, ".scratch", f"wh_scd2_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    bronze_root = os.path.join(root, "bronze")
+    # single-source sat: with both sources live, IMDB+METACRITIC rows
+    # share a title_item_id (md5(movie_id||url)) and a multi-row pk
+    # makes SCD2 change detection ill-defined — same setup as
+    # pipeline_rating_slide (the reference's per-source sat keys are
+    # unique per batch; the dual-source dup is a synthetic artifact)
+    imdb, _ = _synth_movie_raw(spark, sf_dir)
+    empty_meta = imdb.filter(F.lit(False))
+    write_bronze(imdb, bronze_root, "movie_raw_data_imdb")
+    write_bronze(empty_meta, bronze_root, "movie_raw_data_metacritic")
+    wh = Warehouse(spark, bronze_root, os.path.join(root, "warehouse"))
+    wh.run_table("stg", "movie_hub", _SCD2_T0)
+    wh.run_table("stg", "movie_info_sat", _SCD2_T0)
+    # batch 2: truncate-then-load bronze with mutated ratings, re-merge
+    mutated = imdb.withColumn(
+        "rating",
+        F.when(_url_parity(7), F.concat(F.col("rating"), F.lit("5"))).otherwise(
+            F.col("rating")
+        ),
+    )
+    # read-then-overwrite of the same parquet fails mid-scan; stage the
+    # mutated frame from the original (in-memory) plan instead
+    write_bronze(mutated, bronze_root, "movie_raw_data_imdb")
+    wh.run_table("stg", "movie_info_sat", _SCD2_T1)
+    sat = wh.table("stg", "movie_info_sat").read()
+    return sat.select(
+        "title_item_id",
+        "movie_id",
+        "rating",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+    )
+
+
 @query(
     "pipeline_employee_data",
     _PIPELINE_SQL_PRELUDE
@@ -1768,11 +1936,16 @@ def pipeline_movie_data(spark, sf_dir):
     """,
 )
 def pipeline_employee_data(spark, sf_dir):
-    # Same eager-cache discipline as pipeline_rating_slide (NOTES.md):
-    # the historized link feeds the sat builder's membership semi-join
-    # AND the mart's filter_latest (which itself references its input
-    # twice: rows + the broadcast max aggregate) — uncached, the heavy
-    # actor_raw→link chain executed ~5× (measured 34.7s cold at sf0.1).
+    # Same eager-materialization discipline as pipeline_rating_slide
+    # (NOTES.md): the historized link feeds the sat builder's membership
+    # semi-join AND the mart's filter_latest (which itself references
+    # its input twice: rows + the broadcast max aggregate) —
+    # unmaterialized, the heavy actor_raw→link chain executed ~5×
+    # (measured 34.7s cold at sf0.1).  ``localCheckpoint`` instead of
+    # ``.cache()``: blocks are freed by the ContextCleaner when the
+    # plan is dropped, so back-to-back invocations (bench warm-up + 2
+    # timed runs × 45 queries) don't accumulate cache entries —
+    # round 2's leak (ADVICE.md) degraded every later bench query.
     wh = _actor_wh(spark, sf_dir)
     mel = scd2_apply(
         None,
@@ -1780,14 +1953,14 @@ def pipeline_employee_data(spark, sf_dir):
         "movie_emp_link_id",
         ["movie_id", "emp_id"],
         _SCD2_T0,
-    ).cache()
-    mel.count()
+    )
+    mel = _materialize(mel)
     wh._stg["movie_emp_link"] = mel
     s = wh.read("stg", "emp_movie_l_sat")
     sat = scd2_apply(
         None, s, "movie_emp_role_id", ["movie_emp_link_id", "description", "role"], _SCD2_T0
-    ).cache()
-    sat.count()
+    )
+    sat = _materialize(sat)
     wh._stg["emp_movie_l_sat"] = sat
     return _marts.build_employee_data(wh)
 
@@ -1856,19 +2029,21 @@ def pipeline_rating_slide(spark, sf_dir):
             ),
         },
     )
-    # Caching discipline (A/B-measured at sf0.1, 48s → 7s fresh-call):
+    # Materialization discipline (A/B-measured at sf0.1, 48s → 7s):
     # - ``sat`` is read by BOTH scd2 batches (s1 input, b2 derivation) —
-    #   cache + materialize EAGERLY, else the raw→hub→sat builder chain
+    #   materialize EAGERLY, else the raw→hub→sat builder chain
     #   executes once per reference (no cross-branch CSE in Catalyst).
     # - the historized ``s2`` feeds BOTH snapshot branches (t1 latest /
     #   t2 top-2) and the rank's offset job — same reasoning.  A lazy
     #   .cache() is NOT enough: the first mart action runs the branches
-    #   concurrently before any of them has populated the cache.
-    # - movie_hub is NOT cached: an InMemoryRelation hides the scan
-    #   statistics, which demotes the hub⋈sat joins from broadcast to
-    #   sort-merge (measured 2× slower overall).
-    sat = wh.read("stg", "movie_info_sat").cache()
-    sat.count()
+    #   concurrently before any of them has populated the cache; and a
+    #   plain .cache() is never unpersisted by a query-shaped callable,
+    #   leaking entries across bench invocations (round-2 ADVICE) —
+    #   ``localCheckpoint`` blocks are ContextCleaner-freed instead.
+    # - movie_hub is NOT materialized: hiding its scan statistics
+    #   demotes the hub⋈sat joins from broadcast to sort-merge
+    #   (measured 2× slower overall with .cache(); same mechanism).
+    sat = _materialize(wh.read("stg", "movie_info_sat"))
     b2 = sat.withColumn(
         "rating",
         F.when(_url_parity(7), F.concat(F.col("rating"), F.lit("5"))).otherwise(
@@ -1876,8 +2051,7 @@ def pipeline_rating_slide(spark, sf_dir):
         ),
     )
     s1 = scd2_apply(None, sat, "title_item_id", _SAT_ATTRS, _SCD2_T0)
-    s2 = scd2_apply(s1, b2, "title_item_id", _SAT_ATTRS, _SCD2_T1).cache()
-    s2.count()
+    s2 = _materialize(scd2_apply(s1, b2, "title_item_id", _SAT_ATTRS, _SCD2_T1))
     wh._stg["movie_info_sat"] = s2
     out = _marts.build_rating_slide(wh)
     return out.select(
@@ -2636,12 +2810,15 @@ def quality_quantile_filter(spark, sf_dir):
     from .operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    # .cache(): scored feeds BOTH the cutoff aggregation and the join
-    # probe; without it the text-scoring scan runs twice (no cross-branch
-    # CSE — NOTES.md).  The cached projection is narrow (id, lang, q).
+    # materialized: scored feeds BOTH the cutoff aggregation and the
+    # join probe; without it the text-scoring scan runs twice (no
+    # cross-branch CSE — NOTES.md).  localCheckpoint, not .cache():
+    # query callables never get an unpersist point, and leaked cache
+    # entries across bench invocations were round 2's bench killer.
     scored = d.select(
         "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("q")
-    ).cache()
+    )
+    scored = _materialize(scored)
     cuts = scored.groupBy("lang").agg(
         F.round(F.percentile(F.col("q"), F.lit(0.25)), 6).alias("cut")
     )
@@ -3094,21 +3271,24 @@ def q4_priority_exists(spark, sf_dir):
     """,
 )
 def q21_waiting_suppliers(spark, sf_dir):
-    def late():
-        li = _t(spark, sf_dir, "lineitem")
-        o = _t(spark, sf_dir, "orders")
-        return li.join(
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # ``late`` feeds BOTH the candidate rows and the no-other-late-peer
+    # anti-join — materialized once (round-2 ADVICE: two plan builds =
+    # the lineitem⋈orders join executed twice, no cross-branch CSE)
+    late = _materialize(
+        li.join(
             o,
             (li.l_orderkey == o.o_orderkey)
             & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
         ).select("l_orderkey", "l_suppkey")
-
+    )
     s = _t(spark, sf_dir, "supplier")
-    l1 = late()
+    l1 = late
     l2 = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )
-    l3 = late().select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
     cand = l1.join(
         l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
     )
@@ -3125,9 +3305,12 @@ def q21_waiting_suppliers(spark, sf_dir):
 
 # TPC-H Q22 shape: NOT EXISTS anti-join + uncorrelated scalar-average
 # filter — rich customers (balance above the positive-balance mean)
-# with no RECENT order (none since 1997-06-01), rolled up by market
+# with no RECENT order (none since 2000-06-01), rolled up by market
 # segment.  "Never ordered" is empty at every SF of this testdata, so
-# the dormancy cutoff keeps the anti-join result non-trivial.
+# the dormancy cutoff substitutes; 2000-06-01 (orders span 1995..2001-08)
+# yields 4 groups/12 customers at sf0.001 and 5 groups/117 at sf0.01, so
+# the oracle comparison is non-vacuous at every checked SF (round-2
+# ADVICE: the 1997 cutoff produced 0 rows at sf0.001).
 @query(
     "q22_dormant_rich_customers",
     """
@@ -3140,7 +3323,7 @@ def q21_waiting_suppliers(spark, sf_dir):
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
-          AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01'
       )
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -3148,7 +3331,7 @@ def q21_waiting_suppliers(spark, sf_dir):
 )
 def q22_dormant_rich_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-06-01")
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-06-01")
     avg_bal = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0)
@@ -3267,19 +3450,17 @@ def q8_market_share(spark, sf_dir):
     """,
 )
 def q11_important_suppliers(spark, sf_dir):
-    def sup_val():
-        return (
-            _t(spark, sf_dir, "lineitem")
-            .groupBy("l_suppkey")
-            .agg(
-                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
-                    "val"
-                )
-            )
+    # the per-supplier aggregate feeds BOTH the output rows and the
+    # global threshold — materialized once (round-2 ADVICE: building it
+    # twice re-ran the lineitem aggregation per branch)
+    sv = _materialize(
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("val")
         )
-
-    sv = sup_val()
-    thr = sup_val().agg((F.sum("val").cast("double") * F.lit(0.0011)).alias("__thr"))
+    )
+    thr = sv.agg((F.sum("val").cast("double") * F.lit(0.0011)).alias("__thr"))
     return (
         sv.join(F.broadcast(thr), sv.val.cast("double") > F.col("__thr"))
         .select(
@@ -3514,61 +3695,76 @@ def incremental_mart_merge(spark, sf_dir):
 # remains locally verified by tools/check_oracle.py regardless of order.
 # ===========================================================================
 
+# Rotation policy (round-2 ADVICE): the external driver's correctness
+# gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
+# permanently excludes the rest from independent verification.  Each
+# round the prefix therefore rotates to prioritize, in order:
+#   1. queries with NO driver-green row in any prior round,
+#   2. queries added this round,
+#   3. queries whose implementation changed this round (re-validation),
+# and only then previously-green unchanged queries.  Every demoted
+# query keeps its historical CORRECTNESS_r{N} row and stays covered by
+# the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
+#
+# Round-3 prefix: the 45 entries with no r2 row (38 never checked in
+# any round + 7 checked only in r1, incl. the r1-failing
+# approx_sketches, since fixed), the 2 new disk-path queries, and 3
+# heavy queries whose plans changed this round.
 _PRIORITY_PREFIX = [
-    # core agg / join / window / set / scalar parity
-    "q1_pricing_summary",
-    "q5_revenue_per_nation",
-    "hash_key_generation",
-    "union_distinct",
-    "rotation_repair",
-    "salted_join_events",
-    "top2_snapshots_filter",
-    "argmax_per_group",
-    "global_rank_leaderboard",
-    "scalar_subquery_filter",
-    "explode_tokens_hub",
-    "scd2_merge_orders",
-    "insert_only_merge_customers",
-    "left_join_change_detect",
-    "string_agg_sorted",
-    "typed_casts",
-    "case_when_cleanup",
-    "scalar_parsing",
-    "rollup_orders",
-    "pivot_lineitem_status",
-    # reference pipeline end-to-end parity
-    "pipeline_genre_hub",
-    "pipeline_movie_hub",
-    "pipeline_genre_metrics",
-    "pipeline_employee_hub",
-    "pipeline_movie_emp_link",
-    "pipeline_emp_movie_l_sat",
-    "pipeline_movie_info_sat",
-    "pipeline_movie_data",
-    "pipeline_employee_data",
-    "pipeline_movie_employee_link",
-    "pipeline_rating_slide",
-    # events / temporal
-    "events_json_stats",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_events",
-    "asof_join_events",
-    "range_join_events",
-    # training-data ops (north star)
+    # --- never driver-checked in any round (r1∪r2 gap) ---
+    "events_variant_stats",
+    "window_frame_functions",
+    "exists_semi_join",
+    "salted_groupby_events",
+    "multimodal_features",
+    "ann_ivf",
+    "scrub_documents",
+    "unpivot_measures",
+    "deterministic_sample_split",
+    "cube_orders",
+    "exact_percentiles",
+    "intersect_except_sets",
+    "correlated_agg_threshold",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "doc_frequency_terms",
+    "grouping_sets_orders",
+    "ann_ivf_sampled",
+    "profile_lineitem_numeric",
+    "histogram_extendedprice",
+    "q12_priority_case_agg",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_revenue",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q7_nation_volume",
+    "topk_per_group_brand",
+    "q4_priority_exists",
+    "q21_waiting_suppliers",
+    "q22_dormant_rich_customers",
+    "q16_supplier_count_distinct",
+    "q8_market_share",
+    "q11_important_suppliers",
+    "dedup_keep_canonical",
+    "q2_cheapest_supplier",
+    "q20_part_volume_suppliers",
+    # --- checked only in r1 (no r2 row) ---
+    "latest_snapshot_filter",
+    "anti_join_new_keys",
+    "full_outer_snapshots",
+    "composite_key_join",
+    "expression_join",
+    "union_all_counts",
+    "approx_sketches",
+    # --- new this round: real disk persistence path ---
+    "warehouse_movie_data_disk",
+    "warehouse_scd2_two_batch_disk",
+    # --- plans changed this round (re-validate the rewrites) ---
     "text_analysis",
-    "dedup_exact_docs",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
-    "embedding_neardup_pairs",
-    "neardup_clusters",
-    "embedding_cosine_topk",
-    "ann_lsh_bucketed",
-    "multimodal_metadata",
-    "rolling_fingerprint_docs",
-    "incremental_mart_merge",
-    "quality_quantile_filter",
+    "pipeline_genre_metrics",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -81,9 +81,31 @@ def lsh_candidate_pairs(
     text_col: str,
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidates: documents sharing at
-    least one band signature.  Output: (doc_a, doc_b), doc_a < doc_b."""
+    least one band signature.  Output: (doc_a, doc_b), doc_a < doc_b.
+
+    Bucket-size-routed pair emission (100 TB safety): the band table is
+    materialized once (``localCheckpoint`` — it feeds the size window
+    and both emission paths; Catalyst has no cross-branch CSE, so an
+    unmaterialized plan would recompute the shingle→minhash pipeline
+    per branch), each bucket gets its size via a window over the same
+    (band, band_sig) shuffle, then
+
+    - buckets ≤ ``bucket_cap``: collect_list + double explode — one
+      task per bucket, bounded array, no join;
+    - buckets  > ``bucket_cap`` (boilerplate-heavy corpora): the
+      equi-self-join formulation on (band, band_sig).  A giant
+      collect_list group is ONE task holding the whole bucket (AQE skew
+      handling splits join partitions, never aggregate groups — it
+      cannot rescue that plan); the join formulation streams
+      sort-merge pairs and AQE skew-split applies.
+
+    Both paths read the checkpointed band table, which preserves its
+    (band, band_sig) hash partitioning, so neither re-shuffles the
+    input; the only new exchange is the final pair ``distinct``.
+    """
     rows = num_hashes // bands
     sigs = _minhash_cols(df, id_col, text_col, num_hashes)
     band_structs = [
@@ -98,24 +120,34 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.band_sig")
-    # One pass, no self-join: a band-bucket self-join would recompute the
-    # whole shingle→minhash pipeline once per side (Catalyst does no
-    # cross-branch CSE) AND shuffle the table twice.  Instead: group by
-    # bucket (single shuffle of (band, sig, id) triples), emit in-bucket
-    # pairs with a double explode.  Bucket fan-out is quadratic only in
-    # the bucket size, which for honest near-dup workloads is tiny; a
-    # pathological boilerplate bucket hits AQE skew-split either way.
-    buckets = (
-        banded.groupBy("band", "band_sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+    w = Window.partitionBy("band", "band_sig")
+    sized = (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") > 1)
+        .localCheckpoint(eager=True)
     )
-    return (
-        buckets.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+    small = (
+        sized.filter(F.col("__bsz") <= bucket_cap)
+        .groupBy("band", "band_sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
+    small_pairs = (
+        small.select(F.explode("ids").alias("doc_a"), F.col("ids"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
+    big = sized.filter(F.col("__bsz") > bucket_cap).select("doc_id", "band", "band_sig")
+    big_pairs = (
+        big.alias("a")
+        .join(
+            big.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -184,15 +216,22 @@ def embedding_neardup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
+    # ‖v‖ precomputed per ROW before the self-join (an interpreted
+    # aggregate evaluated per candidate PAIR doubled the per-pair cost
+    # in round 2 — a bucket of k vectors paid k² norm folds for k
+    # distinct values)
+    norm = F.sqrt(
         F.aggregate(
-            F.col(f"{side}.v"),
+            F.col(vec_col),
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
     bucketed = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig.alias("sig"),
+        norm.alias("nrm"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -203,7 +242,7 @@ def embedding_neardup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(dot / (norm("a") * norm("b")), 6).alias("score"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -95,52 +95,41 @@ def quality_score(text: Column) -> Column:
 
 
 def text_analysis_frame(df, id_col: str = "doc_id", text_col: str = "text"):
-    """One-pass text analysis: language-ID, token counts, quality,
-    fingerprint — staged so each stopword-hit count is materialized ONCE
-    as a named column (mirroring the oracle's ``hits`` CTE).
+    """One-pass-per-token text analysis: language-ID, token counts,
+    quality, fingerprint.
 
-    The pure-Column ``language_id`` nests ``when(hits > best.h, cand)
-    .otherwise(best)`` — every level embeds the previous tree twice, so
-    the expression grows 2^#languages copies of each hit expression and
-    Catalyst analysis/codegen dominates runtime (measured ~2s fixed cost
-    per run regardless of scale factor).  Two stacked projections keep
-    the tree linear; still a single scan, no shuffle."""
+    Plan shape (the ``simhash`` shape, ``operators/dedup.py``): explode
+    the whitespace tokens once, then ONE hash aggregate per document
+    computes all four language hit counts as conditional sums plus
+    ``first(text)`` — every expression stays inside whole-stage codegen
+    (an ``In`` over 8 literals per language), and map-side partial
+    aggregation collapses each document back to a single row *before*
+    the shuffle (a document's tokens never span input rows), so exactly
+    one copy of each text crosses the wire.  Round 2 shipped this as an
+    interpreted ``F.aggregate`` struct-fold — per-token lambda
+    interpretation plus a large expression tree made it the slowest
+    bench query (22.5s driver-measured at sf0.1); this formulation is
+    the plan the per-token work deserves.  One shuffle on doc_id,
+    scan-linear at 100 TB."""
     t = F.col(text_col)
     langs = sorted(STOPWORDS)
-    sets = {lang: F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs}
-
-    def hits_step(acc, tok):
-        return F.struct(
-            *[
-                (
-                    acc[lang]
-                    + F.when(F.array_contains(sets[lang], tok), 1).otherwise(0)
-                ).alias(lang)
-                for lang in langs
-            ]
-        )
-
-    # Materialize the token array once (multi-referenced non-cheap alias
-    # → CollapseProject keeps it), then ONE aggregate traversal counts
-    # all four languages simultaneously — 1 pass × |tokens| instead of
-    # per-language scans (per-word array_remove re-split the text 32×;
-    # measured ~4× slower than this).
-    toked = df.select(
-        id_col,
-        text_col,
-        tokens(t).alias("__toks"),
+    tok = df.select(
+        F.col(id_col),
+        t.alias("__text"),
+        F.explode(tokens(t)).alias("__tok"),
     )
-    staged = toked.select(
-        id_col,
-        text_col,
-        F.size("__toks").alias("__n_tok"),
-        F.aggregate(
-            F.col("__toks"),
-            F.struct(*[F.lit(0).alias(lang) for lang in langs]),
-            hits_step,
-        ).alias("__hits"),
+    staged = tok.groupBy(id_col).agg(
+        F.first("__text").alias("__text"),
+        F.count(F.lit(1)).alias("__n_tok"),
+        *[
+            F.sum(
+                F.when(F.col("__tok").isin(STOPWORDS[lang]), 1).otherwise(0)
+            ).alias(f"__h_{lang}")
+            for lang in langs
+        ],
     )
-    h = {lang: F.col("__hits")[lang] for lang in langs}
+    t = F.col("__text")
+    h = {lang: F.col(f"__h_{lang}") for lang in langs}
     top = F.greatest(*h.values())
     lang_case = F.when(top == 0, F.lit("unknown"))
     for lang in langs[:-1]:

@@ -40,9 +40,14 @@ def z_value_scaled(
 
     def scaled(col: str, lo: int, hi: int) -> str:
         span = max(1, hi - lo)
+        # scale in DOUBLE: the integer form ``clamped * cap`` overflows
+        # bigint for spans above ~2^47 (cap = 2^bits − 1), silently
+        # corrupting the clustering for wide-range keys.  Double math
+        # is monotone and deterministic, which is all a layout key
+        # needs (z-order affects file locality, never query results).
         return (
-            f"cast(least(greatest(cast({col} as bigint) - {lo}, 0), {span})"
-            f" * {cap} / {span} as bigint)"
+            f"cast(least(greatest(cast({col} as bigint) - ({lo}), 0), {span})"
+            f" * cast({cap} as double) / {span} as bigint)"
         )
 
     a, b = scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b)
@@ -69,6 +74,14 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # an all-NULL clustering column has no range to interleave —
+        # fail loudly rather than TypeError-ing in int() below
+        bad = col_a if lo_a is None else col_b
+        raise ValueError(
+            f"write_zordered: column {bad!r} is entirely NULL; "
+            "pick a non-null clustering key or filter first"
+        )
     z = z_value_scaled(col_a, int(lo_a), int(hi_a), col_b, int(lo_b), int(hi_b), bits)
     (
         df.withColumn("__z", z)
