@@ -508,6 +508,7 @@ def insert_only_merge_customers(spark, sf_dir):
 # ===========================================================================
 
 from .operators.dedup import (  # noqa: E402
+    decontaminate,
     dedup_exact,
     lsh_candidate_pairs,
     ngram_jaccard,
@@ -2348,6 +2349,114 @@ def rolling_fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
 
 
+# Sequence packing: the concat-and-cut training layout — each document
+# gets its [start, end) span in the global token stream via a TWO-PHASE
+# cumulative sum (operators/packing.py; a bare sum-over-order window is
+# a one-task straggler at scale), then pure arithmetic assigns it to
+# budget-sized sequences, splitting straddlers like the real layout.
+@query(
+    "pack_sequences_budget",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+      FROM toks WHERE n > 0
+    ),
+    spans AS (SELECT doc_id, n, e, e - n AS s FROM cum)
+    SELECT doc_id, g.seq_id,
+           CAST(least(e, (g.seq_id + 1) * 128) - greatest(s, g.seq_id * 128) AS BIGINT)
+             AS tokens_in_seq,
+           (g.seq_id = CAST(floor(s / 128) AS BIGINT)) AS starts_here
+    FROM spans, LATERAL (
+      SELECT unnest(generate_series(CAST(floor(s / 128) AS BIGINT),
+                                    CAST(floor((e - 1) / 128) AS BIGINT))) AS seq_id
+    ) g
+    """,
+)
+def pack_sequences_budget(spark, sf_dir):
+    from .operators.packing import pack_sequences
+    from .operators.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", budget=128)
+
+
+# Benchmark decontamination: corpus LEFT ANTI benchmark on the
+# normalized-text fingerprint.  The synthetic benchmark is every %7th
+# document, case-mutated and whitespace-padded, so only the
+# normalization path can catch the leaks.
+@query(
+    "decontaminate_docs",
+    f"""
+    WITH bench AS (
+      SELECT upper(text) || '  ' AS text FROM documents WHERE doc_id % 7 = 0
+    ),
+    bench_fp AS (SELECT DISTINCT {_NORM_SQL} AS fp FROM bench)
+    SELECT doc_id FROM documents
+    WHERE {_NORM_SQL} NOT IN (SELECT fp FROM bench_fp)
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.upper("text"), F.lit("  ")).alias("text")
+    )
+    return decontaminate(d, bench, "doc_id", "text").select("doc_id")
+
+
+# Deterministic global shuffle: training-order permutation as a rank
+# under md5(id||salt) — reshufflable by salt, reproducible across
+# retries (no rand()), two-phase so no single-task global sort.
+@query(
+    "deterministic_global_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch-0'), doc_id)
+             AS pos
+    FROM documents
+    """,
+)
+def deterministic_global_shuffle(spark, sf_dir):
+    from .operators.packing import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", "epoch-0")
+
+
+# Repetition-ratio quality signal: share of a document's word 2-grams
+# owned by its most repeated 2-gram (boilerplate/keyword-stuffing
+# detector).  Mirrors shingle_rows' short-doc rule (< n words → one
+# whole-text shingle).
+@query(
+    "repetition_ratio_docs",
+    """
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words)),
+                                 i -> array_to_string(words[i:i+1], ' '))
+        END) AS s
+      FROM tok
+    ),
+    per_gram AS (SELECT doc_id, s, COUNT(*) AS c FROM grams GROUP BY doc_id, s)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS max_gram_count,
+           round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS repetition_ratio
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def repetition_ratio_docs(spark, sf_dir):
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",
@@ -3706,10 +3815,13 @@ def incremental_mart_merge(spark, sf_dir):
 # query keeps its historical CORRECTNESS_r{N} row and stays covered by
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
-# Round-3 prefix: the 45 entries with no r2 row (38 never checked in
-# any round + 7 checked only in r1, incl. the r1-failing
-# approx_sketches, since fixed), the 2 new disk-path queries, and 3
-# heavy queries whose plans changed this round.
+# Round-3 prefix: the 38 entries never checked in any round +
+# approx_sketches (r1 row was a FAIL — effectively never green), the 6
+# queries new this round (2 disk-path + 4 training ops), 3 heavy
+# queries whose plans changed this round, and 2 of the 6 r1-green-only
+# entries.  The remaining 4 r1-green entries (latest_snapshot_filter,
+# anti_join_new_keys, composite_key_join, expression_join) are
+# unchanged since their r1 green row and rotate in next round.
 _PRIORITY_PREFIX = [
     # --- never driver-checked in any round (r1∪r2 gap) ---
     "events_variant_stats",
@@ -3750,21 +3862,23 @@ _PRIORITY_PREFIX = [
     "dedup_keep_canonical",
     "q2_cheapest_supplier",
     "q20_part_volume_suppliers",
-    # --- checked only in r1 (no r2 row) ---
-    "latest_snapshot_filter",
-    "anti_join_new_keys",
-    "full_outer_snapshots",
-    "composite_key_join",
-    "expression_join",
-    "union_all_counts",
+    # --- r1 row was a FAIL; fixed in r2 but never re-checked ---
     "approx_sketches",
     # --- new this round: real disk persistence path ---
     "warehouse_movie_data_disk",
     "warehouse_scd2_two_batch_disk",
+    # --- new this round: training-data ops ---
+    "pack_sequences_budget",
+    "decontaminate_docs",
+    "deterministic_global_shuffle",
+    "repetition_ratio_docs",
     # --- plans changed this round (re-validate the rewrites) ---
     "text_analysis",
     "minhash_lsh_pairs",
     "pipeline_genre_metrics",
+    # --- r1-green-only rotation (2 of 6; rest next round) ---
+    "full_outer_snapshots",
+    "union_all_counts",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

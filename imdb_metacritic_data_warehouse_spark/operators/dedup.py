@@ -150,6 +150,34 @@ def lsh_candidate_pairs(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document whose
+    normalized-text fingerprint appears in ``benchmark`` (the eval-set
+    leak check every LLM data pipeline runs before training).
+
+    Plan shape: fingerprint both sides (casefold + whitespace-collapse
+    + md5, the exact-dedup key) and LEFT ANTI join the corpus against
+    the benchmark's distinct fingerprints.  The benchmark side is tiny
+    relative to a 100 TB corpus → Catalyst broadcasts it and the
+    corpus is never shuffled; md5 keys are uniform so even a sort-merge
+    fallback has no skew.  Matching is exact-after-normalization;
+    near-dup contamination composes by routing ``lsh_candidate_pairs``
+    over corpus ∪ benchmark instead."""
+    bcol = bench_text_col or text_col
+    bench_fp = benchmark.select(fingerprint(F.col(bcol)).alias("__fp")).distinct()
+    return (
+        corpus.withColumn("__fp", fingerprint(F.col(text_col)))
+        .join(bench_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature: per-token 60-bit md5-derived hashes vote on
     each bit; sign of the per-bit vote sum sets the signature bit.

@@ -201,6 +201,27 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
+    """Boilerplate/repetition quality signal: the share of a document's
+    word n-grams taken by its single most repeated n-gram (template
+    pages, keyword stuffing, and decoding loops all spike it).
+
+    Plan shape: ``shingle_rows`` (codegen posexplode+lead, one shuffle
+    on doc_id) → count per (doc, gram) → one more groupBy(doc) for
+    max/total — both aggregates hash-partition on doc_id, so Catalyst
+    plans the second as a partial-only reuse of the first's exchange.
+    Output: (doc_id, n_grams, max_gram_count, repetition_ratio)."""
+    grams = shingle_rows(df, id_col, text_col, n)
+    per_gram = grams.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("__c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("__c").alias("n_grams"),
+        F.max("__c").alias("max_gram_count"),
+        F.round(F.max("__c").cast("double") / F.sum("__c").cast("double"), 6).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); fewer than ``n`` words →
     one shingle of the whole text.

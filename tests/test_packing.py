@@ -1,0 +1,106 @@
+"""Sequence packing, decontamination, deterministic shuffle,
+repetition stats — the round-3 training-data operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.operators.dedup import decontaminate
+from imdb_metacritic_data_warehouse_spark.operators.packing import (
+    deterministic_shuffle,
+    global_cumsum,
+    pack_sequences,
+)
+from imdb_metacritic_data_warehouse_spark.operators.text import repetition_stats
+
+
+def test_global_cumsum_matches_single_task_window(spark):
+    df = spark.range(1, 501).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("v")
+    )
+    two = {
+        r["id"]: r["cs"]
+        for r in global_cumsum(df, [F.col("id")], "v", "cs").collect()
+    }
+    one = {
+        r["id"]: r["cs"]
+        for r in global_cumsum(
+            df, [F.col("id")], "v", "cs", two_phase=False
+        ).collect()
+    }
+    assert two == one
+
+
+def test_pack_sequences_straddle_and_budget_invariants(spark):
+    # doc 1: 100 tokens [0,100); doc 2: 60 tokens [100,160) → straddles
+    # the budget-128 boundary; doc 3: 200 tokens [160,360) → spans 3
+    # sequences (1..2 fully, tail in 2)
+    rows = [(1, 100), (2, 60), (3, 200), (4, 0)]
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    out = pack_sequences(df, "doc_id", "n", budget=128).collect()
+    got = {(r.doc_id, r.seq_id): (r.tokens_in_seq, r.starts_here) for r in out}
+    assert got == {
+        (1, 0): (100, True),
+        (2, 0): (28, True),
+        (2, 1): (32, False),
+        (3, 1): (96, True),
+        (3, 2): (104, False),
+    }
+    # invariants: per-doc token totals preserved; no sequence over budget
+    per_doc = {}
+    per_seq = {}
+    for (d, s), (t, _) in got.items():
+        per_doc[d] = per_doc.get(d, 0) + t
+        per_seq[s] = per_seq.get(s, 0) + t
+    assert per_doc == {1: 100, 2: 60, 3: 200}  # zero-token doc dropped
+    assert all(t <= 128 for t in per_seq.values())
+    # every sequence except the last is exactly full
+    assert per_seq[0] == 128 and per_seq[1] == 128
+
+
+def test_deterministic_shuffle_is_salted_permutation(spark):
+    df = spark.range(1, 301).select(F.col("id"))
+    a = deterministic_shuffle(df, "id", "s1")
+    positions = [r.pos for r in a.collect()]
+    assert sorted(positions) == list(range(1, 301))  # a permutation
+    # same salt → identical; different salt → different order
+    a2 = {r.id: r.pos for r in deterministic_shuffle(df, "id", "s1").collect()}
+    b = {r.id: r.pos for r in deterministic_shuffle(df, "id", "s2").collect()}
+    a1 = {r.id: r.pos for r in a.collect()}
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_decontaminate_catches_normalized_leaks_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "an original document"),
+            (3, "another   clean doc"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [("THE  QUICK   BROWN FOX ",), ("unrelated eval question",)],
+        "text string",
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, bench, "doc_id", "text").collect()
+    )
+    assert kept == [2, 3]  # doc 1 leaks despite case/whitespace mutation
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),  # 2-gram "buy now" ×4 of 7
+            (2, "all words here are fully distinct tokens"),
+            (3, "tiny"),  # < 2 words → single whole-text shingle
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].max_gram_count == 4 and out[1].n_grams == 7
+    assert out[2].max_gram_count == 1
+    assert out[3].n_grams == 1 and out[3].repetition_ratio == 1.0
+    assert out[1].repetition_ratio > out[2].repetition_ratio
