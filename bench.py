@@ -61,6 +61,13 @@ HEADLINE = [
     "q16_supplier_count_distinct",
     "q2_cheapest_supplier",
     "incremental_mart_merge",
+    # round 3: training-data ops + the real disk persistence path
+    "pack_sequences_budget",
+    "decontaminate_docs",
+    "deterministic_global_shuffle",
+    "repetition_ratio_docs",
+    "warehouse_movie_data_disk",
+    "warehouse_scd2_two_batch_disk",
 ]
 
 

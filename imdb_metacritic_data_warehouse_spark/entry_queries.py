@@ -1219,7 +1219,7 @@ class _ShimWarehouse:
         spark,
         bronze: dict,
         cache_stg: bool = False,
-        materialize_stg: bool = False,
+        materialize_stg: bool | set[str] = False,
     ):
         self.spark = spark
         self._bronze = bronze
@@ -1229,25 +1229,33 @@ class _ShimWarehouse:
         # string keys / F.col refs, NOT df.attr refs (shared lineage
         # breaks those, see class docstring).  genre_metrics qualifies
         # and rebuilds hubs 3× without it.
-        # materialize_stg=True additionally localCheckpoints each built
-        # stg table: a shared LOGICAL plan still re-executes once per
-        # consuming branch (no cross-branch CSE in Catalyst — round 2's
-        # genre_metrics rebuilt the hub chain ×3, 25.9s driver-bench);
-        # a checkpointed table executes once, and its blocks are
-        # ContextCleaner-freed when the query's plan is dropped (unlike
-        # .cache(), which leaks across bench invocations).
+        # materialize_stg additionally localCheckpoints built stg
+        # tables (True = all, or a set of table names): a shared
+        # LOGICAL plan still re-executes once per consuming branch (no
+        # cross-branch CSE in Catalyst — round 2's genre_metrics
+        # rebuilt the hub chain ×3, 25.9s driver-bench); a checkpointed
+        # table executes once, and its blocks are ContextCleaner-freed
+        # when the query's plan is dropped (unlike .cache(), which
+        # leaks across bench invocations).  Single-consumer tables
+        # should NOT be in the set — materialization is a full extra
+        # write pass that only pays for itself from the second read.
         self._cache_stg = cache_stg
         self._materialize_stg = materialize_stg
 
     def bronze(self, table):
         return self._bronze[table]()
 
+    def _should_materialize(self, name) -> bool:
+        if isinstance(self._materialize_stg, bool):
+            return self._materialize_stg
+        return name in self._materialize_stg
+
     def read(self, schema, name):
         assert schema == "stg"
         if name in self._stg:
             return self._stg[name]
         built = getattr(_core, f"build_{name}")(self)
-        if self._materialize_stg:
+        if self._should_materialize(name):
             built = _materialize(built)
         if self._cache_stg or self._materialize_stg:
             self._stg[name] = built
@@ -1435,7 +1443,10 @@ def pipeline_genre_metrics(spark, sf_dir):
                 F.lit(False)
             ),
         },
-        materialize_stg=True,
+        # movie_hub feeds 3 consumers (link builder, sat builder, final
+        # join) and genre_hub 2 — materialize those; the link and sat
+        # are single-consumer, so a checkpoint write would be pure cost
+        materialize_stg={"movie_hub", "genre_hub"},
     )
     mis = wh.read("stg", "movie_info_sat")
     per_movie = mis.groupBy("movie_id").agg(
@@ -1834,6 +1845,46 @@ def warehouse_movie_data_disk(spark, sf_dir):
     wh.run_table("stg", "movie_info_sat", _SCD2_T0)
     wh.run_table("data_mart", "movie_data", _SCD2_T0)
     return wh.read("data_mart", "movie_data")
+
+
+# The BUCKETED physical layout through the real disk path: stg
+# movie_emp_link is registered with bucket_key=movie_emp_link_id
+# (registry.py), so run_table routes it to BucketedVersionedTable —
+# catalog-backed bucketed parquet whose versions all share the bucket
+# spec, making every link ⋈ sat merge/join co-located (Exchange-free;
+# plan asserted in tests/test_sources.py::test_registry_bucketed_layout).
+# This query commits one bucketed version end-to-end and reads it back.
+@query(
+    "warehouse_emp_link_bucketed_disk",
+    _PIPELINE_SQL_PRELUDE
+    + _ACTOR_SQL_CTES
+    + "SELECT movie_emp_link_id, movie_id, emp_id FROM movie_emp_link",
+)
+def warehouse_emp_link_bucketed_disk(spark, sf_dir):
+    import shutil
+
+    from .plans.pipeline import Warehouse
+    from .sources.bronze import write_bronze
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(
+        repo_root, ".scratch", f"wh_bucketed_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    bronze_root = os.path.join(root, "bronze")
+    imdb, meta = _synth_movie_raw(spark, sf_dir)
+    actors, actors_meta = _synth_actor_raw(spark, sf_dir)
+    write_bronze(imdb, bronze_root, "movie_raw_data_imdb")
+    write_bronze(meta, bronze_root, "movie_raw_data_metacritic")
+    write_bronze(actors, bronze_root, "actor_raw_data_imdb")
+    write_bronze(actors_meta, bronze_root, "actor_raw_data_metacritic")
+    wh = Warehouse(spark, bronze_root, os.path.join(root, "warehouse"))
+    wh.run_table("stg", "movie_hub", _SCD2_T0)
+    wh.run_table("stg", "employee_hub", _SCD2_T0)
+    wh.run_table("stg", "movie_emp_link", _SCD2_T0)
+    return wh.read("stg", "movie_emp_link").select(
+        "movie_emp_link_id", "movie_id", "emp_id"
+    )
 
 
 # Two SCD2 batches through the REAL disk path: batch 1 loads the sat,
@@ -3816,12 +3867,13 @@ def incremental_mart_merge(spark, sf_dir):
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
 # Round-3 prefix: the 38 entries never checked in any round +
-# approx_sketches (r1 row was a FAIL — effectively never green), the 6
-# queries new this round (2 disk-path + 4 training ops), 3 heavy
-# queries whose plans changed this round, and 2 of the 6 r1-green-only
-# entries.  The remaining 4 r1-green entries (latest_snapshot_filter,
-# anti_join_new_keys, composite_key_join, expression_join) are
-# unchanged since their r1 green row and rotate in next round.
+# approx_sketches (r1 row was a FAIL — effectively never green), the 7
+# queries new this round (3 disk-path + 4 training ops), 3 heavy
+# queries whose plans changed this round, and 1 of the 6 r1-green-only
+# entries.  The remaining 5 r1-green entries (latest_snapshot_filter,
+# anti_join_new_keys, composite_key_join, expression_join,
+# union_all_counts) are unchanged since their r1 green row and rotate
+# in next round.
 _PRIORITY_PREFIX = [
     # --- never driver-checked in any round (r1∪r2 gap) ---
     "events_variant_stats",
@@ -3867,6 +3919,7 @@ _PRIORITY_PREFIX = [
     # --- new this round: real disk persistence path ---
     "warehouse_movie_data_disk",
     "warehouse_scd2_two_batch_disk",
+    "warehouse_emp_link_bucketed_disk",
     # --- new this round: training-data ops ---
     "pack_sequences_budget",
     "decontaminate_docs",
@@ -3876,9 +3929,8 @@ _PRIORITY_PREFIX = [
     "text_analysis",
     "minhash_lsh_pairs",
     "pipeline_genre_metrics",
-    # --- r1-green-only rotation (2 of 6; rest next round) ---
+    # --- r1-green-only rotation (1 of 6; rest next round) ---
     "full_outer_snapshots",
-    "union_all_counts",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -214,3 +214,108 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         op, schema=IMAGE_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for audio: WAV (RIFF) with 16-bit PCM.
+#
+# Like PPM for images, canonical WAV is header + raw samples — numpy
+# decodes it with no codec library, so the audio pipeline (binary
+# column → Arrow batch → decode → per-clip features) is real end to
+# end for uncompressed audio; compressed formats (mp3/opus) keep the
+# documented ``NotImplementedError`` swap-in point.
+# ---------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak double"
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """int16 array (n,) mono or (n, ch) → canonical RIFF/WAVE bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes):
+    """RIFF/WAVE 16-bit PCM bytes → (sample_rate, (n, ch) int16 array).
+    Walks the chunk list (a real WAV may carry LIST/fact chunks before
+    data); only format tag 1 (PCM) at 16 bits is supported."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(content):
+        cid = content[i : i + 4]
+        (size,) = struct.unpack("<I", content[i + 4 : i + 8])
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, ch, rate, _, _, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (tag={tag}, bits={bits})")
+    arr = np.frombuffer(data, dtype="<i2")
+    return rate, arr.reshape(-1, ch)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip sample rate / duration / RMS / peak via REAL WAV
+    decode, Arrow-batched like ``image_stats``; non-WAV payloads yield
+    NULL stats (permissive-read — bad media never kills the batch)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"], "sample_rate": [], "n_channels": [],
+                    "n_samples": [], "duration_s": [], "rms": [], "peak": []}
+            for content in pdf["content"]:
+                try:
+                    rate, arr = decode_wav(bytes(content))
+                    x = arr.astype("float64") / 32768.0
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(arr.shape[1])
+                    rows["n_samples"].append(arr.shape[0])
+                    rows["duration_s"].append(arr.shape[0] / rate)
+                    rows["rms"].append(float(np.sqrt((x**2).mean())))
+                    rows["peak"].append(float(np.abs(x).max()))
+                except (ValueError, IndexError, ZeroDivisionError, struct.error):
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_s", "rms", "peak"):
+                        rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "content").mapInPandas(
+        op, schema=AUDIO_STATS_SCHEMA
+    )

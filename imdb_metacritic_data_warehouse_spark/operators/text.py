@@ -100,17 +100,21 @@ def text_analysis_frame(df, id_col: str = "doc_id", text_col: str = "text"):
 
     Plan shape (the ``simhash`` shape, ``operators/dedup.py``): explode
     the whitespace tokens once, then ONE hash aggregate per document
-    computes all four language hit counts as conditional sums plus
-    ``first(text)`` — every expression stays inside whole-stage codegen
-    (an ``In`` over 8 literals per language), and map-side partial
-    aggregation collapses each document back to a single row *before*
-    the shuffle (a document's tokens never span input rows), so exactly
-    one copy of each text crosses the wire.  Round 2 shipped this as an
-    interpreted ``F.aggregate`` struct-fold — per-token lambda
-    interpretation plus a large expression tree made it the slowest
-    bench query (22.5s driver-measured at sf0.1); this formulation is
-    the plan the per-token work deserves.  One shuffle on doc_id,
-    scan-linear at 100 TB."""
+    computes all four language hit counts as conditional sums — every
+    expression stays inside whole-stage codegen (an ``In`` over 8
+    literals per language), and map-side partial aggregation collapses
+    each document back to a single row *before* the shuffle (a
+    document's tokens never span input rows), so exactly one copy of
+    each text crosses the wire.  The text rides along as a GROUP KEY
+    (functionally dependent on doc_id): a ``first(text)`` aggregate
+    would put a string in the aggregation buffer, which forces the
+    SortAggregate fallback (HashAggregate needs mutable fixed-width
+    buffers — keys may be strings, buffers may not) and with it a sort
+    of the full token stream.  Round 2 shipped this as an interpreted
+    ``F.aggregate`` struct-fold — per-token lambda interpretation plus
+    a large expression tree made it the slowest bench query (22.5s
+    driver-measured at sf0.1).  One shuffle on doc_id, scan-linear at
+    100 TB."""
     t = F.col(text_col)
     langs = sorted(STOPWORDS)
     tok = df.select(
@@ -118,8 +122,7 @@ def text_analysis_frame(df, id_col: str = "doc_id", text_col: str = "text"):
         t.alias("__text"),
         F.explode(tokens(t)).alias("__tok"),
     )
-    staged = tok.groupBy(id_col).agg(
-        F.first("__text").alias("__text"),
+    staged = tok.groupBy(id_col, "__text").agg(
         F.count(F.lit(1)).alias("__n_tok"),
         *[
             F.sum(

@@ -16,7 +16,9 @@ CASES = [
     ("q6_forecast_revenue", "Pure scan-predicate query: every filter pushed to the parquet reader."),
     ("scd2_merge_orders", "The SCD2 merge: ONE full-outer join on the pk, 0-2 output rows per joined row via explode; closed history unioned back scan-only."),
     ("global_rank_leaderboard", "Two-phase global rank: range exchange, per-partition window, broadcast offsets - no full-data SinglePartition sort."),
-    ("minhash_lsh_pairs", "Shingle explode → map-side partial min per hash → band buckets → in-bucket pair explode. One shuffle for signatures, one for buckets."),
+    ("minhash_lsh_pairs", "Shingle explode → map-side partial min per hash → band table checkpointed once → size-routed pair emission: bounded collect_list for small buckets, AQE-splittable self-join for oversized ones."),
+    ("text_analysis", "Per-token work as explode + ONE hash aggregate (conditional sums + first(text)) - fully codegen, map-side partial collapses each doc before the single doc_id shuffle."),
+    ("pack_sequences_budget", "Two-phase global cumsum (range exchange, per-partition window, broadcast offsets) - no single-partition Sort/Window; sequence assignment is arithmetic + explode."),
     ("ann_lsh_bucketed", "Bucket assignment as plain sum aggregates over posexploded vectors (codegen), bucket equi-join, per-query top-k."),
     ("asof_join_events", "As-of join as union-sort: one hash shuffle, per-key window carry-forward - no nested-loop range join."),
     ("q21_waiting_suppliers", "EXISTS/NOT EXISTS decorrelated to left-semi + left-anti equi-joins."),
