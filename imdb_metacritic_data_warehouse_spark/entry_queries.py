@@ -473,6 +473,99 @@ def scd2_merge_orders(spark, sf_dir):
     )
 
 
+# Point-in-time lookup against SCD2 history — "state as of T", the
+# read every Data Vault consumer runs against the historized sats
+# (filter_latest is the T=now special case).  Probes at T0+14d see the
+# batch-1 state (keys inserted at T1 absent); probes at T1+14d see the
+# merged current state.  Equi-join on the key + interval residual; the
+# non-overlap invariant bounds matches at ≤1 per (probe, key).
+@query(
+    "pit_lookup_orders",
+    f"""
+    WITH b1 AS (
+      SELECT o_orderkey AS pk, o_orderpriority AS prio, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END AS prio,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    state1 AS (
+      SELECT pk, prio, status,
+             TIMESTAMP '{_SCD2_T0}' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM b1
+    ),
+    closed AS (
+      SELECT s.pk, s.prio, s.status, s.valid_from, TIMESTAMP '{_SCD2_T1}' AS valid_to
+      FROM state1 s LEFT JOIN b2 ON s.pk = b2.pk
+      WHERE b2.pk IS NULL
+         OR (s.prio IS DISTINCT FROM b2.prio OR s.status IS DISTINCT FROM b2.status)
+    ),
+    kept AS (
+      SELECT s.* FROM state1 s JOIN b2 ON s.pk = b2.pk
+      WHERE NOT (s.prio IS DISTINCT FROM b2.prio OR s.status IS DISTINCT FROM b2.status)
+    ),
+    inserted AS (
+      SELECT b2.pk, b2.prio, b2.status,
+             TIMESTAMP '{_SCD2_T1}' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM b2 LEFT JOIN state1 s ON b2.pk = s.pk
+      WHERE s.pk IS NULL
+         OR (s.prio IS DISTINCT FROM b2.prio OR s.status IS DISTINCT FROM b2.status)
+    ),
+    hist AS (
+      SELECT * FROM closed UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM inserted
+    ),
+    probes AS (
+      SELECT DISTINCT o_orderkey AS pk, t.ts
+      FROM orders CROSS JOIN (
+        VALUES (TIMESTAMP '2024-01-15 00:00:00'), (TIMESTAMP '2024-02-15 00:00:00')
+      ) t(ts)
+    )
+    SELECT p.pk, CAST(p.ts AS VARCHAR) AS ts, h.prio, h.status
+    FROM probes p JOIN hist h
+      ON p.pk = h.pk AND h.valid_from <= p.ts AND p.ts < h.valid_to
+    """,
+)
+def pit_lookup_orders(spark, sf_dir):
+    from .operators.snapshots import pit_join
+
+    o = _t(spark, sf_dir, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b2 = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-CHANGED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    state1 = scd2_apply(None, b1, "pk", ["prio", "status"], _SCD2_T0)
+    hist = scd2_apply(state1, b2, "pk", ["prio", "status"], _SCD2_T1)
+    probes = (
+        o.select(F.col("o_orderkey").alias("pk"))
+        .distinct()
+        .select(
+            "pk",
+            F.explode(
+                F.array(
+                    F.lit("2024-01-15 00:00:00"), F.lit("2024-02-15 00:00:00")
+                ).cast("array<timestamp>")
+            ).alias("ts"),
+        )
+    )
+    out = pit_join(probes, hist, "pk", "ts")
+    return out.select(
+        "pk", F.col("ts").cast("string").alias("ts"), "prio", "status"
+    )
+
+
 # ddl.py:551-556 — insert-only merge (hub/mart path).
 @query(
     "insert_only_merge_customers",
@@ -1722,14 +1815,31 @@ def _movie_meta_wh(spark, sf_dir) -> _ShimWarehouse:
     )
 
 
-def _actor_wh(spark, sf_dir) -> _ShimWarehouse:
+def _actor_wh(spark, sf_dir, materialize_actor: bool = False) -> _ShimWarehouse:
+    if materialize_actor:
+        # The actor bronze is the heavy input (lineitem-distinct ⋈ part
+        # ⋈ supplier): every builder that unions imdb+metacritic runs
+        # it twice, and the employee pipeline reads it from 2 builders
+        # — materialize ONCE and serve the checkpointed frame from the
+        # factories (builders reference its columns by name, never by
+        # df.attr, so the shared leaf is safe).
+        actors = _materialize(_synth_actor_raw(spark, sf_dir)[0])
+        actors_meta = actors.filter(F.col("movie_duration") % 2 == 0)
+        bronze_actor = {
+            "actor_raw_data_imdb": lambda: actors,
+            "actor_raw_data_metacritic": lambda: actors_meta,
+        }
+    else:
+        bronze_actor = {
+            "actor_raw_data_imdb": lambda: _synth_actor_raw(spark, sf_dir)[0],
+            "actor_raw_data_metacritic": lambda: _synth_actor_raw(spark, sf_dir)[1],
+        }
     return _ShimWarehouse(
         spark,
         {
             "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
             "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[1],
-            "actor_raw_data_imdb": lambda: _synth_actor_raw(spark, sf_dir)[0],
-            "actor_raw_data_metacritic": lambda: _synth_actor_raw(spark, sf_dir)[1],
+            **bronze_actor,
         },
     )
 
@@ -1998,7 +2108,12 @@ def pipeline_employee_data(spark, sf_dir):
     # plan is dropped, so back-to-back invocations (bench warm-up + 2
     # timed runs × 45 queries) don't accumulate cache entries —
     # round 2's leak (ADVICE.md) degraded every later bench query.
-    wh = _actor_wh(spark, sf_dir)
+    # materialize_actor: the bronze itself is a 3-table join read by
+    # 2 builders × 2 sources — one checkpoint removes ~3 re-executions.
+    wh = _actor_wh(spark, sf_dir, materialize_actor=True)
+    # employee_hub is read by the link builder AND the mart — one
+    # distinct-shuffle over the actor table instead of two
+    wh._stg["employee_hub"] = _materialize(wh.read("stg", "employee_hub"))
     mel = scd2_apply(
         None,
         wh.read("stg", "movie_emp_link"),
@@ -3867,11 +3982,11 @@ def incremental_mart_merge(spark, sf_dir):
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
 # Round-3 prefix: the 38 entries never checked in any round +
-# approx_sketches (r1 row was a FAIL — effectively never green), the 7
-# queries new this round (3 disk-path + 4 training ops), 3 heavy
-# queries whose plans changed this round, and 1 of the 6 r1-green-only
-# entries.  The remaining 5 r1-green entries (latest_snapshot_filter,
-# anti_join_new_keys, composite_key_join, expression_join,
+# approx_sketches (r1 row was a FAIL — effectively never green), the 8
+# queries new this round (3 disk-path + 4 training ops + PIT lookup),
+# and 3 heavy queries whose plans changed this round.  The 6 r1-green
+# entries (latest_snapshot_filter, anti_join_new_keys,
+# full_outer_snapshots, composite_key_join, expression_join,
 # union_all_counts) are unchanged since their r1 green row and rotate
 # in next round.
 _PRIORITY_PREFIX = [
@@ -3920,17 +4035,16 @@ _PRIORITY_PREFIX = [
     "warehouse_movie_data_disk",
     "warehouse_scd2_two_batch_disk",
     "warehouse_emp_link_bucketed_disk",
-    # --- new this round: training-data ops ---
+    # --- new this round: training-data ops + PIT lookup ---
     "pack_sequences_budget",
     "decontaminate_docs",
     "deterministic_global_shuffle",
     "repetition_ratio_docs",
+    "pit_lookup_orders",
     # --- plans changed this round (re-validate the rewrites) ---
     "text_analysis",
     "minhash_lsh_pairs",
     "pipeline_genre_metrics",
-    # --- r1-green-only rotation (1 of 6; rest next round) ---
-    "full_outer_snapshots",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

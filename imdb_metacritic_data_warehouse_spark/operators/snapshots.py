@@ -40,3 +40,40 @@ def filter_top_snapshots(df: DataFrame, col: str, k: int = 2) -> DataFrame:
         .drop("__rk")
     )
     return df.join(F.broadcast(snaps), on=col, how="left_semi")
+
+
+def pit_join(
+    probes: DataFrame,
+    hist: DataFrame,
+    key: str,
+    ts_col: str,
+    how: str = "inner",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2-historized table: for each
+    probe row, the version whose validity interval covers the probe
+    timestamp (``valid_from <= ts < valid_to`` — half-open, matching
+    scd2_apply's close-out where a changed row's valid_to equals the
+    successor's valid_from).
+
+    Plan shape: a plain EQUI-join on the key with the interval
+    predicate as a residual filter condition — Catalyst plans a hash /
+    sort-merge join on the key (broadcast if the probe side is small),
+    and the non-overlap invariant (tests/test_scd2.py) guarantees at
+    most one surviving version per (probe, key), so the join never
+    amplifies.  This is the "as of time T" read every Data Vault
+    consumer runs against history; ``filter_latest`` is the special
+    case T = now.
+    """
+    p = probes.alias("p")
+    h = hist.alias("h")
+    cond = (
+        (F.col(f"p.{key}") == F.col(f"h.{key}"))
+        & (F.col(f"h.{valid_from}") <= F.col(f"p.{ts_col}"))
+        & (F.col(f"p.{ts_col}") < F.col(f"h.{valid_to}"))
+    )
+    hist_cols = [
+        F.col(f"h.{c}").alias(c) for c in hist.columns if c != key
+    ]
+    return p.join(h, cond, how).select("p.*", *hist_cols)

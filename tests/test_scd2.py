@@ -102,3 +102,36 @@ def test_insert_only_merge_appends_new_keys_once(spark):
     rows = {(r.pk, r.v) for r in s2.collect()}
     # k1 keeps its ORIGINAL value (insert-only, no update); null pk inserted once
     assert rows == {("k1", "a"), ("k2", "b"), (None, "nullrow")}
+
+
+def test_pit_join_reads_history_as_of(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.scd2 import scd2_apply
+    from imdb_metacritic_data_warehouse_spark.operators.snapshots import pit_join
+    from pyspark.sql import functions as F
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "pk int, v string")
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], "pk int, v string")
+    s1 = scd2_apply(None, b1, "pk", ["v"], "2024-01-01 00:00:00")
+    hist = scd2_apply(s1, b2, "pk", ["v"], "2024-02-01 00:00:00")
+    probes = spark.createDataFrame(
+        [(pk, ts) for pk in (1, 2, 3) for ts in ("2024-01-15", "2024-02-15")],
+        "pk int, ts string",
+    ).select("pk", F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        (r.pk, str(r.ts.date())): r.v
+        for r in pit_join(probes, hist, "pk", "ts").collect()
+    }
+    assert got == {
+        (1, "2024-01-15"): "a",    # pre-change version
+        (1, "2024-02-15"): "a2",   # post-change version
+        (2, "2024-01-15"): "b",    # vanished key: only visible before close-out
+        (3, "2024-02-15"): "c",    # inserted at batch 2: invisible before
+    }
+    # left variant keeps probe rows with no covering version
+    left = pit_join(probes, hist, "pk", "ts", how="left")
+    assert left.count() == 6
+    # probe exactly AT a close-out boundary sees the successor (half-open)
+    boundary = spark.createDataFrame([(1,)], "pk int").select(
+        "pk", F.lit("2024-02-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    assert pit_join(boundary, hist, "pk", "ts").collect()[0].v == "a2"
