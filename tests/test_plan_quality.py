@@ -316,3 +316,66 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     joined = fact.join(dim, "o_orderstatus").groupBy("o_orderstatus").count()
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_text_analysis_is_hash_aggregate(spark):
+    """The per-token analysis must stay in HashAggregate: carrying text
+    as a first() AGGREGATE (not a group key) puts a string in the
+    buffer and forces the SortAggregate fallback — a sort of the whole
+    token stream (round-3 regression guard)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["text_analysis"](spark, SF_DIR))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    # interpreted higher-order functions must stay out of the hot path
+    assert "aggregate(" not in plan.lower().replace("hashaggregate", "").replace(
+        "sortaggregate", ""
+    )
+
+
+def test_lsh_pairs_band_table_materialized_once(spark):
+    """lsh_candidate_pairs must read the band table from ONE
+    materialized checkpoint (both emission paths + the size window),
+    not re-run the shingle→minhash pipeline per branch: exactly one
+    shingle explode may appear in the executed plan."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["minhash_lsh_pairs"](spark, SF_DIR))
+    assert plan.count("Scan ExistingRDD") >= 1  # the checkpointed band table
+    # the upstream pipeline ran during checkpointing, so the final plan
+    # contains no shingle/window machinery at all
+    assert "posexplode" not in plan
+
+
+def test_lsh_pairs_routes_oversized_buckets_to_join(spark):
+    """With a tiny cap every bucket takes the self-join path and the
+    pair set must be identical to the collect_list path's."""
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text shared by every doc") for i in range(8)]
+        + [(100 + i, f"unique document number {i} with its own words") for i in range(4)],
+        "doc_id long, text string",
+    )
+    small_cap = lsh_candidate_pairs(docs, "doc_id", "text", bucket_cap=2)
+    big_cap = lsh_candidate_pairs(docs, "doc_id", "text", bucket_cap=1024)
+    a = {(r.doc_a, r.doc_b) for r in small_cap.collect()}
+    b = {(r.doc_a, r.doc_b) for r in big_cap.collect()}
+    assert a == b
+    # the 8 identical docs form one bucket → all 28 pairs found
+    assert {(i, j) for i in range(8) for j in range(i + 1, 8)} <= a
+
+
+def test_pack_sequences_cumsum_is_two_phase(spark):
+    """The packing cumsum must not funnel the table through a single
+    task: no Window over an empty partition spec on the data path (the
+    per-partition offsets window touches one row per partition and is
+    the only SinglePartition stage)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["pack_sequences_budget"](spark, SF_DIR))
+    assert "rangepartitioning" in plan  # phase 1: range repartition
+    assert "SPARK_PARTITION_ID()" in plan  # phase 2: local windows + offsets
