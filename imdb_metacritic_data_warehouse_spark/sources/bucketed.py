@@ -119,6 +119,20 @@ class BucketedVersionedTable:
         import os
 
         v = (self.current_version() or 0) + 1
+        # A managed table's files can outlive its catalog entry: the
+        # session catalog is in-memory (no Hive metastore here), so a
+        # new session over an old warehouse dir sees no table but a
+        # populated location, and saveAsTable fails with
+        # LOCATION_ALREADY_EXISTS.  Reconcile: drop any catalog entry,
+        # then clear the stale location before writing this version.
+        import shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._vname(v)}")
+        wdir = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wdir, f"{self.database}.db", f"{self.name}_v{v}")
+        shutil.rmtree(loc, ignore_errors=True)
         write_bucketed(
             df, self._vname(v), self.bucket_key, self.num_buckets,
             partition_by=partition_by,

@@ -90,3 +90,37 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: deterministic sharded JSONL.
+
+    Each row lands in shard ``crc32(md5(id||salt)) % n_shards`` —
+    content-addressed, so re-exports and retried tasks produce
+    IDENTICAL shard assignments (no ``rand()``, no partition-index
+    dependence), and downstream loaders can reproduce the mapping from
+    the id alone.  ``repartition(n_shards, shard)`` makes each output
+    file one shard; the salted md5 is uniform so shards are balanced
+    regardless of id distribution.  Written as ``part-*`` JSON-lines
+    files partitioned by the ``shard`` column for path-level pruning.
+    """
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.crc32(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))))
+        % n_shards
+    ).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )

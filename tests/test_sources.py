@@ -120,3 +120,29 @@ def test_python_datasource_synthetic_events(spark):
     assert df.exceptAll(df2).count() == 0
     users = df.select("user_id").distinct().count()
     assert users == 10
+
+
+def test_export_jsonl_shards_deterministic_and_balanced(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.sources.connectors import (
+        export_jsonl_shards,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    export_jsonl_shards(df, p1, 8, "doc_id", salt="v1")
+    export_jsonl_shards(df, p2, 8, "doc_id", salt="v1")
+
+    back = spark.read.json(p1)
+    assert back.count() == 2000
+    sizes = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2 * min(sizes.values())  # salted md5 balance
+
+    # deterministic: identical shard assignment across exports
+    a = {(r.doc_id, r.shard) for r in back.collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.json(p2).collect()}
+    assert a == b
