@@ -2623,6 +2623,31 @@ def repetition_ratio_docs(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+# Unigram-LM quality scoring: mean −ln p(token) under the corpus's own
+# empirical unigram distribution — the cheap perplexity proxy used to
+# rank documents before an expensive LM filter.  The token rows are
+# deliberately scanned twice (vocab pass + scoring pass): at 100 TB,
+# re-scanning a column-pruned token stream beats materializing it.
+@query(
+    "unigram_logprob_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tc FROM tok GROUP BY t),
+    total AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM vocab)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(-ln(CAST(tc AS DOUBLE) / tt)), 6) AS avg_neg_logprob
+    FROM tok JOIN vocab USING (t) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_docs(spark, sf_dir):
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",
@@ -3982,13 +4007,14 @@ def incremental_mart_merge(spark, sf_dir):
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
 # Round-3 prefix: the 38 entries never checked in any round +
-# approx_sketches (r1 row was a FAIL — effectively never green), the 8
-# queries new this round (3 disk-path + 4 training ops + PIT lookup),
-# and 3 heavy queries whose plans changed this round.  The 6 r1-green
-# entries (latest_snapshot_filter, anti_join_new_keys,
-# full_outer_snapshots, composite_key_join, expression_join,
-# union_all_counts) are unchanged since their r1 green row and rotate
-# in next round.
+# approx_sketches (r1 row was a FAIL — effectively never green), the 9
+# queries new this round (3 disk-path + 5 training ops + PIT lookup),
+# and 2 of the 3 heavy queries whose plans changed this round
+# (minhash_lsh_pairs, pipeline_genre_metrics — the riskier semantic
+# rewrites).  text_analysis (changed, locally oracle-green at two SFs
+# + plan-gated) and the 6 r1-green entries (latest_snapshot_filter,
+# anti_join_new_keys, full_outer_snapshots, composite_key_join,
+# expression_join, union_all_counts) rotate in next round.
 _PRIORITY_PREFIX = [
     # --- never driver-checked in any round (r1∪r2 gap) ---
     "events_variant_stats",
@@ -4041,8 +4067,8 @@ _PRIORITY_PREFIX = [
     "deterministic_global_shuffle",
     "repetition_ratio_docs",
     "pit_lookup_orders",
+    "unigram_logprob_docs",
     # --- plans changed this round (re-validate the rewrites) ---
-    "text_analysis",
     "minhash_lsh_pairs",
     "pipeline_genre_metrics",
 ]

@@ -225,6 +225,35 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text", n: int 
     )
 
 
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-statistics quality signal: each document's mean unigram
+    negative log-probability under the corpus's own empirical unigram
+    distribution (the cheap perplexity proxy data pipelines use to
+    rank documents before an LM-based filter; outliers = gibberish or
+    off-distribution text).
+
+    Two aggregates over one token explode: (1) corpus token counts
+    (groupBy token — uniform keys, map-side partials), (2) per-doc
+    mean of −ln(count/total) after an equi-join of the token rows with
+    the count table.  The vocabulary is Zipf-small relative to the
+    corpus (≤ millions of rows at 100 TB) so Catalyst broadcasts it;
+    the scalar total rides a 1-row broadcast like every uncorrelated
+    scalar subquery here.  Output: (doc_id, n_tokens, avg_neg_logprob).
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tc"))
+    total = vocab.agg(F.sum("tc").alias("__total"))
+    scored = (
+        tok.join(vocab, "t")
+        .join(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("tc") / F.col("__total"))).alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); fewer than ``n`` words →
     one shingle of the whole text.
