@@ -104,3 +104,31 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[2].max_gram_count == 1
     assert out[3].n_grams == 1 and out[3].repetition_ratio == 1.0
     assert out[1].repetition_ratio > out[2].repetition_ratio
+
+
+def test_pack_sequences_property_invariants(spark):
+    """Property check over a randomized-but-seeded corpus: every
+    sequence holds ≤ budget tokens, every sequence except the last is
+    exactly full (concat-and-cut leaves no internal gaps), per-doc
+    token totals are preserved, and each doc starts in exactly one
+    sequence."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, rng.randint(1, 300)) for i in range(1, 400)]
+    budget = 257
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    out = pack_sequences(df, "doc_id", "n", budget=budget).collect()
+
+    per_seq, per_doc, starts = {}, {}, {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.tokens_in_seq
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tokens_in_seq
+        starts[r.doc_id] = starts.get(r.doc_id, 0) + int(r.starts_here)
+        assert r.tokens_in_seq > 0
+    assert per_doc == dict(rows)
+    assert all(v == 1 for v in starts.values())
+    last = max(per_seq)
+    assert all(per_seq[s] == budget for s in per_seq if s != last)
+    assert 0 < per_seq[last] <= budget
+    assert set(per_seq) == set(range(last + 1))  # contiguous sequence ids
