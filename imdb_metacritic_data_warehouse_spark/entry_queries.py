@@ -2430,7 +2430,20 @@ def salted_groupby_events(spark, sf_dir):
 @query("multimodal_features")
 def multimodal_features(spark, sf_dir):
     media = attach_media(_t(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    # flatten the feature vector to scalars for the gate: the driver's
+    # canonicalizer cannot sort list cells (round-1 approx_sketches
+    # failure) — keep query outputs scalar even on rows-only checks
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
 
 
 # IVF ANN — k-means cell pruning (the other scale path next to LSH);
