@@ -613,6 +613,10 @@ from .operators.text import STOPWORDS, TOKEN_REGEX  # noqa: E402
 
 _NORM_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
+from .operators.dedup import minhash_sig_sql  # noqa: E402
+
+_MINHASH_SIG_SQL = minhash_sig_sql()
+
 
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -726,8 +730,7 @@ def _minhash_corpus(spark, sf_dir):
     WITH {_MINHASH_CORPUS_SQL},
     sig AS (
       SELECT doc_id,
-        list_transform(range(0, 12),
-          j -> list_min(list_transform(shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+        {_MINHASH_SIG_SQL} AS sig
       FROM sh
     ),
     banded AS (
@@ -2833,8 +2836,7 @@ from .operators.dedup import connected_components  # noqa: E402
     WITH RECURSIVE {_MINHASH_CORPUS_SQL},
     sig AS (
       SELECT doc_id,
-        list_transform(range(0, 12),
-          j -> list_min(list_transform(shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+        {_MINHASH_SIG_SQL} AS sig
       FROM sh
     ),
     banded AS (
@@ -3795,8 +3797,7 @@ def q11_important_suppliers(spark, sf_dir):
     WITH RECURSIVE {_MINHASH_CORPUS_SQL},
     sig AS (
       SELECT doc_id,
-        list_transform(range(0, 12),
-          j -> list_min(list_transform(shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+        {_MINHASH_SIG_SQL} AS sig
       FROM sh
     ),
     banded AS (

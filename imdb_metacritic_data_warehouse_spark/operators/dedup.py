@@ -42,25 +42,76 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# One md5 per shingle, H derived permutations: the md5 per
+# (shingle, j) it replaces was H× the md5 work and dominated the
+# signature-stage CPU at volume (measured: the LSH pipeline on a
+# 16×-replicated sf0.1 corpus spent most of its 14.8s there).  The
+# family is 2-universal multiply-add over the two 32-bit md5 halves,
+# g_j = (a_j·hi + b_j·lo + c_j) mod (2^61−1), with per-j SEEDED random
+# coefficients — a plain Kirsch-Mitzenmacher h1 + j·h2 was measured to
+# inflate band-collision false positives ~4× (the argmin shingle is
+# shared across j through h1; proper per-j multipliers break that).
+# a_j, b_j < 2^29 keep every product under 2^61 and the 3-term sum
+# under 2^63 (signed-64 safe — DuckDB evaluates the identical
+# expression on '0x…'::BIGINT hex parses, so the oracle stays
+# value-exact).
+MINHASH_MOD = 2305843009213693951  # 2^61 - 1
+_COEFF_RND = __import__("random").Random(0x5EED5)
+MINHASH_COEFFS: list[tuple[int, int, int]] = [
+    (
+        _COEFF_RND.randrange(1, 1 << 29) | 1,
+        _COEFF_RND.randrange(1, 1 << 29) | 1,
+        _COEFF_RND.randrange(0, MINHASH_MOD),
+    )
+    for _ in range(64)
+]
+
+
 def _minhash_cols(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int
 ) -> DataFrame:
-    """MinHash as shingle-rows → groupBy-min: one row per shingle, ``H``
-    md5 columns, map-side partial min then one shuffle of H short
-    strings per doc.  (A nested arrays-of-arrays formulation recomputes
-    the whole shingle pipeline once per downstream use and overwhelms
-    codegen — measured 20× slower; rows + aggregate is the plan that
-    scales.)  Output: doc_id, h0..h{H-1}."""
+    """MinHash as shingle-rows → groupBy-min: one row per shingle, one
+    md5, ``H`` multiply-add derived hashes, map-side partial min then
+    one shuffle of H longs per doc.  (A nested arrays-of-arrays
+    formulation recomputes the whole shingle pipeline once per
+    downstream use and overwhelms codegen — measured 20× slower; rows
+    + aggregate is the plan that scales.)  Output: doc_id, h0..h{H-1}
+    (bigint)."""
     sh = shingle_rows(df, id_col, text_col)
+    md5 = F.md5(F.col("s"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    based = sh.select("doc_id", hi.alias("__hi"), lo.alias("__lo"))
     hashes = [
-        F.md5(F.concat(F.col("s"), F.lit(f"#{j}"))).alias(f"h{j}")
-        for j in range(num_hashes)
+        (
+            (
+                F.lit(a) * F.col("__hi") + F.lit(b) * F.col("__lo") + F.lit(c)
+            )
+            % MINHASH_MOD
+        ).alias(f"h{j}")
+        for j, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     return (
-        sh.select("doc_id", *hashes)
+        based.select("doc_id", *hashes)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)])
     )
+
+
+def minhash_sig_sql(shingles_expr: str = "shingles", num_hashes: int = 12) -> str:
+    """The DuckDB twin of ``_minhash_cols``'s hash family as a
+    list-valued SQL expression (used by the oracle queries so engine
+    and oracle share ONE set of coefficients)."""
+    hi = "CAST(CONCAT('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+    lo = "CAST(CONCAT('0x', substr(md5(s), 9, 8)) AS BIGINT)"
+    parts = [
+        (
+            f"list_min(list_transform({shingles_expr}, "
+            f"s -> ({a} * {hi} + {b} * {lo} + {c}) % {MINHASH_MOD}))"
+        )
+        for a, b, c in MINHASH_COEFFS[:num_hashes]
+    ]
+    return "list_value(" + ", ".join(parts) + ")"
 
 
 def minhash_signatures(
