@@ -132,3 +132,37 @@ def test_pack_sequences_property_invariants(spark):
     assert all(per_seq[s] == budget for s in per_seq if s != last)
     assert 0 < per_seq[last] <= budget
     assert set(per_seq) == set(range(last + 1))  # contiguous sequence ids
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty corpus / empty benchmark / empty history must produce
+    empty (or full) results, not errors — the degenerate inputs every
+    scheduled pipeline eventually feeds its operators."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from imdb_metacritic_data_warehouse_spark.operators.snapshots import pit_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+
+    assert pack_sequences(empty_docs.select("doc_id", F.lit(1).alias("n")),
+                          "doc_id", "n", 128).count() == 0
+    assert deterministic_shuffle(empty_docs, "doc_id", "s").count() == 0
+    assert lsh_candidate_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert repetition_stats(empty_docs).count() == 0
+    # empty benchmark: nothing is contaminated
+    assert decontaminate(docs, empty_docs, "doc_id", "text").count() == 1
+    # empty corpus against a benchmark: nothing survives, nothing errors
+    assert decontaminate(empty_docs, docs, "doc_id", "text").count() == 0
+    # empty history: inner pit drops all probes, left keeps them
+    hist = spark.createDataFrame(
+        [], "pk int, v string, valid_from timestamp, valid_to timestamp"
+    )
+    probes = spark.createDataFrame([(1,)], "pk int").select(
+        "pk", F.lit("2024-01-15").cast("timestamp").alias("ts")
+    )
+    assert pit_join(probes, hist, "pk", "ts").count() == 0
+    assert pit_join(probes, hist, "pk", "ts", how="left").count() == 1
