@@ -16,8 +16,10 @@ Scale design: every variant avoids the O(n²) all-pairs comparison.
   explode shingles, count intersections group-wise; never materializes
   full cross products.
 
-Determinism/parity: all hashing is md5 (identical hex in DuckDB), so
-every stage has an exact SQL oracle.
+Determinism/parity: all base hashing is md5 (identical hex in DuckDB;
+minhash derives its H permutations from one md5 via a seeded
+2-universal family shared with the oracle), so every stage has an
+exact SQL oracle.
 """
 
 from __future__ import annotations
@@ -117,9 +119,10 @@ def minhash_sig_sql(shingles_expr: str = "shingles", num_hashes: int = 12) -> st
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = MINHASH_HASHES
 ) -> DataFrame:
-    """Per-document MinHash signature: ``minhash_j = min(md5(shingle
-    || '#' || j))`` over word-3-gram shingles.  md5-as-permutation keeps
-    the sketch reproducible in any engine."""
+    """Per-document MinHash signature: ``minhash_j = min over shingles
+    of g_j(md5(shingle))`` with the 2-universal multiply-add family
+    above, over word-3-gram shingles.  md5-as-base-hash keeps the
+    sketch reproducible in any engine."""
     cols = _minhash_cols(df, id_col, text_col, num_hashes)
     return cols.select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
@@ -433,3 +436,28 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def lsh_params(
+    threshold: float, max_hashes: int = 128
+) -> tuple[int, int]:
+    """Pick (num_hashes, bands) for a target Jaccard threshold.
+
+    A banding scheme with b bands of r rows fires on a pair of
+    similarity s with probability 1 − (1 − s^r)^b; its S-curve
+    midpoint sits near (1/b)^(1/r).  Minimize |midpoint − threshold|
+    over factorizations b·r ≤ max_hashes (standard MMDS §3.4 recipe),
+    preferring more hashes on ties (sharper curve).  Returns
+    (num_hashes, bands) ready for ``lsh_candidate_pairs``.
+
+    >>> lsh_params(0.8, 16)
+    (16, 4)
+    """
+    best = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            mid = (1.0 / b) ** (1.0 / r)
+            key = (abs(mid - threshold), -(b * r))
+            if best is None or key < best[0]:
+                best = (key, (b * r, b))
+    return best[1]

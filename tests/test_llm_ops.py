@@ -390,3 +390,18 @@ def test_wav_roundtrip_and_audio_stats(spark):
     s2 = got[2]
     assert (s2.n_channels, s2.n_samples) == (2, 4000)
     assert got[99].sample_rate is None and got[99].rms is None
+
+
+def test_lsh_params_midpoint_tracks_threshold():
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import lsh_params
+
+    for thr in (0.5, 0.7, 0.8, 0.9):
+        n, b = lsh_params(thr, 64)
+        r = n // b
+        assert n <= 64 and n == b * r
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - thr) < 0.08  # S-curve midpoint near the target
+    # a higher threshold wants fewer bands relative to rows (AND-heavy)
+    n_lo, b_lo = lsh_params(0.5, 64)
+    n_hi, b_hi = lsh_params(0.95, 64)
+    assert (n_hi // b_hi) >= (n_lo // b_lo)
