@@ -2643,6 +2643,35 @@ def repetition_ratio_docs(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+# Sliding-window chunking (the RAG / long-context splitter): chunk c
+# covers words [c·stride, c·stride+size); overlap = size − stride.
+# Zero-shuffle: split once, arithmetic chunk count, explode + slice +
+# array_join all inside whole-stage codegen.
+@query(
+    "chunk_documents_sliding",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, words,
+             CAST(ceil(greatest(len(words) - 64, 0) / 48.0) AS INTEGER) + 1 AS n_chunks
+      FROM tok
+    )
+    SELECT doc_id, g.c AS chunk_id,
+           CAST(len(words[g.c * 48 + 1 : g.c * 48 + 64]) AS INTEGER) AS n_words,
+           array_to_string(words[g.c * 48 + 1 : g.c * 48 + 64], ' ') AS chunk_text
+    FROM counted, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS c
+    ) g
+    """,
+)
+def chunk_documents_sliding(spark, sf_dir):
+    from .operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
+
+
 # Unigram-LM quality scoring: mean −ln p(token) under the corpus's own
 # empirical unigram distribution — the cheap perplexity proxy used to
 # rank documents before an expensive LM filter.  The token rows are

@@ -225,6 +225,54 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text", n: int 
     )
 
 
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+):
+    """Sliding-window document chunking (the RAG / long-context
+    pretraining splitter): chunk c of a document covers word positions
+    [c·stride, c·stride + chunk_size); stride < chunk_size gives
+    overlapping chunks, the final chunk may be short, and a document
+    shorter than chunk_size yields exactly one chunk.
+
+    Plan shape: ONE split per document, chunk count by arithmetic,
+    ``explode(sequence(...))`` over chunk indices, then ``slice`` +
+    ``array_join`` per chunk — slice/array_join are ordinary codegen
+    expressions (not interpreted higher-order lambdas), so the whole
+    operator is a zero-shuffle scan: output rows stream straight out
+    of whole-stage codegen.  Contrast with ``pack_sequences`` (global
+    concat-and-cut): chunking is per-document, so no global prefix
+    state and no exchange at any scale.
+    Output: (id, chunk_id, n_words, chunk_text).
+    """
+    if not (0 < stride <= chunk_size):
+        raise ValueError("need 0 < stride <= chunk_size")
+    words = tokens(F.col(text_col))
+    n = F.size(words)
+    # with n words, last chunk start is the largest multiple of stride
+    # still < n after the first full window: ceil(max(n - size, 0)/stride)
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(chunk_size), F.lit(0)) / F.lit(stride)) + 1
+    ).cast("int")
+    chunked = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("__w"), F.col("chunk_id") * stride + 1, chunk_size
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(sliced).alias("n_words"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
 def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus-statistics quality signal: each document's mean unigram
     negative log-probability under the corpus's own empirical unigram

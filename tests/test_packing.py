@@ -166,3 +166,33 @@ def test_new_operators_handle_empty_inputs(spark):
     )
     assert pit_join(probes, hist, "pk", "ts").count() == 0
     assert pit_join(probes, hist, "pk", "ts", how="left").count() == 1
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 words, 2 chunks
+            (2, "short doc"),                            # < size → 1 chunk
+            (3, " ".join(f"x{i}" for i in range(8))),   # exactly size → 1 chunk
+        ],
+        "doc_id int, text string",
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk_size=8, stride=4).collect()}
+    assert {(d, c) for d, c in out} == {(1, 0), (1, 1), (2, 0), (3, 0)}
+    c0, c1 = out[(1, 0)], out[(1, 1)]
+    assert c0.n_words == 8 and c0.chunk_text.startswith("w0 ")
+    assert c1.n_words == 6 and c1.chunk_text.startswith("w4 ")  # overlap of 4
+    # overlap region identical in both chunks
+    assert c0.chunk_text.split()[4:] == c1.chunk_text.split()[:4]
+    assert out[(2, 0)].n_words == 2
+    assert out[(3, 0)].n_words == 8
+    # every word of doc 1 appears in at least one chunk
+    covered = set(c0.chunk_text.split()) | set(c1.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, stride=0)
