@@ -4059,9 +4059,11 @@ def incremental_mart_merge(spark, sf_dir):
 # and 2 of the 3 heavy queries whose plans changed this round
 # (minhash_lsh_pairs, pipeline_genre_metrics — the riskier semantic
 # rewrites).  text_analysis (changed, locally oracle-green at two SFs
-# + plan-gated) and the 6 r1-green entries (latest_snapshot_filter,
+# + plan-gated), the 6 r1-green entries (latest_snapshot_filter,
 # anti_join_new_keys, full_outer_snapshots, composite_key_join,
-# expression_join, union_all_counts) rotate in next round.
+# expression_join, union_all_counts), and chunk_documents_sliding
+# (added after the prefix filled; locally oracle-green at both SFs)
+# rotate in next round.
 _PRIORITY_PREFIX = [
     # --- never driver-checked in any round (r1∪r2 gap) ---
     "events_variant_stats",
