@@ -71,6 +71,25 @@ HEADLINE = [
 ]
 
 
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the optimized logical plan, so a bench regression
+    can be attributed: same fingerprint + slower time = host noise; new
+    fingerprint = the plan actually changed.  Normalizes the volatile
+    bits (expression ids `#123`, plan ids, temp paths, in-memory RDD
+    numbers) out of `explain` output before hashing.
+    """
+    import hashlib
+    import re
+
+    raw = df._jdf.queryExecution().optimizedPlan().toString()
+    norm = re.sub(r"#\d+", "#", raw)
+    norm = re.sub(r"\[plan_id=\d+\]", "", norm)
+    norm = re.sub(r"file:[^\s,\]]+", "file:", norm)
+    norm = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[]", norm)
+    norm = re.sub(r"LogicalRDD \[[^\]]*\]", "LogicalRDD []", norm)
+    return hashlib.md5(norm.encode()).hexdigest()[:12]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -92,6 +111,7 @@ def main():
     # ±1-2s host/GC noise (one observed run was 3× off on untouched
     # queries); the min is the standard noise-robust latency estimate
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
@@ -99,9 +119,14 @@ def main():
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        try:
+            plans[name] = _plan_fingerprint(df)
+        except Exception:
+            plans[name] = "err"
         timings[name] = round(best, 3)
         total += timings[name]
 
@@ -112,6 +137,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "plan_fingerprints": plans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
