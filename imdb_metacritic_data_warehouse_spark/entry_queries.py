@@ -2697,6 +2697,350 @@ def unigram_logprob_docs(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+# BM25 lexical retrieval scoring — the classic relevance baseline (the
+# lexical half of hybrid search, next to cosine_topk).  Global stats
+# (N, avgdl, per-term doc frequency) come from ONE corpus aggregate
+# broadcast back; per-doc term frequencies are the codegen
+# array_remove size-delta; per-term contributions sum in literal order
+# so the doubles are bit-identical across engines.
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+@query(
+    "bm25_docs",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, len(w) AS dl,
+             {", ".join(f"len(w) - len(list_filter(w, x -> x != '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id, CAST(dl AS INTEGER) AS n_tokens,
+             round({" + ".join(
+                 f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+                 f" * ((CAST(tf{i} AS DOUBLE) * 2.2) / (CAST(tf{i} AS DOUBLE)"
+                 f" + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+                 for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+      FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, n_tokens, bm25 FROM scored WHERE bm25 > 0
+    """,
+)
+def bm25_docs(spark, sf_dir):
+    from .operators.text import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# Cross-document duplication audit: share of each doc's DISTINCT word
+# 5-grams that occur in ≥2 documents.  Runs on the minhash corpus
+# (base docs + mutated near-dup variants) so the signal is non-vacuous:
+# variants share almost all 5-grams with their base.
+@query(
+    "dup_ngram_fraction_docs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz yy xx' FROM documents WHERE doc_id % 25 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 3),
+                                 i -> array_to_string(words[i:i+4], ' '))
+        END AS shingles
+      FROM tok
+    ),
+    dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+    gdf AS (SELECT s, COUNT(*) AS gd FROM dsh GROUP BY s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN gd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+           round(CAST(SUM(CASE WHEN gd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM dsh JOIN gdf USING (s)
+    GROUP BY doc_id
+    """,
+)
+def dup_ngram_fraction_docs(spark, sf_dir):
+    from .operators.text import duplicated_ngram_fraction
+
+    return duplicated_ngram_fraction(_minhash_corpus(spark, sf_dir), n=5)
+
+
+# Partial-contamination score: fraction of each doc's distinct 5-grams
+# found anywhere in a synthetic benchmark built by EMBEDDING mid-spans
+# of every 9th document — the graded complement to decontaminate_docs'
+# whole-document fingerprint anti-join.
+@query(
+    "contamination_ngram_docs",
+    """
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    bench AS (
+      SELECT array_to_string(words[4:33], ' ') AS text FROM tok WHERE doc_id % 9 = 0
+    ),
+    btok AS (SELECT string_split(lower(text), ' ') AS words FROM bench),
+    bsh AS (
+      SELECT CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 3),
+                                 i -> array_to_string(words[i:i+4], ' '))
+        END AS shingles
+      FROM btok
+    ),
+    bset AS (SELECT DISTINCT unnest(shingles) AS s FROM bsh),
+    csh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 3),
+                                 i -> array_to_string(words[i:i+4], ' '))
+        END AS shingles
+      FROM tok
+    ),
+    dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM csh)
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bench_hits,
+           round(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_frac
+    FROM dsh d LEFT JOIN bset b USING (s)
+    GROUP BY d.doc_id
+    """,
+)
+def contamination_ngram_docs(spark, sf_dir):
+    from .operators.text import contamination_overlap, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 9 == 0).select(
+        F.array_join(F.slice(tokens(F.col("text")), 4, 30), " ").alias("text")
+    )
+    return contamination_overlap(d, bench, n=5)
+
+
+# Deployed quality classifier: fixed-weight logistic model over four
+# engineered signals (token count, punct ratio, en-stopword rate,
+# top-bigram repetition) — the engine-side form of a linear quality
+# filter; weights are plan literals.
+@query(
+    "quality_logit_docs",
+    """
+    WITH tok AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)),
+                                 i -> array_to_string(w[i:i+1], ' '))
+        END) AS s
+      FROM tok
+    ),
+    per_gram AS (SELECT doc_id, s, COUNT(*) AS c FROM grams GROUP BY doc_id, s),
+    rep AS (
+      SELECT doc_id,
+             round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS repetition_ratio
+      FROM per_gram GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS ntok,
+             CASE WHEN len(text) > 0 THEN
+               (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE))
+                 / CAST(len(text) AS DOUBLE)
+             ELSE 0.0 END AS punct,
+             CASE WHEN len(w) > 0 THEN
+               CAST((len(w) - len(list_filter(w, x -> x != 'the')))
+                  + (len(w) - len(list_filter(w, x -> x != 'a')))
+                  + (len(w) - len(list_filter(w, x -> x != 'and')))
+                  + (len(w) - len(list_filter(w, x -> x != 'of')))
+                  + (len(w) - len(list_filter(w, x -> x != 'to')))
+                  + (len(w) - len(list_filter(w, x -> x != 'in')))
+                  + (len(w) - len(list_filter(w, x -> x != 'is')))
+                  + (len(w) - len(list_filter(w, x -> x != 'it'))) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE)
+             ELSE 0.0 END AS stop
+      FROM tok
+    )
+    SELECT f.doc_id,
+           round(-1.0 + 0.02 * ntok - 3.0 * punct + 4.0 * stop - 2.0 * repetition_ratio, 6) AS logit,
+           round(1.0 / (1.0 + exp(-(-1.0 + 0.02 * ntok - 3.0 * punct + 4.0 * stop - 2.0 * repetition_ratio))), 6) AS quality_prob
+    FROM feats f JOIN rep USING (doc_id)
+    """,
+)
+def quality_logit_docs(spark, sf_dir):
+    from .operators.text import quality_logit_score
+
+    return quality_logit_score(_t(spark, sf_dir, "documents"))
+
+
+# Temperature-0.5 language rebalancing: data-derived per-stratum keep
+# rates (√(min/count)), deterministic hash-bucket membership — the
+# corpus-mixing step of dataset assembly.  The kept SET is
+# engine-portable because √ and the bucket floor are correctly rounded.
+@query(
+    "balanced_resample_docs",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000) AS INTEGER) AS th
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < th
+    """,
+)
+def balanced_resample_docs(spark, sf_dir):
+    from .operators.sampling import balanced_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return balanced_resample(d, "doc_id", "lang").select("doc_id", "lang")
+
+
+# Embedding diagnostics: cosine of every vector to its own label's
+# centroid + in-label outlier rank (ascending cosine) — the mislabel /
+# off-cluster audit.  Centroid elements are ORDER-STABLE sums (fold in
+# vec_id order) so both engines build bit-identical centroids.
+@query(
+    "embedding_centroid_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS x,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    ),
+    elem AS (
+      SELECT label, pos,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(x AS DOUBLE) ORDER BY vec_id)),
+                         (a, b) -> a + b) / COUNT(*) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM elem GROUP BY label
+    ),
+    cent2 AS (
+      SELECT label, cv, list_dot_product(cv, cv) AS cc FROM cent
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(c.cc)),
+                   6) AS cos_centroid
+      FROM embeddings e JOIN cent2 c USING (label)
+    )
+    SELECT vec_id, label, cos_centroid,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) AS INTEGER)
+             AS outlier_rank
+    FROM scored
+    """,
+)
+def embedding_centroid_outliers(spark, sf_dir):
+    from .operators.similarity import centroid_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(e).select(
+        "vec_id", "label", "cos_centroid", F.col("outlier_rank").cast("int").alias("outlier_rank")
+    )
+
+
+# TPC-H Q9 shape (product-type profit): 4-dim join chain + expression
+# aggregate grouped by (nation, year).  No partsupp table in the
+# testdata star — supply cost is proxied as 0.6·p_retailprice, which
+# preserves the shape (profit = revenue − cost·qty).  All dimension
+# joins broadcast; one shuffle on the final groupBy.
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(
+             CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(9,0))
+           ), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - F.lit(
+        "0.6"
+    ).cast("decimal(2,1)") * _dec("p_retailprice") * F.col("l_quantity").cast(
+        "decimal(9,0)"
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+# TPC-H Q17 shape (small-quantity revenue): correlated avg-per-part
+# subquery decorrelated into a pre-aggregate + broadcast join back
+# onto the fact — the canonical "filter a fact by its own per-key
+# aggregate" plan.  Reported per brand to keep the result non-scalar.
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS qlim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem
+    JOIN pa   USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO' AND l_quantity < qlim
+    GROUP BY p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qlim")
+    )
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .groupBy("p_brand")
+        .agg(
+            (F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",

@@ -49,6 +49,39 @@ def stratified_sample(
     return df.filter(expr if expr is not None else F.lit(False))
 
 
+def balanced_resample(df: DataFrame, id_col: str, strata_col: str) -> DataFrame:
+    """Temperature-0.5 stratum rebalancing (the domain/language mixing
+    step of corpus assembly): expected kept rows per stratum become
+    proportional to √count instead of count, damping the head stratum
+    without flattening to uniform — keep_rate(s) = √(min_count /
+    count_s), so the rarest stratum keeps everything.
+
+    Unlike ``stratified_sample`` the rates are DATA-DERIVED (one
+    stratum-count aggregate, broadcast back — strata are few by
+    definition) yet still deterministic: membership is the same
+    content-hash bucket test.  √ of an exact integer ratio is correctly
+    rounded in IEEE 754, and the bucket threshold floors it — both
+    engines compute bit-identical thresholds, so the kept SET (not just
+    aggregates of it) is engine-portable.  One aggregate + one
+    broadcast join + one filter: scan-scale at 100 TB."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    min_count = counts.agg(F.min("__cnt").alias("__min"))
+    rates = counts.join(F.broadcast(min_count)).select(
+        strata_col,
+        F.floor(
+            F.sqrt(F.col("__min").cast("double") / F.col("__cnt").cast("double"))
+            * F.lit(_BUCKETS)
+        )
+        .cast("int")
+        .alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(F.col(id_col)) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str, weights: dict[str, float]
 ) -> dict[str, DataFrame]:

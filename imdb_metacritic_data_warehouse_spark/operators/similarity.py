@@ -308,6 +308,78 @@ def _sign_buckets(
     return tb.join(vecs, "vec_id")
 
 
+def centroid_outliers(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding diagnostics: cosine of every vector to its own label's
+    centroid, plus an in-label outlier rank (ascending cosine) — the
+    standard audit for mislabeled / off-cluster rows before embeddings
+    feed a training mix.
+
+    Plan shape: centroid elements come from ONE ``posexplode`` +
+    groupBy(label, pos) — but each element must be an ORDER-STABLE sum
+    (a plain ``avg`` accumulates in partition order, which differs
+    between engines and runs, and a last-ulp drift here would move
+    every downstream cosine): values fold left-to-right sorted by
+    vec_id via ``array_sort(collect_list(struct(...)))``.  Centroid
+    groups are |labels|·dims — tiny — so the collect_list is bounded by
+    rows-per-label, and the rebuilt centroid table broadcasts to the
+    per-vector cosine join.  Centroid self-norms are computed once in
+    the centroid frame, not per pair (the ``embedding_neardup`` norm
+    lesson).  Output: (vec_id, label, cos_centroid, outlier_rank)."""
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    # order-stable mean: fold doubles sorted by vec_id, then divide once
+    elem = ex.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("vec_id").alias("vec_id"),
+                            F.col("x").cast("double").alias("x"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            )
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = (
+        elem.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select("label", "cv", _dot(F.col("cv"), F.col("cv")).alias("cc"))
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("v"),
+    )
+    scored = vecs.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(F.col("cc"))),
+            6,
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return scored.withColumn("outlier_rank", F.row_number().over(w))
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -302,6 +302,194 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bm25_scores(
+    df,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every document against a literal term list —
+    the classic lexical retrieval scorer (the baseline half of hybrid
+    search next to ``cosine_topk``).
+
+    Plan shape: ONE corpus aggregate computes every global statistic
+    the formula needs (N, Σdl for avgdl, and one document-frequency
+    count per term as a conditional sum) — a single-row broadcast that
+    joins back onto a second scan of the corpus where per-document term
+    frequencies come from the codegen ``array_remove`` size-delta trick
+    (``stopword_hits``).  No explode, no shuffle on the big side: two
+    column-pruned scans + one 1-row broadcast at any scale.
+
+    Determinism: tf/dl/df are exact integers; avgdl is an exact integer
+    sum divided once; idf is ln of an exact rational; the per-term
+    contributions sum in fixed literal order — bit-identical doubles on
+    any engine.  Output: (id, n_tokens, bm25) for docs matching ≥1 term.
+    """
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks)
+    tf = {t: dl - F.size(F.array_remove(toks, t)) for t in terms}
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dl).alias("__sumdl"),
+        *[
+            F.sum(F.when(tf[t] > 0, 1).otherwise(0)).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / n
+    score = None
+    for i, t in enumerate(terms):
+        df_t = F.col(f"__df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+        tf_d = tf[t].cast("double")
+        contrib = idf * (
+            tf_d
+            * F.lit(k1 + 1.0)
+            / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl))
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        df.join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            dl.alias("n_tokens"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0)
+    )
+
+
+def duplicated_ngram_fraction(df, id_col: str = "doc_id", text_col: str = "text", n: int = 5):
+    """Cross-document duplication score: the share of a document's
+    DISTINCT word n-grams that also occur in at least one other
+    document (the corpus-level boilerplate signal used to audit a
+    dedup pass — near-1 documents are templated/copied even when no
+    exact or near-dup rule fired).
+
+    Plan shape: ``shingle_rows`` (codegen, one doc_id shuffle) →
+    per-doc distinct grams → gram document-frequency (groupBy gram) →
+    join back and one conditional sum per doc.  The gram-frequency
+    table is vocabulary-sized (Zipf-bounded), the join key is the gram
+    hash — both aggregates are map-side-partial friendly; no step is
+    quadratic in corpus size.  Output: (doc_id, n_shingles,
+    dup_shingles, dup_fraction)."""
+    grams = shingle_rows(df, id_col, text_col, n).distinct()
+    gram_df = grams.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(gram_df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("dup_shingles"),
+            F.round(
+                F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def contamination_overlap(
+    df,
+    bench,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+):
+    """Partial-contamination score: for each corpus document, the
+    fraction of its distinct word n-grams that appear anywhere in a
+    benchmark corpus — the graded complement to ``decontaminate``'s
+    exact-fingerprint anti-join (catches documents that EMBED benchmark
+    items inside other text, which no whole-document fingerprint can).
+
+    Plan shape: shingle both sides (codegen), distinct the benchmark
+    grams into a set that is vocabulary-sized (broadcastable in the
+    common small-benchmark case — Catalyst decides from stats), LEFT
+    join corpus grams against it, one conditional sum per document.
+    Output: (doc_id, n_shingles, bench_hits, overlap_frac)."""
+    corpus_grams = shingle_rows(df, id_col, text_col, n).distinct()
+    # each benchmark row needs a DISTINCT id: shingle_rows windows by
+    # (doc_id, pos), so a shared constant id would interleave words
+    # from different benchmark texts into garbage n-grams
+    bench_grams = (
+        shingle_rows(
+            bench.select(
+                F.monotonically_increasing_id().alias("__bid"),
+                F.col(bench_text_col).alias("__btext"),
+            ),
+            "__bid",
+            "__btext",
+            n,
+        )
+        .select(F.col("s"), F.lit(1).alias("__hit"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(bench_grams, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("bench_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def quality_logit_score(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Deployed-classifier quality gate: a fixed-weight logistic model
+    over four engineered signals (token count, punctuation ratio,
+    English stopword rate, top-bigram repetition ratio) — the shape a
+    fasttext/linear quality filter takes when its scoring is pushed
+    into the engine instead of a Python UDF.  Weights are literals in
+    the plan; swapping in trained weights is a constant change.
+
+    Plan shape: the three scan-local signals are codegen expressions;
+    the repetition signal joins in from ``repetition_stats`` (one
+    doc_id-partitioned aggregate pair).  sigmoid = 1/(1+exp(−z)) on
+    exact-integer-derived doubles → engine-portable.
+    Output: (doc_id, logit, quality_prob)."""
+    rep = repetition_stats(df, id_col, text_col, n=2).select(
+        "doc_id", "repetition_ratio"
+    )
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(F.col(text_col)).cast("double")
+    n_clean = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")).cast(
+        "double"
+    )
+    punct_ratio = F.when(n_char > 0, (n_char - n_clean) / n_char).otherwise(F.lit(0.0))
+    stop_rate = F.when(
+        n_tok > 0, stopword_hits(F.col(text_col), "en").cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("__ntok"),
+        punct_ratio.alias("__punct"),
+        stop_rate.alias("__stop"),
+    )
+    z = (
+        F.lit(-1.0)
+        + F.lit(0.02) * F.col("__ntok")
+        - F.lit(3.0) * F.col("__punct")
+        + F.lit(4.0) * F.col("__stop")
+        - F.lit(2.0) * F.col("repetition_ratio")
+    )
+    return feats.join(rep, "doc_id").select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); fewer than ``n`` words →
     one shingle of the whole text.

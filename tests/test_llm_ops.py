@@ -405,3 +405,111 @@ def test_lsh_params_midpoint_tracks_threshold():
     n_lo, b_lo = lsh_params(0.5, 64)
     n_hi, b_hi = lsh_params(0.95, 64)
     assert (n_hi // b_hi) >= (n_lo // b_lo)
+
+
+def test_bm25_ranks_term_frequency(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "spark spark spark runs the job fast today ok fine"),
+        (2, "spark runs one job in the cluster here right now"),
+        (3, "nothing relevant appears in this row at all ever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark"]).collect()}
+    assert 3 not in got  # no query term -> filtered out
+    assert got[1] > got[2] > 0  # higher tf wins at equal length
+
+
+def test_duplicated_ngram_fraction_flags_copies(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import (
+        duplicated_ngram_fraction,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy
+        (3, "one two three four five six seven eight nine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_ngram_fraction(docs, n=3).collect()}
+    assert got[1].dup_fraction == 1.0 and got[2].dup_fraction == 1.0
+    assert got[3].dup_fraction == 0.0
+
+
+def test_contamination_overlap_multi_row_bench(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "q1 q2 q3 q4 q5 filler tail words here now"),
+            (2, "clean body with no benchmark span at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    # TWO bench rows: regression for the shared-bench-id bug where all
+    # bench rows collapsed onto one shingle window and produced garbage
+    # n-grams spanning different bench texts
+    bench = spark.createDataFrame(
+        [("q1 q2 q3 q4 q5",), ("totally unrelated benchmark item text",)],
+        "text string",
+    )
+    got = {r.doc_id: r for r in contamination_overlap(docs, bench, n=3).collect()}
+    assert got[1].bench_hits == 3  # the three 3-grams of q1..q5
+    assert got[2].bench_hits == 0
+    assert 0 < got[1].overlap_frac < 1
+
+
+def test_quality_logit_prefers_clean_text(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import quality_logit_score
+
+    rows = [
+        (1, "the cat sat on a mat and it ran to the river bank fast"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_logit_score(docs).collect()}
+    assert 0 < got[1].quality_prob < 1 and 0 < got[2].quality_prob < 1
+    assert got[1].quality_prob > got[2].quality_prob  # stopwords up, repetition down
+
+
+def test_balanced_resample_damps_head_stratum(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import (
+        balanced_resample,
+    )
+
+    rows = [(i, "head" if i < 400 else "rare") for i in range(425)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    kept = balanced_resample(df, "id", "lang").groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in kept}
+    assert counts["rare"] == 25  # rate sqrt(25/25)=1 keeps everything
+    # head rate = sqrt(25/400) = 0.25 -> ~100 of 400 (hash-exact, so a
+    # wide deterministic band)
+    assert 60 <= counts["head"] <= 140
+    # deterministic: second run identical
+    again = balanced_resample(df, "id", "lang").groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in again} == counts
+
+
+def test_centroid_outliers_ranks_planted_outlier(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.02 * i, 0.0], "a"))
+    rows.append((99, [-1.0, 0.0, 0.0], "a"))  # planted outlier in label a
+    for i in range(10, 14):
+        rows.append((i, [0.0, 1.0, 0.01 * i], "b"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = centroid_outliers(emb).collect()
+    by_label_rank = {(r.label, r.outlier_rank): r for r in got}
+    assert by_label_rank[("a", 1)].vec_id == 99  # worst cosine ranks first
+    assert by_label_rank[("a", 1)].cos_centroid < 0
+    # every cosine is a valid cosine and in-label ranks are 1..n
+    assert all(-1.0 <= r.cos_centroid <= 1.0 for r in got)
+    a_ranks = sorted(r.outlier_rank for r in got if r.label == "a")
+    assert a_ranks == list(range(1, 8))
