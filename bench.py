@@ -68,6 +68,13 @@ HEADLINE = [
     "repetition_ratio_docs",
     "warehouse_movie_data_disk",
     "warehouse_scd2_two_batch_disk",
+    # retrieval + corpus-audit ops and the two remaining TPC-H shapes
+    "bm25_docs",
+    "dup_ngram_fraction_docs",
+    "balanced_resample_docs",
+    "embedding_centroid_outliers",
+    "q9_product_type_profit",
+    "q17_small_quantity_revenue",
 ]
 
 

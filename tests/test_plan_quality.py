@@ -379,3 +379,57 @@ def test_pack_sequences_cumsum_is_two_phase(spark):
     plan = _plan(QUERIES["pack_sequences_budget"](spark, SF_DIR))
     assert "rangepartitioning" in plan  # phase 1: range repartition
     assert "SPARK_PARTITION_ID()" in plan  # phase 2: local windows + offsets
+
+
+def test_bm25_single_broadcast_no_explode(spark):
+    """BM25's global stats ride ONE single-row broadcast; per-doc term
+    frequencies are codegen array_remove deltas — no token explode, no
+    shuffle of the document side at all."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["bm25_docs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Generate explode" not in plan
+    # the corpus side shuffles only for its own single-row aggregate,
+    # never for a per-token generate
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_balanced_resample_broadcasts_rates(spark):
+    """The per-stratum rate table is tiny by construction — it must
+    broadcast back onto the corpus, never shuffle the corpus side."""
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import (
+        balanced_resample,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(balanced_resample(d, "doc_id", "lang"))
+    assert "BroadcastHashJoin" in plan
+    # corpus side: scan → broadcast-join → filter, no hash exchange
+    # before the join (the only exchanges feed the rate aggregate)
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    """Centroid table is |labels| rows — the per-vector cosine join
+    must be a broadcast, and the outlier rank windows by label (never
+    a global single-partition window)."""
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(centroid_outliers(e))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan and "SinglePartition" not in plan.split("Window")[1][:200]
+
+
+def test_q17_preaggregate_broadcasts_back(spark):
+    """The per-part quantity limit decorrelates into a pre-aggregate
+    broadcast back onto the fact — no correlated re-scan, no
+    sort-merge on the fact side."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
