@@ -3041,6 +3041,139 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+# Ordered funnel analysis: view → click-after-view → purchase-after-
+# click, counted per stage (the product-analytics shape a warehouse
+# serves daily).  Each stage is a per-user MIN-timestamp aggregate
+# joined forward with a strict ts inequality; user-grain aggregates
+# are tiny, so every stage join broadcasts.
+@query(
+    "funnel_conversion_events",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+    UNION ALL
+    SELECT 'click' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM c
+    UNION ALL
+    SELECT 'purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM p
+    """,
+)
+def funnel_conversion_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("users")).select(F.lit("view").alias("stage"), "users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("users")).select(F.lit("click").alias("stage"), "users")
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit("purchase").alias("stage"), "users"
+            )
+        )
+    )
+
+
+# Cohort retention matrix: users grouped by first-seen week, counted
+# per later activity week — the other canonical product-analytics
+# shape.  Both week columns are date_trunc('week'), so the day delta
+# is always a multiple of 7 and the float division is exact.
+@query(
+    "cohort_retention_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT CAST(CAST(f.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER) AS week_no,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select("user_id", F.date_trunc("week", "ts").alias("active_week")).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_no"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Small-file compaction planning (table maintenance at 100 TB): lay
+# files out in a total order, two-phase global byte cumsum, merge
+# group = floor(start/target) — whole files only, so a group overshoots
+# by at most one file.  File inventory synthesized from orders.
+@query(
+    "compaction_plan_orders",
+    """
+    WITH files AS (
+      SELECT o_orderkey AS file_id,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS size_bytes
+      FROM orders
+    ),
+    cum AS (
+      SELECT file_id, size_bytes,
+             SUM(size_bytes) OVER (ORDER BY file_id ROWS UNBOUNDED PRECEDING) AS e
+      FROM files WHERE size_bytes > 0
+    )
+    SELECT file_id, size_bytes,
+           CAST(floor((e - size_bytes) / 5000000) AS BIGINT) AS bin_id,
+           CAST(e - size_bytes AS BIGINT) AS bin_start_offset
+    FROM cum
+    """,
+)
+def compaction_plan_orders(spark, sf_dir):
+    from .operators.packing import plan_compaction
+
+    files = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("file_id"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("size_bytes"),
+    )
+    return plan_compaction(files, "file_id", "size_bytes", 5_000_000)
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",

@@ -116,6 +116,40 @@ def pack_sequences(
     )
 
 
+def plan_compaction(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+    order_cols: list[Column] | None = None,
+) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance step that
+    keeps a 100 TB parquet layout healthy (thousands of tiny files per
+    partition kill scan throughput and driver planning time).
+
+    Given a file inventory (id, size), assign every file to a merge
+    group of ~``target_bytes``: files are laid out in a deterministic
+    total order, each gets its global byte offset via the two-phase
+    ``global_cumsum`` (no single-task window), and its group is plain
+    arithmetic ``floor(start / target)`` — files are never split
+    (unlike ``pack_sequences``), so a group can overshoot by at most
+    one file.  Output: (id, size, bin_id, bin_start_offset) — the
+    driver of an actual rewrite job reads this plan and merges each
+    bin in one task.
+    """
+    order_cols = order_cols or [F.col(id_col)]
+    spanned = global_cumsum(
+        df.filter(F.col(size_col) > 0), order_cols, size_col, out_col="__end"
+    ).withColumn("__start", F.col("__end") - F.col(size_col))
+    t = F.lit(target_bytes).cast("long")
+    return spanned.select(
+        id_col,
+        size_col,
+        F.floor(F.col("__start") / t).cast("long").alias("bin_id"),
+        F.col("__start").alias("bin_start_offset"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, salt: str, out_col: str = "pos"
 ) -> DataFrame:

@@ -1,0 +1,100 @@
+"""Unit tests for the product-analytics shapes (funnel, cohort) and
+the compaction planner."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_requires_stage_order(spark):
+    """A click BEFORE the first view must not count as a funnel click."""
+
+    def at(m):
+        return datetime(2024, 1, 1, 12, m, 0)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", at(0)), (1, "click", at(1)), (1, "purchase", at(2)),
+        # user 2: click before any view -> stops at 'view'
+        (2, "click", at(0)), (2, "view", at(1)),
+        # user 3: view then purchase but never clicks -> stops at 'view'
+        (3, "view", at(0)), (3, "purchase", at(1)),
+    ]
+    df = _events_df(spark, rows)
+    # drive the same construction as the query, against the local frame
+    v = (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        df.filter(F.col("event_type") == "click")
+        .join(v, "user_id").filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id").filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    assert v.count() == 3
+    assert [r.user_id for r in c.collect()] == [1]
+    assert [r.user_id for r in p.collect()] == [1]
+
+
+def test_cohort_week_numbers_are_exact(spark):
+    rows = [
+        (1, "view", datetime(2024, 1, 1, 10, 0)),   # Monday, cohort week 0
+        (1, "view", datetime(2024, 1, 10, 10, 0)),  # week 1
+        (1, "view", datetime(2024, 1, 17, 10, 0)),  # week 2
+        (2, "view", datetime(2024, 1, 9, 10, 0)),   # cohort = week of Jan 8
+        (2, "view", datetime(2024, 1, 16, 10, 0)),  # its week 1
+    ]
+    df = _events_df(spark, rows)
+    first_seen = df.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = df.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    out = (
+        activity.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_no"),
+        )
+        .collect()
+    )
+    got = sorted((r.user_id, r.week_no) for r in out)
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1)]
+
+
+def test_compaction_never_splits_and_bounds_overshoot(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.packing import plan_compaction
+
+    rows = [(i, 30 + (i * 17) % 50) for i in range(200)]  # sizes 30..79
+    files = spark.createDataFrame(rows, "file_id long, size_bytes long")
+    target = 500
+    plan = plan_compaction(files, "file_id", "size_bytes", target).collect()
+    # every file appears exactly once (never split)
+    assert sorted(r.file_id for r in plan) == list(range(200))
+    by_bin: dict[int, int] = {}
+    max_size = 0
+    for r in plan:
+        by_bin[r.bin_id] = by_bin.get(r.bin_id, 0) + r.size_bytes
+        max_size = max(max_size, r.size_bytes)
+    # each bin overshoots the target by at most one file
+    assert all(total < target + max_size for total in by_bin.values())
+    # bins are contiguous 0..n
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    # all bins except possibly the last reach the target (files aren't
+    # skipped): a bin ends only once the cumulative stream crosses it
+    for b, total in list(by_bin.items())[:-1]:
+        assert total + max_size >= target
