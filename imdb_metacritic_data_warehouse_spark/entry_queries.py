@@ -3174,6 +3174,76 @@ def compaction_plan_orders(spark, sf_dir):
     return plan_compaction(files, "file_id", "size_bytes", 5_000_000)
 
 
+# Directed n-gram containment for candidate pairs — the asymmetric
+# complement to ngram_jaccard: a short document copied whole into a
+# long one has low Jaccard but containment_a ≈ 1.  Same
+# candidate-bounded plan; the variant docs contain every base shingle
+# so the signal is non-trivial in both directions.
+@query(
+    "ngram_containment_pairs",
+    f"""
+    WITH {_MINHASH_CORPUS_SQL},
+    dsh AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN dsh a ON a.doc_id = p.doc_a
+      JOIN dsh b ON b.doc_id = p.doc_b AND b.s = a.s
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) AS containment_a,
+           round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) AS containment_b
+    FROM pairs p
+    LEFT JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+)
+def ngram_containment_pairs(spark, sf_dir):
+    from .operators.dedup import ngram_containment
+
+    corpus = _minhash_corpus(spark, sf_dir)
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1000000).alias("doc_b"),
+        )
+    )
+    return ngram_containment(corpus, pairs, "doc_id", "text")
+
+
+# Exact-k per-stratum deterministic sample (eval sets / per-class
+# caps): rank by md5(id) within the stratum, keep rank <= k.  The row
+# SET is engine-portable (hash ranking, no rand()).
+@query(
+    "stratified_topk_docs",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 40
+    """,
+)
+def stratified_topk_docs(spark, sf_dir):
+    from .operators.sampling import stratified_topk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_topk_sample(d, "doc_id", "lang", 40).select("doc_id", "lang")
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",

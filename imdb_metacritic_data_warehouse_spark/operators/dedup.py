@@ -438,6 +438,46 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Directed n-gram containment for candidate pairs:
+    ``containment_a = |grams(A) ∩ grams(B)| / |grams(A)|`` (and the
+    mirror for B) — the asymmetric complement to ``ngram_jaccard``.
+    Jaccard misses the wire-copy case where a short document sits
+    whole inside a long one (|A∩B|/|A∪B| is small when |B| ≫ |A|,
+    but containment_a ≈ 1 flags it).  Same candidate-bounded plan as
+    ngram_jaccard: one distinct-shingle explode, two semi-bounded
+    joins, group-wise intersection counts.  Output: pairs +
+    (containment_a, containment_b)."""
+    sh = shingle_rows(df, id_col, text_col, n).distinct().withColumnRenamed("s", "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("ca")
+    b = sh.alias("cb")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col("ca.doc_id"))
+        .join(b, (pairs.doc_b == F.col("cb.doc_id")) & (F.col("ca.sh") == F.col("cb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
 def lsh_params(
     threshold: float, max_hashes: int = 128
 ) -> tuple[int, int]:

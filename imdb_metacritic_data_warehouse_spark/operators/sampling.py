@@ -82,6 +82,28 @@ def balanced_resample(df: DataFrame, id_col: str, strata_col: str) -> DataFrame:
     )
 
 
+def stratified_topk_sample(
+    df: DataFrame, id_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """EXACT-k deterministic sample per stratum (fraction-based
+    sampling only hits k in expectation — eval sets and per-class
+    caps need exactly k): rank rows within each stratum by
+    ``md5(id)`` (uniform, content-derived) and keep rank ≤ k.  Strata
+    smaller than k are kept whole.  One window shuffle on the stratum
+    key; no global sort, no rand().  Re-runs, retried tasks, and
+    other engines agree on the exact row set."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str, weights: dict[str, float]
 ) -> dict[str, DataFrame]:

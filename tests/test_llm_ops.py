@@ -513,3 +513,38 @@ def test_centroid_outliers_ranks_planted_outlier(spark):
     assert all(-1.0 <= r.cos_centroid <= 1.0 for r in got)
     a_ranks = sorted(r.outlier_rank for r in got if r.label == "a")
     assert a_ranks == list(range(1, 8))
+
+
+def test_ngram_containment_asymmetry(spark):
+    """A document fully embedded in a longer one: containment_a = 1,
+    containment_b < 1, while Jaccard alone would under-report."""
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import ngram_containment
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "intro words alpha beta gamma delta epsilon plus a long unrelated tail here"),
+            (3, "совершенно other content entirely unrelated text body"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r for r in ngram_containment(docs, pairs, "doc_id", "text").collect()}
+    assert got[(1, 2)].containment_a == 1.0
+    assert got[(1, 2)].containment_b < 1.0
+    assert got[(1, 3)].containment_a == 0.0 and got[(1, 3)].containment_b == 0.0
+
+
+def test_stratified_topk_exact_k_and_deterministic(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_topk_sample(df, "id", "lang", 7)
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"big": 7, "small": 7}
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in stratified_topk_sample(df, "id", "lang", 7).collect())
+    assert ids1 == ids2  # exact same row set on re-run
