@@ -3244,6 +3244,81 @@ def stratified_topk_docs(spark, sf_dir):
     return stratified_topk_sample(d, "doc_id", "lang", 40).select("doc_id", "lang")
 
 
+# Approximate k-NN graph over the whole embedding corpus (every
+# vector a query) — the SemDeDup / graph-clustering substrate.  The
+# oracle replays bucket assignment with the same inlined hyperplane
+# weights as ann_lsh_bucketed.
+def _knn_graph_oracle(n_planes: int = 6, n_tables: int = 4, dims: int = 64, k: int = 5) -> str:
+    from .operators.similarity import _plane_weights
+
+    def sig(t: int) -> str:
+        cases = []
+        for p in range(n_planes):
+            w = "[" + ", ".join(str(x) for x in _plane_weights(t * 1000 + p, dims)) + "]"
+            cases.append(
+                f"CASE WHEN list_dot_product(v, {w}) >= 0 THEN '1' ELSE '0' END"
+            )
+        return "concat(" + ", ".join(cases) + ")"
+
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {sig(t)} AS bucket FROM vecs"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {buckets}
+    ),
+    scored AS (
+      SELECT DISTINCT a.vec_id AS src, z.vec_id AS dst,
+             round(list_dot_product(a.v, z.v), 6) AS score
+      FROM b a JOIN b z ON a.tbl = z.tbl AND a.bucket = z.bucket
+                        AND a.vec_id <> z.vec_id
+    )
+    SELECT src, dst, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY src
+                                   ORDER BY score DESC, dst) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("knn_graph_embeddings", _knn_graph_oracle())
+def knn_graph_embeddings(spark, sf_dir):
+    from .operators.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_graph(e, k=5, n_planes=6, n_tables=4)
+    return out.select("src", "dst", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# BPE tokenizer-training support: the distributed merge-candidate
+# counting step — adjacent character pairs weighted by word frequency.
+# After the word-frequency aggregate the working set is the
+# Zipf-small vocabulary, so the pair explode is vocabulary-sized.
+@query(
+    "bpe_pair_counts_docs",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(g.i AS INTEGER), 2) AS pair, c
+      FROM wc, LATERAL (
+        SELECT unnest(generate_series(1, CAST(len(w) - 1 AS BIGINT))) AS i
+      ) g
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+    """,
+)
+def bpe_pair_counts_docs(spark, sf_dir):
+    from .operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",

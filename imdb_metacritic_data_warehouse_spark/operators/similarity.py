@@ -308,6 +308,50 @@ def _sign_buckets(
     return tb.join(vecs, "vec_id")
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus (every vector is a
+    query) — the substrate for SemDeDup-style semantic dedup and
+    graph-based clustering.  Candidates are bucket collisions in any
+    of ``n_tables`` sign-bit LSH tables, so the pair count is
+    Σ_buckets |bucket|² instead of N²; more planes → smaller buckets →
+    fewer, more precise candidates (recall traded per table, recovered
+    across tables).
+
+    Plan: ONE bucket-assignment scan (``_sign_buckets``: posexplode +
+    codegen projections), self-join on (table, bucket) — the join AQE
+    skew-splits if a bucket runs hot — pair dedup across tables, exact
+    dot scoring, per-source top-k window.  At 100 TB the (tbl, bucket)
+    shuffle is the only data-sized exchange; everything downstream is
+    candidate-bounded.  Output: (src, dst, score, rank)."""
+    b = _sign_buckets(embeddings, id_col, vec_col, n_planes, n_tables)
+    left = b.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("sv"), "tbl", "bucket"
+    )
+    right = b.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "sv", "dst", "dv")
+        .dropDuplicates(["src", "dst"])
+    )
+    scored = cand.select(
+        "src", "dst", F.round(_dot(F.col("sv"), F.col("dv")), 6).alias("score")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "score", "rank")
+    )
+
+
 def centroid_outliers(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -490,6 +490,33 @@ def quality_logit_score(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bpe_pair_counts(df, text_col: str = "text"):
+    """The merge-candidate counting step of BPE tokenizer training,
+    distributed: count adjacent character pairs across the corpus,
+    weighted by word frequency.  (A full BPE trainer iterates this —
+    count pairs → merge the argmax — with the vocabulary shrinking
+    the working set each round; the count step is the only part that
+    touches corpus-scale data.)
+
+    Plan shape: token explode → word-frequency aggregate (the working
+    set collapses to the Zipf-small vocabulary here — everything after
+    is vocabulary-sized, not corpus-sized) → per-word position explode
+    + ``substr(w, i, 2)`` (codegen; positional, no higher-order
+    lambdas) → pair aggregate.  Output: (pair, cnt)."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.col("w"),
+            F.col("c"),
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "c")
+    )
+    return pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); fewer than ``n`` words →
     one shingle of the whole text.

@@ -548,3 +548,37 @@ def test_stratified_topk_exact_k_and_deterministic(spark):
     ids1 = sorted(r.id for r in out.collect())
     ids2 = sorted(r.id for r in stratified_topk_sample(df, "id", "lang", 7).collect())
     assert ids1 == ids2  # exact same row set on re-run
+
+
+def test_knn_graph_finds_cluster_neighbors(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import knn_graph
+
+    rows = []
+    # tight cluster around e1, another around e2
+    for i in range(5):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(10, 15):
+        rows.append((i, [0.0, 0.0, 1.0, 0.01 * (i - 10)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = knn_graph(emb, k=3, n_planes=3, n_tables=4, id_col="vec_id").collect()
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r.src, []).append(r.dst)
+    # every vector's neighbors stay inside its own cluster
+    for src, dsts in by_src.items():
+        same = [d for d in dsts if (d < 5) == (src < 5)]
+        assert same == dsts, f"{src} -> {dsts}"
+    # ranks are 1..k without gaps for a full cluster
+    ranks = sorted(r.rank for r in g if r.src == 0)
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bpe_pair_counts_hand_check(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab cd"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r.pair: r.cnt for r in bpe_pair_counts(docs).collect()}
+    # 'aaab' occurs twice -> pairs aa (x2 per word), ab (x1 per word)
+    assert got == {"aa": 4, "ab": 2, "cd": 1}
