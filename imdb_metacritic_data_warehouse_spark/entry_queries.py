@@ -3804,6 +3804,51 @@ def quality_quantile_filter(spark, sf_dir):
     )
 
 
+# Token-budget corpus selection: greedily take the highest-quality
+# documents until the token budget is exhausted — the "assemble the
+# best B tokens" step of data mixing.  Order by (quality desc, id),
+# two-phase global token cumsum, keep while cum <= budget.  Quality is
+# round(...,6) of exact-integer arithmetic, so the ORDER (and with it
+# the kept row set) is engine-portable.
+@query(
+    "select_token_budget_docs",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok,
+             {_QUALITY_SQL} AS q
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, q, n_tok,
+             SUM(n_tok) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens
+      FROM feat WHERE n_tok > 0
+    )
+    SELECT doc_id, q, CAST(n_tok AS INTEGER) AS n_tok,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 10000
+    """,
+)
+def select_token_budget_docs(spark, sf_dir):
+    from .operators.packing import global_cumsum
+    from .operators.text import quality_score, token_count_ws
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tok"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    spanned = global_cumsum(
+        d.filter(F.col("n_tok") > 0),
+        [F.desc("q"), F.asc("doc_id")],
+        "n_tok",
+        out_col="cum_tokens",
+    )
+    return spanned.filter(F.col("cum_tokens") <= 10_000).select(
+        "doc_id", "q", "n_tok", "cum_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data profiling — per-column stats in ONE scan (wide agg → stack) and
 # an equi-width histogram with broadcast min/max.

@@ -196,3 +196,25 @@ def test_chunk_documents_overlap_invariants(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=8, stride=0)
+
+
+def test_token_budget_selection_takes_best_first(spark):
+    """Budget selection keeps the quality-DESC prefix whose cumulative
+    tokens fit; a lower-quality doc only enters if everything better
+    already fit."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.packing import global_cumsum
+
+    rows = [
+        (1, 10, 0.9),
+        (2, 10, 0.8),
+        (3, 10, 0.7),
+        (4, 10, 0.6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int, q double")
+    out = global_cumsum(
+        df, [F.desc("q"), F.asc("doc_id")], "n_tok", out_col="cum"
+    ).filter(F.col("cum") <= 25)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 2]  # 0.9 and 0.8 fit; 0.7 would cross the budget
