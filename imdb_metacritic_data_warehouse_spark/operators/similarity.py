@@ -308,6 +308,27 @@ def _sign_buckets(
     return tb.join(vecs, "vec_id")
 
 
+def knn_planes_for(n_vectors: int, target_bucket: int = 128) -> int:
+    """Plane count that holds expected LSH bucket size near
+    ``target_bucket``: buckets per table = 2^planes, so planes =
+    ceil(log2(N / target)).  The candidate-pair count of ``knn_graph``
+    is Σ|bucket|² ≈ N²/2^planes — FIXED planes make the graph build
+    quadratic as the corpus grows; scaling planes with log₂(N) keeps
+    it linear in N at constant recall-per-table (add tables to buy
+    recall back).  This is the knob a 100 TB run must turn.
+
+    >>> knn_planes_for(2_000, 125)
+    4
+    >>> knn_planes_for(32_000, 125)
+    8
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 5,

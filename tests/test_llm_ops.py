@@ -582,3 +582,22 @@ def test_bpe_pair_counts_hand_check(spark):
     got = {r.pair: r.cnt for r in bpe_pair_counts(docs).collect()}
     # 'aaab' occurs twice -> pairs aa (x2 per word), ab (x1 per word)
     assert got == {"aa": 4, "ab": 2, "cd": 1}
+
+
+def test_knn_planes_for_keeps_buckets_bounded():
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        knn_planes_for,
+    )
+
+    # expected bucket size N / 2^planes stays within [target/2, target]
+    for n in (1_000, 10_000, 1_000_000, 10**9):
+        planes = knn_planes_for(n, 128)
+        assert n / (2**planes) <= 128
+        assert n / (2**planes) > 32  # not over-split either
+    # candidate pairs N^2 / 2^planes grow ~linearly in N with this rule
+    import math
+
+    for n in (10**6, 16 * 10**6):
+        planes = knn_planes_for(n, 128)
+        pairs_per_vec = n / (2**planes)
+        assert pairs_per_vec <= 128  # bounded per-vector work

@@ -32,6 +32,11 @@ DEFAULT_QUERIES = [
     "compaction_plan_orders",
     "funnel_conversion_events",
     "cohort_retention_events",
+    "knn_graph_embeddings",
+    "bpe_pair_counts_docs",
+    "ngram_containment_pairs",
+    "stratified_topk_docs",
+    "select_token_budget_docs",
 ]
 
 # which tables each probe query actually reads (others are symlinked)
