@@ -601,3 +601,54 @@ def test_knn_planes_for_keeps_buckets_bounded():
         planes = knn_planes_for(n, 128)
         pairs_per_vec = n / (2**planes)
         assert pairs_per_vec <= 128  # bounded per-vector work
+
+
+def test_session_new_operators_handle_empty_inputs(spark):
+    """Degenerate inputs for this session's operators: empty corpus,
+    empty benchmark, single stratum, empty embedding set."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import ngram_containment
+    from imdb_metacritic_data_warehouse_spark.operators.packing import plan_compaction
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import (
+        balanced_resample,
+        stratified_topk_sample,
+    )
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        centroid_outliers,
+        knn_graph,
+    )
+    from imdb_metacritic_data_warehouse_spark.operators.text import (
+        bm25_scores,
+        bpe_pair_counts,
+        contamination_overlap,
+        duplicated_ngram_fraction,
+        quality_logit_score,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+
+    assert bm25_scores(empty_docs, ["x"]).count() == 0
+    assert bm25_scores(docs, ["zzz"]).count() == 0  # no doc matches any term
+    assert duplicated_ngram_fraction(empty_docs).count() == 0
+    # empty benchmark: zero hits everywhere, no errors
+    got = contamination_overlap(docs, empty_docs, n=3).collect()
+    assert len(got) == 1 and got[0].bench_hits == 0
+    assert contamination_overlap(empty_docs, docs, n=3).count() == 0
+    assert quality_logit_score(empty_docs).count() == 0
+    assert bpe_pair_counts(empty_docs).count() == 0
+    assert ngram_containment(
+        empty_docs, spark.createDataFrame([], "doc_a long, doc_b long"), "doc_id", "text"
+    ).count() == 0
+    # single stratum: balanced keeps everything (rate = 1)
+    one = spark.createDataFrame([(i, "only") for i in range(10)], "id long, lang string")
+    assert balanced_resample(one, "id", "lang").count() == 10
+    assert stratified_topk_sample(one, "id", "lang", 100).count() == 10  # k > |stratum|
+    assert centroid_outliers(empty_emb, label_col="label").count() == 0
+    assert knn_graph(empty_emb).count() == 0
+    assert plan_compaction(
+        spark.createDataFrame([], "file_id long, size_bytes long"),
+        "file_id", "size_bytes", 100,
+    ).count() == 0
