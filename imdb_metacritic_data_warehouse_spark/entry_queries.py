@@ -3849,6 +3849,65 @@ def select_token_budget_docs(spark, sf_dir):
     )
 
 
+# Corpus report card: the per-source audit a data team runs before a
+# training mix — doc/token counts, mean quality, language share, and
+# exact-dup share (normalized-fingerprint df ≥ 2) in one composition.
+# One scan computes every per-doc signal; the fingerprint-frequency
+# table joins back on the md5 (uniform key); one groupBy(source).
+@query(
+    "corpus_report_by_source",
+    f"""
+    WITH scored AS (
+      SELECT source, lang, {_NORM_SQL} AS fp,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             {_QUALITY_SQL} AS q
+      FROM documents
+    ),
+    fpc AS (SELECT fp, COUNT(*) AS c FROM scored GROUP BY fp)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(AVG(q), 6) AS avg_quality,
+           round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS en_share,
+           round(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_share
+    FROM scored JOIN fpc USING (fp)
+    GROUP BY source
+    """,
+)
+def corpus_report_by_source(spark, sf_dir):
+    from .operators.text import fingerprint, quality_score, token_count_ws
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count_ws(F.col("text")).alias("n_tok"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    fpc = scored.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        scored.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("en_share"),
+            F.round(
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data profiling — per-column stats in ONE scan (wide agg → stack) and
 # an equi-width histogram with broadcast min/max.
