@@ -75,6 +75,9 @@ HEADLINE = [
     "embedding_centroid_outliers",
     "q9_product_type_profit",
     "q17_small_quantity_revenue",
+    "knn_graph_embeddings",
+    "select_token_budget_docs",
+    "corpus_report_by_source",
 ]
 
 
