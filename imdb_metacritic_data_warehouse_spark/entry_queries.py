@@ -3248,7 +3248,10 @@ def stratified_topk_docs(spark, sf_dir):
 # vector a query) — the SemDeDup / graph-clustering substrate.  The
 # oracle replays bucket assignment with the same inlined hyperplane
 # weights as ann_lsh_bucketed.
-def _knn_graph_oracle(n_planes: int = 6, n_tables: int = 4, dims: int = 64, k: int = 5) -> str:
+def _knn_buckets_sql(n_planes: int, n_tables: int, dims: int = 64) -> str:
+    """UNION-ALL bucket-assignment SQL over a ``vecs(vec_id, v)`` CTE,
+    with the same inlined md5-parity hyperplane weights the Spark side
+    derives — shared by the k-NN graph and semantic-dedup oracles."""
     from .operators.similarity import _plane_weights
 
     def sig(t: int) -> str:
@@ -3260,14 +3263,17 @@ def _knn_graph_oracle(n_planes: int = 6, n_tables: int = 4, dims: int = 64, k: i
             )
         return "concat(" + ", ".join(cases) + ")"
 
-    buckets = "\n      UNION ALL ".join(
+    return "\n      UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS tbl, {sig(t)} AS bucket FROM vecs"
         for t in range(n_tables)
     )
+
+
+def _knn_graph_oracle(n_planes: int = 6, n_tables: int = 4, dims: int = 64, k: int = 5) -> str:
     return f"""
     WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (
-      {buckets}
+      {_knn_buckets_sql(n_planes, n_tables, dims)}
     ),
     scored AS (
       SELECT DISTINCT a.vec_id AS src, z.vec_id AS dst,
@@ -3290,6 +3296,71 @@ def knn_graph_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = knn_graph(e, k=5, n_planes=6, n_tables=4)
     return out.select("src", "dst", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# SemDeDup end-product: embedding-space near-duplicate removal — k-NN
+# graph → cosine-threshold edges → connected components → keep the
+# min-id canonical per cluster.  The synthetic corpus plants an exact
+# copy of every 20th vector (the corpus vectors are random, so only
+# planted copies cross the 0.999 threshold; a real corpus would use a
+# lower τ).  Every stage is the bucket-bounded distributed machinery:
+# no N² step anywhere.
+def _semantic_dedup_oracle(n_planes: int = 6, n_tables: int = 4) -> str:
+    return f"""
+    WITH RECURSIVE vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    b AS (
+      {_knn_buckets_sql(n_planes, n_tables)}
+    ),
+    scored AS (
+      SELECT DISTINCT a.vec_id AS src, z.vec_id AS dst,
+             round(list_dot_product(a.v, z.v), 6) AS score
+      FROM b a JOIN b z ON a.tbl = z.tbl AND a.bucket = z.bucket
+                        AND a.vec_id <> z.vec_id
+    ),
+    pairs AS (
+      SELECT src AS s, dst AS d FROM scored WHERE score >= 0.999 AND src < dst
+    ),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    losers AS (
+      SELECT n AS node FROM reach GROUP BY n HAVING n <> MIN(m)
+    )
+    SELECT vec_id, label FROM vecs
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@query("semantic_dedup_keep", _semantic_dedup_oracle())
+def semantic_dedup_keep(spark, sf_dir):
+    from .operators.dedup import connected_components
+    from .operators.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(planted)
+    g = knn_graph(corpus, k=3, n_planes=6, n_tables=4)
+    # only planted exact copies reach 0.999 (random vectors top out
+    # ~0.45), and an exact copy is always rank 1 — so the k-cut can't
+    # drop a qualifying edge
+    pairs = g.filter((F.col("score") >= 0.999) & (F.col("src") < F.col("dst"))).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select("node")
+    return corpus.join(
+        F.broadcast(losers), corpus.vec_id == F.col("node"), "left_anti"
+    ).select("vec_id", "label")
 
 
 # BPE tokenizer-training support: the distributed merge-candidate

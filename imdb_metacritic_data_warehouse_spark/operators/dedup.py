@@ -404,13 +404,13 @@ def connected_components(
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("cluster"))
 
 
-def ngram_jaccard(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+def _pair_gram_stats(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for given (doc_a, doc_b) pairs.
-    Explodes distinct shingles once, joins pairs twice (semi-bounded:
-    only candidate docs' shingles move), counts |A∩B| group-wise and
-    derives |A∪B| = |A|+|B|−|A∩B|.  Output: pairs + ``jaccard``."""
+    """Shared machinery for pairwise n-gram measures: one distinct-
+    shingle explode, two semi-bounded joins (only candidate docs'
+    shingles move), group-wise intersection counts.  Returns pairs +
+    (n_inter, n_a, n_b); Jaccard and containment are projections."""
     sh = shingle_rows(df, id_col, text_col, n).distinct().withColumnRenamed("s", "sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("sa")
@@ -426,15 +426,23 @@ def ngram_jaccard(
         .fillna({"n_inter": 0})
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given (doc_a, doc_b) pairs:
+    |A∩B| counted group-wise, |A∪B| derived as |A|+|B|−|A∩B|.
+    Output: pairs + ``jaccard``."""
+    return _pair_gram_stats(df, pairs, id_col, text_col, n).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -446,35 +454,17 @@ def ngram_containment(
     mirror for B) — the asymmetric complement to ``ngram_jaccard``.
     Jaccard misses the wire-copy case where a short document sits
     whole inside a long one (|A∩B|/|A∪B| is small when |B| ≫ |A|,
-    but containment_a ≈ 1 flags it).  Same candidate-bounded plan as
-    ngram_jaccard: one distinct-shingle explode, two semi-bounded
-    joins, group-wise intersection counts.  Output: pairs +
+    but containment_a ≈ 1 flags it).  Output: pairs +
     (containment_a, containment_b)."""
-    sh = shingle_rows(df, id_col, text_col, n).distinct().withColumnRenamed("s", "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("ca")
-    b = sh.alias("cb")
-    inter = (
-        pairs.join(a, pairs.doc_a == F.col("ca.doc_id"))
-        .join(b, (pairs.doc_b == F.col("cb.doc_id")) & (F.col("ca.sh") == F.col("cb.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6).alias(
-                "containment_a"
-            ),
-            F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6).alias(
-                "containment_b"
-            ),
-        )
+    return _pair_gram_stats(df, pairs, id_col, text_col, n).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6).alias(
+            "containment_a"
+        ),
+        F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6).alias(
+            "containment_b"
+        ),
     )
 
 
