@@ -34,6 +34,24 @@ def _dot(a, b):
     )
 
 
+def dot_codegen(a: str, b: str, dims: int = 64) -> F.Column:
+    """Codegen dot product for KNOWN-width vectors: an explicit indexed
+    sum ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` parsed JVM-side in one
+    ``F.expr``.  ``_dot``'s ``aggregate(zip_with(...))`` is a
+    higher-order function — Spark interprets the lambda per element, and
+    on a candidate-pair hot path (|pairs| × dims interpreted closures)
+    it dominated ``knn_graph``'s runtime.  The Add chain is
+    left-associative, so the fold order (and hence every last-ulp
+    double) is IDENTICAL to ``_dot`` starting from 0.0 — oracle parity
+    is unchanged.  Only valid when every array has exactly ``dims``
+    elements (a short array would turn the whole sum NULL rather than
+    silently truncating, which is the safer failure)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dims)
+    )
+    return F.expr(f"0.0D + {terms}")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -256,8 +274,12 @@ def _sign_buckets(
     n_planes: int,
     n_tables: int,
     dims: int = 64,
+    with_vectors: bool = True,
 ) -> DataFrame:
-    """(vec_id, v, tbl, bucket) for every hash table, fully codegen'd.
+    """(vec_id, v, tbl, bucket) for every hash table, fully codegen'd
+    (``with_vectors=False`` drops the trailing vector join and returns
+    only (vec_id, tbl, bucket) — callers that dedup candidate PAIRS
+    before scoring want id-only rows through that shuffle).
 
     ``hyperplane_sign``'s ``aggregate(zip_with(...))`` is a higher-order
     function — Spark interprets its lambda per element, and n_tables ×
@@ -304,6 +326,8 @@ def _sign_buckets(
     tb = per_vec.select("vec_id", F.explode(tables).alias("tb")).select(
         "vec_id", "tb.tbl", "tb.bucket"
     )
+    if not with_vectors:
+        return tb
     vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     return tb.join(vecs, "vec_id")
 
@@ -346,24 +370,35 @@ def knn_graph(
     across tables).
 
     Plan: ONE bucket-assignment scan (``_sign_buckets``: posexplode +
-    codegen projections), self-join on (table, bucket) — the join AQE
-    skew-splits if a bucket runs hot — pair dedup across tables, exact
-    dot scoring, per-source top-k window.  At 100 TB the (tbl, bucket)
-    shuffle is the only data-sized exchange; everything downstream is
-    candidate-bounded.  Output: (src, dst, score, rank)."""
-    b = _sign_buckets(embeddings, id_col, vec_col, n_planes, n_tables)
-    left = b.select(
-        F.col("vec_id").alias("src"), F.col("v").alias("sv"), "tbl", "bucket"
+    codegen projections), ID-ONLY self-join on (table, bucket) — the
+    join AQE skew-splits if a bucket runs hot — pair dedup across
+    tables on bare (src, dst) longs, THEN the vectors join back in for
+    exact codegen dot scoring and the per-source top-k window.  Keeping
+    the vectors out of the collision join + dedup shuffles matters: a
+    pair row carrying both embeddings is 2·dims doubles (~1 KB at 64
+    dims) vs 16 bytes for the id pair — at 100 TB that is the
+    difference between shuffling candidate IDs and re-shuffling a
+    multiple of the corpus.  The two vector re-joins hash-partition on
+    vec_id and are candidate-bounded; locally Catalyst broadcasts the
+    embedding scan.  Output: (src, dst, score, rank)."""
+    b = _sign_buckets(
+        embeddings, id_col, vec_col, n_planes, n_tables, with_vectors=False
     )
-    right = b.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "tbl", "bucket")
+    left = b.select(F.col("vec_id").alias("src"), "tbl", "bucket")
+    right = b.select(F.col("vec_id").alias("dst"), "tbl", "bucket")
     cand = (
         left.join(right, ["tbl", "bucket"])
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "sv", "dst", "dv")
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    scored = cand.select(
-        "src", "dst", F.round(_dot(F.col("sv"), F.col("dv")), 6).alias("score")
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("sv")), "src"
+        )
+        .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
+        .select("src", "dst", F.round(dot_codegen("sv", "dv"), 6).alias("score"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (

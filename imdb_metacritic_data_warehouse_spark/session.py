@@ -65,6 +65,14 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Wide-vector expressions (a 64-dim dot product is ~70 codegen
+        # ops) push whole-stage-codegen's processNext() past the JVM
+        # JIT's 8 KB bytecode ceiling, and HotSpot then INTERPRETS the
+        # hottest method in the plan (measured 5× on knn_graph's
+        # scoring stage; see NOTES.md).  This flag lifts that ceiling.
+        # On a real cluster it belongs in executor.extraJavaOptions
+        # too; in local mode driver == executor.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     )
