@@ -4820,6 +4820,199 @@ def incremental_mart_merge(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+# Interval × interval overlap join (operators/asof.interval_overlap_join):
+# gap-sessionize click and view activity per user (1-day gap), then find
+# every user whose click-session interval overlaps a view-session
+# interval — the shape Spark's own planner turns into
+# BroadcastNestedLoop if expressed as a raw θ-join.  The oracle runs the
+# raw overlap join (exact at sf scale); Spark runs the chunk-exploded
+# single-shuffle formulation with owner-chunk dedup — results must be
+# identical pair-for-pair.
+@query(
+    "interval_overlap_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE event_type IN ('click', 'view')
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts,
+             SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    iv AS (
+      SELECT user_id, event_type, sid,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, event_type, sid
+    ),
+    c AS (SELECT * FROM iv WHERE event_type = 'click'),
+    v AS (SELECT * FROM iv WHERE event_type = 'view')
+    SELECT c.user_id,
+           CAST(c.start_ts AS VARCHAR) AS click_start,
+           CAST(c.end_ts AS VARCHAR) AS click_end,
+           CAST(v.start_ts AS VARCHAR) AS view_start,
+           CAST(v.end_ts AS VARCHAR) AS view_end,
+           c.n_events AS click_events,
+           v.n_events AS view_events,
+           CAST(FLOOR(epoch(LEAST(c.end_ts, v.end_ts)))
+                - FLOOR(epoch(GREATEST(c.start_ts, v.start_ts))) AS BIGINT)
+             AS overlap_seconds
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.start_ts <= v.end_ts AND v.start_ts <= c.end_ts
+    """,
+)
+def interval_overlap_sessions(spark, sf_dir):
+    from .operators.asof import interval_overlap_join
+
+    e = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 1 DAY")), 1).otherwise(0)
+    sid = F.sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn("__brk", brk)
+        .withColumn("__sid", sid)
+        .groupBy("user_id", "event_type", "__sid")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    # iv feeds both join sides — one scan+window each is cheap, but the
+    # multi-branch rule (NOTES.md) says materialize once
+    iv = _materialize(iv)
+    clicks = iv.filter(F.col("event_type") == "click").drop("event_type", "__sid")
+    views = iv.filter(F.col("event_type") == "view").drop("event_type", "__sid")
+    paired = interval_overlap_join(
+        clicks, views, "user_id", ("start_ts", "end_ts"), ("start_ts", "end_ts"),
+        chunk_seconds=86400,
+    )
+    return paired.select(
+        "user_id",
+        F.col("start_ts").cast("string").alias("click_start"),
+        F.col("end_ts").cast("string").alias("click_end"),
+        F.col("start_ts_r").cast("string").alias("view_start"),
+        F.col("end_ts_r").cast("string").alias("view_end"),
+        F.col("n_events").alias("click_events"),
+        F.col("n_events_r").alias("view_events"),
+        (
+            F.unix_timestamp(F.least("end_ts", "end_ts_r"))
+            - F.unix_timestamp(F.greatest("start_ts", "start_ts_r"))
+        ).alias("overlap_seconds"),
+    )
+
+
+# Symmetric int8 embedding quantization + reconstruction-error audit
+# (operators/similarity.quantize_int8).  Kept-set parity note: every
+# per-element value (scale division, round-half-up floor, dequant
+# error) is computed by the identical IEEE expression chain on both
+# engines; only the error SUM is order-sensitive, hence round(·, 6).
+@query(
+    "quantize_embeddings_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS s
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, s,
+             CASE WHEN s > 0
+                  THEN list_transform(v, x -> floor(x / s + 0.5))
+                  ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS q
+      FROM s
+    ),
+    e AS (
+      SELECT vec_id, s, q,
+             list_transform(list_zip(v, q), p -> abs(p[1] - p[2] * s)) AS errs
+      FROM q
+    )
+    SELECT vec_id,
+           round(s, 6) AS scale,
+           CAST(len(list_filter(q, x -> abs(x) >= 127)) AS INTEGER) AS n_saturated,
+           round(list_reduce(errs, (a, b) -> a + b) / len(errs), 6) AS mean_abs_err,
+           round(list_max(errs), 6) AS max_abs_err
+    FROM e
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    from .operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+# Domain-mixture downsampling (operators/sampling.mixture_sample): the
+# 20 synthetic sources fold into web/books/wiki domains, and the kept
+# corpus's TOKEN mix must land on 50/30/20 without upsampling — the
+# binding domain keeps everything, the rest thin by content-hash.  The
+# driver compares the exact kept ROW SET (not aggregates): thresholds
+# are floor(IEEE-exact rates · 10⁴), so both engines keep identical
+# documents.
+@query(
+    "mixture_sample_domains",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 7 THEN 'web'
+                  WHEN CAST(substr(source, 4) AS INTEGER) < 14 THEN 'books'
+                  ELSE 'wiki' END AS domain,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    tot AS (SELECT domain, SUM(n_tok) AS w FROM d GROUP BY domain),
+    per AS (
+      SELECT domain, w,
+             CAST(CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3
+                  ELSE 0.2 END AS DOUBLE) AS share
+      FROM tot
+    ),
+    b AS (SELECT MIN(CAST(w AS DOUBLE) / share) AS budget FROM per),
+    rates AS (
+      SELECT domain,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                              share * budget / CAST(w AS DOUBLE)) * 10000)
+                  AS INTEGER) AS thresh
+      FROM per, b
+    )
+    SELECT d.doc_id, d.domain, d.n_tok
+    FROM d JOIN rates USING (domain)
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < thresh
+    """,
+)
+def mixture_sample_domains(spark, sf_dir):
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    domain = (
+        F.when(src_num < 7, F.lit("web"))
+        .when(src_num < 14, F.lit("books"))
+        .otherwise(F.lit("wiki"))
+    )
+    base = d.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    kept = mixture_sample(
+        base, "doc_id", "domain", "n_tok",
+        {"web": 0.5, "books": 0.3, "wiki": 0.2},
+    )
+    return kept.select("doc_id", "domain", "n_tok")
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -99,3 +99,65 @@ def range_join_bucketed(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {range_seconds} SECOND"))
     )
     return joined.drop("__bucket", "__rbucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_bounds: tuple[str, str] = ("start_ts", "end_ts"),
+    right_bounds: tuple[str, str] = ("start_ts", "end_ts"),
+    chunk_seconds: int = 86400,
+    suffix: str = "_r",
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join (both sides are [start, end]
+    ranges — the shape ``range_join_bucketed`` does not cover, where
+    only one side is a point): all same-key pairs with
+    ``l.start <= r.end AND r.start <= l.end``.
+
+    Spark plans a raw overlap predicate as BroadcastNestedLoop — O(n·m)
+    per key.  Here both sides explode to the ``chunk_seconds`` time
+    chunks their interval covers and equi-join on (key, chunk), which
+    shuffles instead of looping.  A pair overlapping several chunks
+    would emit duplicates; instead of a ``dropDuplicates`` shuffle,
+    each surviving pair is kept only in the chunk that OWNS it — the
+    chunk containing ``greatest(l.start, r.start)`` (the overlap's
+    first instant, which both rows provably cover) — a pure codegen
+    filter, so the whole operator is ONE shuffle.
+
+    Scale: fan-out per row is ⌈span/chunk⌉+1 — pick ``chunk_seconds``
+    near the TYPICAL interval span (explosion stays O(rows)); a few
+    huge intervals only widen their own fan-out linearly, and the
+    (key, chunk) join AQE-splits hot chunks.  Right columns are
+    suffixed; both bound columns must be non-null timestamps."""
+    ls, le = left_bounds
+    rs_, re_ = right_bounds
+    r_renamed = right.select(
+        F.col(key),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != key],
+    )
+    rs, re = f"{rs_}{suffix}", f"{re_}{suffix}"
+
+    def chunks(start_col: str, end_col: str) -> Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / chunk_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / chunk_seconds),
+            )
+        )
+
+    l_c = left.withColumn("__chunk", chunks(ls, le))
+    r_c = r_renamed.withColumn("__chunk", chunks(rs, re))
+    owner = F.floor(
+        F.greatest(F.unix_timestamp(F.col(ls)), F.unix_timestamp(F.col(rs)))
+        / chunk_seconds
+    )
+    return (
+        l_c.join(r_c, [key, "__chunk"])
+        .filter(
+            (F.col(ls) <= F.col(re))
+            & (F.col(rs) <= F.col(le))
+            & (F.col("__chunk") == owner)
+        )
+        .drop("__chunk")
+    )

@@ -104,6 +104,60 @@ def stratified_topk_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Downsample each stratum so the kept corpus's WEIGHT mix (tokens,
+    usually) lands on ``target_shares`` — the domain-mixing step of
+    training-set assembly when the recipe says "50% web, 30% books,
+    20% wiki" but the raw corpus doesn't.
+
+    Never upsamples: the total is set by the BINDING stratum — budget =
+    min_s(W_s / share_s), the largest total for which every stratum can
+    still supply its share — and every other stratum thins to
+    ``rate_s = share_s · budget / W_s`` (the binding stratum keeps
+    everything).  Rates are data-derived (one stratum-weight aggregate,
+    broadcast back) but membership is the content-hash bucket test, so
+    the kept SET is deterministic and engine-portable: every rate is a
+    single IEEE division/multiplication of exact integer sums and
+    literal shares (correctly rounded, identical on any engine) and the
+    bucket threshold floors it.  Strata absent from ``target_shares``
+    are dropped.  One aggregate + one broadcast join + one filter —
+    scan-scale at 100 TB.  Rows keep their columns; ``__thresh`` is
+    internal."""
+    smap = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    totals = df.groupBy(strata_col).agg(F.sum(F.col(weight_col)).alias("__w"))
+    per = totals.select(
+        strata_col, "__w", F.element_at(smap, F.col(strata_col)).alias("__share")
+    ).filter(F.col("__share").isNotNull())
+    budget = per.agg(
+        F.min(F.col("__w").cast("double") / F.col("__share")).alias("__budget")
+    )
+    rates = per.join(F.broadcast(budget)).select(
+        strata_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("__share") * F.col("__budget") / F.col("__w").cast("double"),
+            )
+            * F.lit(_BUCKETS)
+        )
+        .cast("int")
+        .alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(F.col(id_col)) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str, weights: dict[str, float]
 ) -> dict[str, DataFrame]:

@@ -408,6 +408,57 @@ def knn_graph(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization audit — the compression step
+    before an embedding corpus ships to an ANN index (4× smaller than
+    float32), plus the reconstruction-error stats that decide whether
+    int8 is acceptable for the collection.
+
+    Per vector: ``scale = max|v| / 127``, ``q_i = floor(v_i/scale + ½)``
+    (round-half-up — engine-portable, unlike banker's rounding which
+    Spark and DuckDB disagree on), dequantized error ``|v_i − q_i·s|``.
+    An all-zero vector quantizes to zeros (scale 0 guarded).
+
+    Plan: single scan, zero shuffle; the per-element work is
+    higher-order-function lambdas (interpreted — acceptable: this is a
+    once-per-ingest cold path, and the alternative posexplode adds the
+    shuffle this op exists to avoid).  Error SUMS are order-sensitive
+    in the last ulp, so they surface only under round(·, 6) (NOTES.md
+    float-parity rule).  Output: (vec_id, scale, n_saturated,
+    mean_abs_err, max_abs_err)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("__v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("__s"),
+    )
+    q = F.when(
+        F.col("__s") > 0,
+        F.transform(F.col("__v"), lambda x: F.floor(x / F.col("__s") + F.lit(0.5))),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0).cast("bigint")))
+    staged = staged.select("vec_id", "__v", "__s", q.alias("__q"))
+    errs = F.zip_with(
+        F.col("__v"), F.col("__q"), lambda x, qq: F.abs(x - qq * F.col("__s"))
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("__s"), 6).alias("scale"),
+        F.size(F.filter(F.col("__q"), lambda qq: F.abs(qq) >= 127)).alias(
+            "n_saturated"
+        ),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(F.col("__v")),
+            6,
+        ).alias("mean_abs_err"),
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+    )
+
+
 def centroid_outliers(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -98,3 +98,41 @@ def test_compaction_never_splits_and_bounds_overshoot(spark):
     # skipped): a bin ends only once the cumulative stream crosses it
     for b, total in list(by_bin.items())[:-1]:
         assert total + max_size >= target
+
+
+def test_interval_overlap_join_exact_and_dedup(spark):
+    """Chunk-exploded overlap join must equal the naive θ-join: every
+    overlapping pair exactly once (owner-chunk filter kills the
+    multi-chunk duplicates), boundary touch (end == start) included,
+    disjoint intervals excluded — with intervals spanning many chunks."""
+    from imdb_metacritic_data_warehouse_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    def ts(d, h=0):
+        return datetime(2024, 1, d, h, 0, 0)
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", ts(1), ts(5)),      # spans 5 day-chunks
+            (1, "b", ts(10), ts(10, 1)), # short
+            (2, "c", ts(1), ts(2)),      # other key
+        ],
+        "k long, lid string, start_ts timestamp, end_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "x", ts(3), ts(12)),     # overlaps a (days 3-5) AND b
+            (1, "y", ts(5), ts(6)),      # touches a exactly at end (inclusive)
+            (1, "z", ts(20), ts(21)),    # disjoint from both
+            (2, "w", ts(2), ts(3)),      # overlaps c at the boundary
+        ],
+        "k long, rid string, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid_r)
+        for r in interval_overlap_join(
+            left, right, "k", chunk_seconds=86400
+        ).collect()
+    )
+    assert got == [("a", "x"), ("a", "y"), ("b", "x"), ("c", "w")]

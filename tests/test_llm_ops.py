@@ -652,3 +652,52 @@ def test_session_new_operators_handle_empty_inputs(spark):
         spark.createDataFrame([], "file_id long, size_bytes long"),
         "file_id", "size_bytes", 100,
     ).count() == 0
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """Hand-check: max element saturates to ±127 exactly, a zero
+    vector quantizes to all zeros (scale-0 guard), and reconstruction
+    error is bounded by scale/2 per element."""
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [2.54, -1.27, 0.0, 1.27]),   # scale = 2.54/127 = 0.02
+            (2, [0.0, 0.0, 0.0, 0.0]),       # all-zero
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert got[1].scale == 0.02
+    assert got[1].n_saturated == 1  # only the 2.54 element hits ±127
+    assert got[1].max_abs_err <= got[1].scale / 2 + 1e-9
+    assert got[2].scale == 0.0
+    assert got[2].n_saturated == 0
+    assert got[2].mean_abs_err == 0.0
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """The binding stratum keeps ~everything, the over-represented one
+    thins so kept-token shares approach the 50/50 target, and strata
+    without a target share are dropped."""
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "web", 10) for i in range(900)]        # 9000 tokens
+        + [(i + 1000, "books", 10) for i in range(100)]  # 1000 tokens
+        + [(i + 2000, "junk", 10) for i in range(50)]    # no target
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tok long")
+    kept = mixture_sample(
+        df, "doc_id", "domain", "n_tok", {"web": 0.5, "books": 0.5}
+    ).groupBy("domain").agg(F.sum("n_tok").alias("w"))
+    w = {r.domain: r.w for r in kept.collect()}
+    assert "junk" not in w
+    # books binds (1000/0.5 = 2000 budget): keeps everything
+    assert w["books"] >= 990
+    # web thins to ~1000 of 9000 tokens (hash noise ~ sqrt)
+    assert 800 <= w["web"] <= 1200
