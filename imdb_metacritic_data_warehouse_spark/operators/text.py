@@ -302,6 +302,53 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def vocab_coverage(
+    df, vocab_size: int, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Tokenizer-vocabulary coverage audit: build the top-``vocab_size``
+    corpus vocabulary (frequency-ranked, ties by token — deterministic)
+    and score every document's out-of-vocabulary token rate — the check
+    run before committing to a fixed vocab/tokenizer, and the flag for
+    documents a tokenizer will shred into bytes.
+
+    Plan shape: token explode → corpus term counts (Zipf-small result),
+    top-K via ONE rank window over the vocabulary-sized aggregate (not
+    the corpus), broadcast the K-row vocab back onto a LEFT join of the
+    token rows, one conditional sum per document.  The only data-sized
+    exchanges are the term-count partial aggregate and the per-doc
+    groupBy — both map-side-combinable.  Output: (doc_id, n_tokens,
+    oov_tokens, oov_rate)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tc"))
+    w = Window.orderBy(F.desc("tc"), F.asc("t"))
+    vocab = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= vocab_size)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+            F.round(
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def bm25_scores(
     df,
     terms: list[str],

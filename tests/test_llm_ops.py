@@ -701,3 +701,23 @@ def test_mixture_sample_hits_target_shares(spark):
     assert w["books"] >= 990
     # web thins to ~1000 of 9000 tokens (hash noise ~ sqrt)
     assert 800 <= w["web"] <= 1200
+
+
+def test_vocab_coverage_flags_oov_tokens(spark):
+    """With vocab_size=2 on a corpus where 'the' and 'cat' dominate,
+    the rare-word document shows a positive OOV rate and the
+    common-word document shows zero."""
+    from imdb_metacritic_data_warehouse_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat"),
+            (2, "the cat"),
+            (3, "zyzzyva qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert got[1].oov_rate == 0.0
+    assert got[2].oov_rate == 0.0
+    assert got[3].oov_tokens == 2 and got[3].oov_rate == 1.0

@@ -433,3 +433,24 @@ def test_q17_preaggregate_broadcasts_back(spark):
     plan = _plan(QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_graph_pair_dedup_is_id_only(spark):
+    """knn_graph's collision join + pair dedup must NOT carry the
+    embedding arrays — the dedup exchange ships bare (src, dst) ids and
+    the vectors join back only for scoring (round-3 rewrite guard:
+    carrying 2×64 doubles through those shuffles was a 6× slowdown and
+    a corpus-sized re-shuffle at scale)."""
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import knn_graph
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(knn_graph(e, k=3, n_planes=4, n_tables=2))
+    # the dedup aggregate groups exactly on the bare id pair
+    import re
+
+    m = re.search(r"HashAggregate\(keys=\[src#\d+L, dst#\d+L\]", plan)
+    assert m, f"expected id-only pair dedup aggregate in plan:\n{plan[:2000]}"
+    # no exchange may ship an embedding/vector column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "v#" not in line and "embedding#" not in line, line
