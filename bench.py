@@ -78,6 +78,13 @@ HEADLINE = [
     "knn_graph_embeddings",
     "select_token_budget_docs",
     "corpus_report_by_source",
+    # round-3 continuation: new join/vector/sampling/persistence ops
+    "interval_overlap_sessions",
+    "mixture_sample_domains",
+    "quantize_embeddings_int8",
+    "vocab_coverage_docs",
+    "semantic_dedup_keep",
+    "neardup_labels_persisted",
 ]
 
 
