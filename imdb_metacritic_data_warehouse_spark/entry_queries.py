@@ -3685,17 +3685,26 @@ def q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # ONE lineitem scan: the HAVING aggregate already holds each
+    # qualifying order's quantity sum, so re-scanning the fact to
+    # re-aggregate it behind a semi-join (the literal TPC-H Q18 shape)
+    # is pure waste — join the filtered aggregate itself.  The > 250
+    # filter leaves few orders, so the agg BROADCASTS into orders ⋈
+    # customer and the big side never shuffles post-agg.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("__sq"))
         .filter(F.col("__sq") > 250)
-        .select("l_orderkey")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li.join(big, "l_orderkey", "left_semi"), o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"))
+        .join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("__sq"), 2).cast("double").alias("sum_qty"),
+        )
     )
 
 
