@@ -5120,6 +5120,53 @@ def vocab_coverage_docs(spark, sf_dir):
     return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=100)
 
 
+# Product-quantization encoding (operators/similarity.pq_codes): 4
+# blocks × 8 deterministic sampled codebook entries; the driver
+# value-checks every code and the reconstruction MSE.
+@query(
+    "pq_codes_embeddings",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pb AS (
+      SELECT vec_id, b.range AS block,
+             v[b.range*16+1 : b.range*16+16] AS pv
+      FROM v, range(0, 4) b
+    ),
+    cb AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, b.range AS block,
+             v[b.range*16+1 : b.range*16+16] AS cv
+      FROM v, range(0, 4) b WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT pb.vec_id, pb.block, cb.code,
+             round(list_reduce(
+               list_transform(list_zip(pb.pv, cb.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (a, b) -> a + b), 6) AS d2
+      FROM pb JOIN cb ON pb.block = cb.block
+    ),
+    best AS (
+      SELECT vec_id, block, code, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, block
+                                     ORDER BY d2, code) AS rk
+        FROM d
+      ) WHERE rk = 1
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN block = 0 THEN code END) AS INTEGER) AS code_0,
+           CAST(MAX(CASE WHEN block = 1 THEN code END) AS INTEGER) AS code_1,
+           CAST(MAX(CASE WHEN block = 2 THEN code END) AS INTEGER) AS code_2,
+           CAST(MAX(CASE WHEN block = 3 THEN code END) AS INTEGER) AS code_3,
+           round(SUM(d2) / 64, 6) AS mse
+    FROM best GROUP BY vec_id
+    """,
+)
+def pq_codes_embeddings(spark, sf_dir):
+    from .operators.similarity import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -408,6 +408,89 @@ def knn_graph(
     )
 
 
+def pq_codes(
+    embeddings: DataFrame,
+    n_blocks: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Product-quantization encoding — the IVF-PQ compression standard:
+    each vector splits into ``n_blocks`` subvectors and every block is
+    replaced by the id of its nearest codebook entry, so a 64-float
+    vector stores as ``n_blocks`` small ints (asymmetric-distance
+    search decodes against the codebook, never the original floats).
+
+    Codebooks use the *deterministic sampled quantizer* rule of
+    ``ivf_sampled_topk`` — block b's codebook is the b-slices of the
+    first ``n_codes`` corpus vectors — so the whole encoding is a pure
+    function of the data and the driver value-checks codes AND
+    reconstruction error against the SQL oracle (a k-means codebook
+    could only be rows-checked).  Swapping trained centroids in changes
+    one frame.
+
+    Plan shape: block explode (N×n_blocks rows, codegen slice), one
+    BROADCAST of the n_blocks×n_codes codebook, per-(vec, block) argmin
+    via ``min(struct(d2, code))`` (lexicographic — ties break on code,
+    both engines), then one groupBy(vec) pivots codes to columns.
+    Distances round to 6 dp before the argmin so float fold order can't
+    flip a code.  Output: (vec_id, code_0..code_{B−1}, mse)."""
+    bs = dims // n_blocks
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    def blocks(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("block"),
+                    F.slice(col, b * bs + 1, bs).alias("pv"),
+                )
+                for b in range(n_blocks)
+            ]
+        )
+
+    pb = vecs.select("vec_id", F.explode(blocks(F.col("v"))).alias("s")).select(
+        "vec_id", "s.block", "s.pv"
+    )
+    cb = (
+        vecs.filter(F.col("vec_id") < n_codes)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.explode(blocks(F.col("v"))).alias("s"),
+        )
+        .select("code", "s.block", F.col("s.pv").alias("cv"))
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("pv"),
+                F.col("cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dist = pb.join(F.broadcast(cb), "block").select(
+        "vec_id", "block", "code", d2.alias("d2")
+    )
+    per_block = dist.groupBy("vec_id", "block").agg(
+        F.min(F.struct("d2", "code")).alias("m")
+    )
+    return per_block.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("block") == b, F.col("m.code")))
+            .cast("int")
+            .alias(f"code_{b}")
+            for b in range(n_blocks)
+        ],
+        F.round(F.sum("m.d2") / F.lit(float(dims)), 6).alias("mse"),
+    )
+
+
 def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -721,3 +721,25 @@ def test_vocab_coverage_flags_oov_tokens(spark):
     assert got[1].oov_rate == 0.0
     assert got[2].oov_rate == 0.0
     assert got[3].oov_tokens == 2 and got[3].oov_rate == 1.0
+
+
+def test_pq_codes_identity_and_copy(spark):
+    """Codebook vectors (id < n_codes) encode as themselves with zero
+    reconstruction error; an exact copy of codebook vector 3 gets all
+    of 3's codes and zero error."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import pq_codes
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(64).astype("float32").tolist()) for i in range(9)]
+    vecs.append((9, vecs[3][1]))  # exact copy of codebook entry 3
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in pq_codes(emb, n_blocks=4, n_codes=8).collect()}
+    for i in range(8):
+        assert (got[i].code_0, got[i].code_1, got[i].code_2, got[i].code_3) == (
+            i, i, i, i,
+        )
+        assert got[i].mse == 0.0
+    assert (got[9].code_0, got[9].code_1, got[9].code_2, got[9].code_3) == (3, 3, 3, 3)
+    assert got[9].mse == 0.0
