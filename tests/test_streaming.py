@@ -396,3 +396,45 @@ def test_streaming_incremental_mart_refresh(spark, tmp_path):
     )
     want = {r.seg: (r.n, float(r.total), r.mx) for r in full.collect()}
     assert got == want
+
+
+def test_streaming_corpus_ingest_dedup_across_batches(spark, tmp_path):
+    """Two micro-batches of documents: within-batch duplicates collapse
+    to the min doc_id, a cross-batch duplicate never re-commits, and a
+    restart (new stream, same table) stays idempotent."""
+    from imdb_metacritic_data_warehouse_spark.streaming.ingest import (
+        corpus_ingest_sink,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    table = VersionedParquetTable(spark, str(tmp_path / "corpus"), "docs")
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    # batch 1: A, B, and an exact duplicate of A (different id, same text
+    # modulo case/whitespace — the fingerprint rule must catch it)
+    write_batch("b1", [(1, "alpha doc"), (2, "beta doc"), (7, "  Alpha   DOC ")])
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = corpus_ingest_sink(
+        stream, table, checkpoint=str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in table.read().collect()}
+    assert got1 == {1, 2}  # min-id canonical per fingerprint
+
+    # batch 2: duplicate of B (cross-batch) + novel C
+    write_batch("b2", [(9, "beta doc"), (10, "gamma doc")])
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = corpus_ingest_sink(
+        stream, table, checkpoint=str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got2 = {r.doc_id for r in table.read().collect()}
+    assert got2 == {1, 2, 10}
+    # versions advanced: v1 (batch 1) then v2 (batch 2)
+    assert table.current_version() == 2
