@@ -5167,6 +5167,43 @@ def pq_codes_embeddings(spark, sf_dir):
     return pq_codes(_t(spark, sf_dir, "embeddings"))
 
 
+# Per-source quality calibration: raw quality scores aren't comparable
+# across domains (books score long, chat scores short), so curation
+# filters on the WITHIN-SOURCE percentile instead of the raw score —
+# percent_rank over (source, quality) with deterministic tie-break,
+# keep the top half of every source.  One window shuffle on source;
+# the percentile is rank arithmetic on exact integers (engine-exact,
+# unlike an interpolated quantile).
+@query(
+    "quality_calibrated_filter",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS q FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, q,
+             round(percent_rank() OVER (PARTITION BY source
+                                        ORDER BY q, doc_id), 6) AS pctl
+      FROM scored
+    )
+    SELECT doc_id, source, q AS quality, pctl
+    FROM ranked WHERE pctl >= 0.5
+    """,
+)
+def quality_calibrated_filter(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("q"), F.asc("doc_id"))
+    ranked = scored.withColumn("pctl", F.round(F.percent_rank().over(w), 6))
+    return ranked.filter(F.col("pctl") >= 0.5).select(
+        "doc_id", "source", F.col("q").alias("quality"), "pctl"
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #
