@@ -5204,6 +5204,54 @@ def quality_calibrated_filter(spark, sf_dir):
     )
 
 
+# Record linkage / fuzzy matching (operators/linkage.fuzzy_join):
+# best edit-distance-≤2 match per part name via first-token + length-
+# band blocking — the catalog-dedup shape.  The oracle replays the
+# identical blocking, so recall tradeoffs cancel and the checked
+# contract is the blocked-join machinery itself.
+@query(
+    "fuzzy_match_part_names",
+    """
+    WITH p AS (SELECT p_partkey, lower(p_name) AS n FROM part),
+    b AS (
+      SELECT p_partkey, n, split_part(n, ' ', 1) AS w1,
+             CAST(floor(length(n) / 4) AS INTEGER) AS band
+      FROM p
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS src, c.p_partkey AS dst,
+             levenshtein(a.n, c.n) AS d
+      FROM b a JOIN b c
+        ON a.w1 = c.w1 AND abs(a.band - c.band) <= 1
+       AND a.p_partkey <> c.p_partkey
+      WHERE levenshtein(a.n, c.n) <= 2
+    ),
+    best AS (
+      SELECT src, dst, d,
+             row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rk
+      FROM pairs
+    )
+    SELECT src AS p_partkey, dst AS match_key, CAST(d AS INTEGER) AS distance
+    FROM best WHERE rk = 1
+    """,
+)
+def fuzzy_match_part_names(spark, sf_dir):
+    from .operators.linkage import fuzzy_join
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = fuzzy_join(p, p, "p_name", "p_name", max_distance=2).filter(
+        F.col("p_partkey") != F.col("p_partkey_r")
+    )
+    best = pairs.groupBy("p_partkey").agg(
+        F.min(F.struct(F.col("distance"), F.col("p_partkey_r"))).alias("m")
+    )
+    return best.select(
+        "p_partkey",
+        F.col("m.p_partkey_r").alias("match_key"),
+        F.col("m.distance").cast("int").alias("distance"),
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

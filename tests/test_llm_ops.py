@@ -743,3 +743,30 @@ def test_pq_codes_identity_and_copy(spark):
         assert got[i].mse == 0.0
     assert (got[9].code_0, got[9].code_1, got[9].code_2, got[9].code_3) == (3, 3, 3, 3)
     assert got[9].mse == 0.0
+
+
+def test_fuzzy_join_blocking_and_threshold(spark):
+    """Within-block pairs match up to the distance cap with their exact
+    distance; a pair over the cap is dropped; a length-band boundary
+    pair (lengths differing by ≤ cap across a band edge) is still
+    found via the ±1 band expansion."""
+    from imdb_metacritic_data_warehouse_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "blue steel rod"), (2, "red metallic"), (3, "abcdefg")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "blue steel rd"),    # distance 1 to id 1
+            (11, "blue steel rods!"), # len 16 vs 14: crosses band 3→4
+            (12, "blue completely different and long"),  # same block word, too far
+            (13, "red metallic"),     # exact (distance 0)
+        ],
+        "id long, name string",
+    )
+    got = sorted(
+        (r.id, r.id_r, r.distance)
+        for r in fuzzy_join(left, right, "name", "name", max_distance=2).collect()
+    )
+    assert got == [(1, 10, 1), (1, 11, 2), (2, 13, 0)]
