@@ -23,6 +23,10 @@ CASES = [
     ("asof_join_events", "As-of join as union-sort: one hash shuffle, per-key window carry-forward - no nested-loop range join."),
     ("q21_waiting_suppliers", "EXISTS/NOT EXISTS decorrelated to left-semi + left-anti equi-joins."),
     ("incremental_mart_merge", "Delta partial-agg unioned with state, re-aggregated on the mart key - refresh cost bounded by the delta."),
+    ("q18_large_orders", "Single fact scan: the HAVING aggregate carries the quantity sum and joins directly - no semi-join + re-aggregation second scan."),
+    ("knn_graph_embeddings", "LSH collision self-join and pair dedup ship bare (src,dst) ids; embeddings join back only at scoring (no exchange carries a vector column)."),
+    ("interval_overlap_sessions", "Interval x interval overlap as chunk-exploded equi-join + owner-chunk codegen filter - one shuffle, no BroadcastNestedLoop."),
+    ("mixture_sample_domains", "Data-derived keep rates from one stratum aggregate broadcast back; membership is a scan-local hash filter."),
 ]
 
 
