@@ -5252,6 +5252,58 @@ def fuzzy_match_part_names(spark, sf_dir):
     )
 
 
+# Event-time RANGE window frame (the one frame family rows-based
+# window_frame_functions can't express): per-user trailing 6-hour
+# statistics and a z-score anomaly flag.  Both engines order by
+# FLOOR(epoch seconds) so the frame boundary is identical; ties share
+# the frame by VALUE (range semantics), which keeps the row set
+# engine-independent even when sort order among ties isn't.  stddev_pop
+# so a single-event window gives 0 (gated to NULL z) on both engines.
+@query(
+    "trailing_window_anomalies",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER tw AS n_window,
+             AVG(value) OVER tw AS mu,
+             stddev_pop(value) OVER tw AS sigma
+      FROM events
+      WINDOW tw AS (PARTITION BY user_id ORDER BY FLOOR(epoch(ts))
+                    RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n_window,
+           round(CASE WHEN sigma > 0 THEN (value - mu) / sigma END, 6) AS zscore,
+           CASE WHEN sigma > 0 AND abs((value - mu) / sigma) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w
+    """,
+)
+def trailing_window_anomalies(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn(
+        "__sec", F.unix_timestamp("ts")
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-21600, Window.currentRow)
+    )
+    mu = F.avg("value").over(tw)
+    sigma = F.stddev_pop("value").over(tw)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(tw).alias("n_window"),
+        F.round(
+            F.when(sigma > 0, (F.col("value") - mu) / sigma), 6
+        ).alias("zscore"),
+        F.when(
+            (sigma > 0) & (F.abs((F.col("value") - mu) / sigma) > 2), 1
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #
