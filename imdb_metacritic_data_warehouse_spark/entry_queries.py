@@ -5304,6 +5304,63 @@ def trailing_window_anomalies(spark, sf_dir):
     )
 
 
+# Change-data-feed between committed versions
+# (sources/table.version_diff): two deterministic order snapshots
+# commit as v1/v2 of a real VersionedParquetTable, and the diff
+# classifies every key insert/delete/update (null-safe) — the surface
+# an incremental consumer reads instead of re-scanning the table.
+@query(
+    "version_diff_orders",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 11 <> 0),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 13 <> 0
+    )
+    SELECT 'insert' AS change_type, n.o_orderkey, n.o_orderstatus, n.o_totalprice
+    FROM v2 n LEFT JOIN v1 o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'delete', o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM v1 o LEFT JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'update', n.o_orderkey, n.o_orderstatus, n.o_totalprice
+    FROM v1 o JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def version_diff_orders(spark, sf_dir):
+    import shutil
+
+    from .sources.table import VersionedParquetTable, version_diff
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(
+        repo_root, ".scratch", f"cdf_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v1 = base.filter(k % 11 != 0)
+    v2 = base.filter(k % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    t = VersionedParquetTable(spark, root, "orders_cdf")
+    t.write(v1)
+    t.write(v2)
+    return version_diff(t, "o_orderkey")
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -146,3 +146,36 @@ def test_export_jsonl_shards_deterministic_and_balanced(spark, tmp_path):
     a = {(r.doc_id, r.shard) for r in back.collect()}
     b = {(r.doc_id, r.shard) for r in spark.read.json(p2).collect()}
     assert a == b
+
+
+def test_version_diff_apply_reproduces_target(spark, tmp_path):
+    """Applying the change feed to v1 must reproduce v2 exactly:
+    (v1 − deleted − updated-old) ∪ (inserts + update-new rows) == v2."""
+    from imdb_metacritic_data_warehouse_spark.sources.table import (
+        VersionedParquetTable,
+        version_diff,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path), "cdf")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "id long, val string"
+    )
+    t.write(v1)
+    t.write(v2)
+    feed = version_diff(t, "id")
+    got = {(r.change_type, r.id, r.val) for r in feed.collect()}
+    assert got == {("delete", 1, "a"), ("update", 2, "B"), ("insert", 4, "d")}
+    # apply the feed to v1
+    touched = feed.select("id")
+    applied = (
+        t.read(1).join(touched, "id", "left_anti")
+        .unionByName(
+            feed.filter(feed.change_type != "delete").select("id", "val")
+        )
+    )
+    assert {(r.id, r.val) for r in applied.collect()} == {
+        (r.id, r.val) for r in t.read(2).collect()
+    }
