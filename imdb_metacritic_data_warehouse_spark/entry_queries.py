@@ -5361,6 +5361,71 @@ def version_diff_orders(spark, sf_dir):
     return version_diff(t, "o_orderkey")
 
 
+# Data-quality constraint report (operators/dq.dq_report): the
+# dbt-test / expectations layer a lake engine must compute where
+# PostgreSQL had constraints.  The dimension side deliberately drops
+# every third customer so the referential check reports real orphans;
+# the accepted-values and range rules also fire on live data.
+@query(
+    "dq_report_orders",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    rowchecks AS (
+      SELECT 'status_accepted' AS chk,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'totalprice_range',
+             CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice <= 300000
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'priority_not_null',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM orders
+    ),
+    uniq AS (
+      SELECT 'unique:o_orderkey' AS chk,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+            HAVING COUNT(*) > 1)
+    ),
+    fk AS (
+      SELECT 'custkey_in_customer' AS chk, CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders o
+      LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0) c
+        ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    ),
+    allchecks AS (
+      SELECT * FROM rowchecks UNION ALL SELECT * FROM uniq
+      UNION ALL SELECT * FROM fk
+    )
+    SELECT chk AS "check", v AS n_violations,
+           round(CAST(v AS DOUBLE) / GREATEST(n, 1), 6) AS violation_rate
+    FROM allchecks, t
+    """,
+)
+def dq_report_orders(spark, sf_dir):
+    from .operators.dq import dq_report
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    return dq_report(
+        o,
+        row_rules={
+            "status_accepted": F.col("o_orderstatus").isin("O", "F"),
+            "totalprice_range": (F.col("o_totalprice") > 0)
+            & (F.col("o_totalprice") <= 300000),
+            "priority_not_null": F.col("o_orderpriority").isNotNull(),
+        },
+        unique_key="o_orderkey",
+        fk_rules={"custkey_in_customer": (cust, "o_custkey", "c_custkey")},
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -179,3 +179,36 @@ def test_version_diff_apply_reproduces_target(spark, tmp_path):
     assert {(r.id, r.val) for r in applied.collect()} == {
         (r.id, r.val) for r in t.read(2).collect()
     }
+
+
+def test_dq_report_counts_each_rule_class(spark):
+    """Row rule (with a NULL counting as violation), pk duplicate rows,
+    and row-weighted FK orphans all report exact counts and rates."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.dq import dq_report
+
+    fact = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, 10, -1.0),   # range violation
+            (2, 20, 3.0),    # duplicate pk (both id=2 rows count)
+            (3, None, None), # NULL value -> rule NULL -> violation; null fk ignored
+            (4, 99, 2.0),    # orphan fk
+            (5, 99, 2.0),    # same orphan key, second row (row-weighted)
+        ],
+        "id long, dim_id long, val double",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "d long")
+    got = {
+        r.check: (r.n_violations, r.violation_rate)
+        for r in dq_report(
+            fact,
+            row_rules={"val_positive": F.col("val") > 0},
+            unique_key="id",
+            fk_rules={"dim_fk": (dim, "dim_id", "d")},
+        ).collect()
+    }
+    assert got["val_positive"] == (2, round(2 / 6, 6))
+    assert got["unique:id"] == (2, round(2 / 6, 6))
+    assert got["dim_fk"] == (2, round(2 / 6, 6))
