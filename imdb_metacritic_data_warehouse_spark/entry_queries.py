@@ -5426,6 +5426,148 @@ def dq_report_orders(spark, sf_dir):
     )
 
 
+# Time-series gap filling + forward fill: materialize EVERY hour
+# between each user's first and last event (sequence explode — the
+# dense time spine a dashboard or feature store needs), left-join the
+# per-hour aggregates, zero-fill counts and carry the last observed
+# hourly average forward across gaps (last_value ignorenulls).  Spine
+# generation is per-user arithmetic (no cross join against a global
+# calendar); the only shuffles are the per-hour aggregate and the
+# per-user fill window — both on user_id.
+@query(
+    "gap_fill_user_hours",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events,
+             round(AVG(value), 6) AS avg_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.h, COALESCE(y.n_events, 0) AS n_events, y.avg_value
+      FROM spine s LEFT JOIN hourly y ON s.user_id = y.user_id AND s.h = y.h
+    )
+    SELECT user_id, CAST(h AS VARCHAR) AS hour, n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg
+    FROM joined
+    """,
+)
+def gap_fill_user_hours(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    hourly = _materialize(hourly)  # feeds bounds AND the join probe
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").cast("string").alias("hour"),
+        "n_events",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+def _lsh_band_sql(src: str, p: str) -> str:
+    """Shingle→minhash→band CTE chain over CTE ``src``, prefixed ``p``
+    (the SQL twin of operators/dedup.lsh_band_table)."""
+    return f"""
+    {p}tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM {src}),
+    {p}sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM {p}tok
+    ),
+    {p}sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM {p}sh),
+    {p}band AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM {p}sig, range(0, 4) b
+    )"""
+
+
+# Incremental near-dup ingest (operators/dedup.incremental_neardup_filter):
+# the committed corpus's LSH band table is the persisted index; a new
+# batch only sketches ITSELF and semi-joins — the maintenance mode that
+# replaces whole-corpus re-deduplication per batch.  The batch plants
+# one near-dup (text + 3 extra words — collides by construction) and
+# one genuinely novel doc (md5 of the text, single alien token) per
+# %25 source doc; exactly the novel ones must survive.
+@query(
+    "incremental_neardup_ingest",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz yy xx' AS text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, md5(text)
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    {_lsh_band_sql('corpus', 'c')},
+    {_lsh_band_sql('batch', 'b')}
+    SELECT b.doc_id FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bband x JOIN cband c
+        ON x.band = c.band AND x.band_sig = c.band_sig
+      WHERE x.doc_id = b.doc_id
+    )
+    """,
+)
+def incremental_neardup_ingest(spark, sf_dir):
+    from .operators.dedup import incremental_neardup_filter, lsh_band_table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % 25 == 0)
+    batch = seeds.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+    ).unionByName(
+        seeds.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.md5(F.col("text")).alias("text"),
+        )
+    )
+    corpus_bands = lsh_band_table(d, "doc_id", "text")
+    survivors = incremental_neardup_filter(batch, corpus_bands, "doc_id", "text")
+    return survivors.select("doc_id")
+
+
 # ===========================================================================
 # Registration-order curation.
 #

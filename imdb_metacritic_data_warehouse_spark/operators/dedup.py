@@ -129,6 +129,65 @@ def minhash_signatures(
     )
 
 
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(doc_id, band, band_sig) LSH index rows for every document — the
+    persistable MinHash index.  ``lsh_candidate_pairs`` derives its
+    bucket join from this; an INCREMENTAL pipeline commits this table
+    once per corpus version and probes new batches against it
+    (``incremental_neardup_filter``) instead of re-sketching the whole
+    corpus per batch."""
+    rows = num_hashes // bands
+    sigs = _minhash_cols(df, id_col, text_col, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+
+
+def incremental_neardup_filter(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental near-dup ingest gate: batch documents colliding with
+    ANY committed corpus band signature are dropped; the rest survive.
+
+    This is the maintenance mode of MinHash dedup at scale — the
+    committed index (``lsh_band_table`` rows, batch-sized probe vs
+    corpus-sized rebuild) is the join's big side, partitioned on
+    (band, band_sig) exactly like the probe, so the only work per batch
+    is sketching the BATCH and one semi-join.  Collision is the
+    candidate-level test (same recall/precision as
+    ``lsh_candidate_pairs``); chain ``ngram_jaccard`` on the hit pairs
+    when the pipeline needs verified-similarity drops instead."""
+    bb = lsh_band_table(batch, id_col, text_col, num_hashes, bands)
+    hits = (
+        bb.join(corpus_bands.select("band", "band_sig"), ["band", "band_sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.join(
+        hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -160,20 +219,7 @@ def lsh_candidate_pairs(
     (band, band_sig) hash partitioning, so neither re-shuffles the
     input; the only new exchange is the final pair ``distinct``.
     """
-    rows = num_hashes // bands
-    sigs = _minhash_cols(df, id_col, text_col, num_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
-            ).alias("band_sig"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.band_sig")
+    banded = lsh_band_table(df, id_col, text_col, num_hashes, bands)
     w = Window.partitionBy("band", "band_sig")
     sized = (
         banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
