@@ -5568,6 +5568,114 @@ def incremental_neardup_ingest(spark, sf_dir):
     return survivors.select("doc_id")
 
 
+def _bm25_scored_cte() -> str:
+    """BM25 tf/stats/scored CTE chain (the bm25_docs oracle shape)."""
+    return f"""
+    tf AS (
+      SELECT doc_id, len(w) AS dl,
+             {", ".join(f"len(w) - len(list_filter(w, x -> x != '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM tf
+    ),
+    lex AS (
+      SELECT doc_id,
+             round({" + ".join(
+                 f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+                 f" * ((CAST(tf{i} AS DOUBLE) * 2.2) / (CAST(tf{i} AS DOUBLE)"
+                 f" + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+                 for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+      FROM tf CROSS JOIN stats
+    )"""
+
+
+# Hybrid retrieval end-product: BM25 lexical ranking fused with dense
+# cosine ranking by reciprocal-rank fusion (score = Σ 1/(60+rank) over
+# the lists a doc appears in) — the standard two-tower search stack
+# (bm25_scores + cosine machinery) compressed to one query.  Ranks are
+# deterministic (score ties break on doc_id), the fused score is an
+# exact two-term double sum, and the final top-10 orders on the exact
+# sum before rounding — bit-identical across engines.
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_bm25_scored_cte()},
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+      FROM lex WHERE bm25 > 0
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 5
+    ),
+    denser AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS dr
+      FROM dense
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lr, d.dr,
+             COALESCE(1.0 / (60 + l.lr), 0.0) + COALESCE(1.0 / (60 + d.dr), 0.0)
+               AS rrf
+      FROM lexr l FULL JOIN denser d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(lr AS INTEGER) AS lex_rank, CAST(dr AS INTEGER) AS dense_rank,
+           round(rrf, 6) AS rrf_score, CAST(pos AS INTEGER) AS pos
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS pos FROM fused
+    ) WHERE pos <= 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from .operators.similarity import _dot
+    from .operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, _BM25_TERMS)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lr"))
+    qv = e.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("qv"))
+    dense = (
+        e.filter(F.col("vec_id") != 5)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_dot(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    denser = dense.select("doc_id", F.row_number().over(wd).alias("dr"))
+    fused = (
+        lexr.join(denser, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lr",
+            "dr",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dr")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("pos", F.row_number().over(wf))
+        .filter(F.col("pos") <= 10)
+        .select(
+            "doc_id",
+            F.col("lr").cast("int").alias("lex_rank"),
+            F.col("dr").cast("int").alias("dense_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #
