@@ -5676,6 +5676,312 @@ def hybrid_search_rrf(spark, sf_dir):
     )
 
 
+# First-order Markov transition matrix over per-user event sequences —
+# the "what do users do next" model behind next-action prediction and
+# behavioral-cohort features.  One window shuffle on user_id (lead) +
+# one hash aggregate on (src, dst); the per-src normalizing total is a
+# window over the AGGREGATED matrix (|event_types|² rows — trivially
+# small however large the fact table).  p is an integer-count ratio, so
+# round(…,6) is engine-stable.
+@query(
+    "markov_transitions_events",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    )
+    SELECT src, dst, COUNT(*) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY src), 6) AS p
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def markov_transitions_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    mat = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return mat.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )
+
+
+# Time-weighted average (TWAP) of the event value per user: each
+# observation is held until the next one, so the mean weights values by
+# their holding interval — the correct aggregate for irregularly-sampled
+# gauges (price feeds, sensor state).  dt in exact integer MICROSECONDS
+# (unix_micros / epoch_us) so the weights are bit-identical across
+# engines; one window shuffle on user_id, one aggregate.
+@query(
+    "twap_events",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           round(SUM(value * dt_us) / SUM(dt_us), 6) AS twap,
+           COUNT(*) AS n_intervals
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    """,
+)
+def twap_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
+    )
+
+
+# Probability-proportional-to-size sampling over documents, weighted by
+# length — the importance-sampling corpus thinning step (keep long docs
+# more often; unbiased stats reweight by 1/p downstream).  Membership is
+# integer-hash math (operators/sampling.pps_sample), so the oracle
+# checks the EXACT kept row set, not just aggregates.  Pure per-row
+# filter: zero shuffles at any scale.
+@query(
+    "weighted_sample_pps_docs",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          < floor(CAST(0.0015 AS DOUBLE) * n_chars * CAST(281474976710656 AS DOUBLE))
+    """,
+)
+def weighted_sample_pps_docs(spark, sf_dir):
+    from .operators.sampling import pps_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return pps_sample(d, "doc_id", "n_chars", 0.0015).select("doc_id", "n_chars")
+
+
+# Vocabulary truncation — rewrite every out-of-vocabulary token to
+# <unk> and reassemble each document in token order (the preprocessing
+# step that pins a tokenizer's closed vocabulary before training).
+# Vocab = global top-V tokens by frequency (V=50 here; deterministic
+# count-desc/token-asc tie-break).  The vocab aggregate is tiny however
+# large the corpus (bounded by V after the top-V cut) and BROADCASTS to
+# the token stream — the scale-correct shape when the real vocab is
+# ~100k rows (an array_contains against a literal list would be O(V)
+# per token; the hash join is O(1)).  Reassembly sorts (pos, token)
+# structs inside one hash aggregate per doc — same single-shuffle class
+# as text_analysis.
+@query(
+    "vocab_truncate_docs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS tok FROM words),
+    vocab AS (SELECT tok FROM tok GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 50),
+    v AS (SELECT list(tok) AS vl FROM vocab)
+    SELECT w.doc_id,
+           array_to_string(
+             list_transform(ws, t -> CASE WHEN list_contains(vl, t)
+                                          THEN t ELSE '<unk>' END), ' ') AS text_trunc,
+           len(list_filter(ws, t -> NOT list_contains(vl, t))) AS n_unk,
+           len(ws) AS n_tokens
+    FROM words w CROSS JOIN v
+    """,
+)
+def vocab_truncate_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    mapped = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("__in").isNotNull(), F.col("tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("tok2"),
+        F.when(F.col("__in").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_unk"),
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok2"))),
+                lambda x: x["tok2"],
+            ),
+            " ",
+        ).alias("text_trunc"),
+        F.sum("is_unk").cast("bigint").alias("n_unk"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# PageRank over the co-purchase graph — parts are linked when they
+# appear in the same order; 3 synchronous power iterations (unrolled in
+# the oracle), damping 0.85.  Per-iteration cost is one edges⋈ranks
+# join + one per-node aggregate, both keyed on node id; the
+# edges⋈degree table is loop-invariant and materialized once; lineage
+# is checkpoint-bounded per round (operators/graph.py).  The co-occur
+# self-join is bounded by per-order line count (≤7 in this data model),
+# never a cross product.  FP parity: every constant is forced to DOUBLE
+# on both engines with the SAME expression shape ((1-0.85)/n, not a
+# pre-folded 0.15 literal — they differ by 1 ulp); round(…,8) at the
+# end absorbs summation-order drift.
+@query(
+    "pagerank_parts_copurchase",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS pr FROM nodes CROSS JOIN nn),
+    c1 AS (
+      SELECT e.dst AS node, SUM(r.pr / d.out_deg) AS s
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(c1.s, 0) AS pr
+      FROM nodes n CROSS JOIN nn LEFT JOIN c1 ON n.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, SUM(r.pr / d.out_deg) AS s
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(c2.s, 0) AS pr
+      FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON n.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, SUM(r.pr / d.out_deg) AS s
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(c3.s, 0) AS pr
+      FROM nodes n CROSS JOIN nn LEFT JOIN c3 ON n.node = c3.node
+    )
+    SELECT node AS part, round(pr, 8) AS pr
+    FROM r3 ORDER BY pr DESC, part LIMIT 50
+    """,
+)
+def pagerank_parts_copurchase(spark, sf_dir):
+    from .operators.graph import pagerank, undirected_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    ranks = pagerank(undirected_edges(pairs, "pa", "pb"), iters=3, damping=0.85)
+    return (
+        ranks.select(F.col("node").alias("part"), F.round("pr", 8).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("part"))
+        .limit(50)
+    )
+
+
+# EXACT set-similarity self-join (3-gram-shingle Jaccard ≥ 0.6) via
+# PPJoin-style prefix filtering — the deterministic complement to
+# MinHash/LSH: zero false negatives, no banding parameters.  The oracle
+# is the honest all-pairs brute force (feasible at oracle SFs); the
+# Spark side runs the prefix-filtered plan that survives 100× —
+# candidates collide only on globally-RARE shingles, so the
+# element-keyed join never concentrates on boilerplate.  Threshold as
+# integer percent: the accept test is 100·inter ≥ 60·union on exact
+# counts, no float boundary.  Set elements are shingles, not unigrams:
+# unigram sets over this corpus's ~30-word vocabulary make 73k of 125k
+# pairs "similar" — an all-pairs join in disguise.
+@query(
+    "jaccard_prefix_join_docs",
+    """
+    WITH tokw AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tokw
+    ),
+    d AS (SELECT doc_id, list_distinct(shingles) AS toks FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) AS sa, len(b.toks) AS sb
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, sa + sb - inter AS uni,
+           round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+    FROM p WHERE 100 * inter >= 60 * (sa + sb - inter)
+    """,
+)
+def jaccard_prefix_join_docs(spark, sf_dir):
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold_pct=60)
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -171,3 +171,28 @@ def hash_split(
         out[name] = df.filter((b >= lo) & (b < hi))
         lo = hi
     return out
+
+
+def pps_sample(df: DataFrame, id_col: str, weight_col: str, rate: float) -> DataFrame:
+    """Probability-proportional-to-size (Poisson/PPS) sampling: include
+    each row independently with probability ``min(1, rate · weight)`` —
+    the survey-sampling primitive behind importance-weighted corpus
+    thinning (keep long documents more often, but keep SOME of
+    everything; an unbiased estimator reweights by 1/p downstream).
+
+    Membership is deterministic integer math, never rand(): u =
+    first 12 md5 hex chars of the id (uniform 48-bit int) is compared
+    against ``floor(rate · weight · 2^48)``.  rate·weight is one IEEE
+    double multiply of a literal and an exact integer (correctly
+    rounded, identical on any engine), the 2^48 scale is exact, and
+    floor is exact — so the kept SET is engine-portable, stable across
+    reruns/retries/partitionings, and incremental (new rows don't
+    change old decisions).  Zero shuffles: a pure per-row filter,
+    scan-scale at 100 TB."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    thresh = F.floor(
+        F.lit(rate) * F.col(weight_col).cast("double") * F.lit(float(2**48))
+    ).cast("long")
+    return df.filter(u < thresh)

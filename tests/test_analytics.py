@@ -136,3 +136,85 @@ def test_interval_overlap_join_exact_and_dedup(spark):
         ).collect()
     )
     assert got == [("a", "x"), ("a", "y"), ("b", "x"), ("c", "w")]
+
+
+def test_markov_transition_probs_sum_to_one(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        markov_transitions_events,
+    )
+
+    out = markov_transitions_events(spark, sf_dir)
+    by_src = out.groupBy("src").agg(F.round(F.sum("p"), 4).alias("tot")).collect()
+    assert by_src, "no transitions at test SF"
+    for r in by_src:
+        # per-src probabilities sum to 1 (up to the 6-digit cell rounding)
+        assert abs(r["tot"] - 1.0) < 1e-3, r
+
+
+def test_twap_bounds_and_interval_counts(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        _events,
+        twap_events,
+    )
+
+    out = twap_events(spark, sf_dir)
+    ev = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    j = out.join(ev, "user_id").collect()
+    assert j, "no users at test SF"
+    for r in j:
+        # a weighted mean can never leave the value envelope
+        assert r["lo"] - 1e-6 <= r["twap"] <= r["hi"] + 1e-6, r
+        # every consecutive pair contributes exactly one interval
+        assert r["n_intervals"] == r["n"] - 1, r
+
+
+def test_twap_hand_example(spark):
+    # value 10 held for 3s then value 0 held for 1s -> twap 7.5
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (1, 2, datetime(2024, 1, 1, 0, 0, 3), 0.0),
+        (1, 3, datetime(2024, 1, 1, 0, 0, 4), 99.0),  # last value carries no weight
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    got = (
+        seq.groupBy("user_id")
+        .agg((F.sum(F.col("value") * F.col("dt")) / F.sum("dt")).alias("twap"))
+        .collect()[0]["twap"]
+    )
+    assert abs(got - 7.5) < 1e-9
+
+
+def test_pagerank_hand_graph(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.graph import (
+        pagerank,
+        undirected_edges,
+    )
+
+    # path graph 1-2-3: ends symmetric, middle highest; mass conserved
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    pr = {r["node"]: r["pr"] for r in pagerank(undirected_edges(pairs, "a", "b")).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert abs(pr[1] - pr[3]) < 1e-12
+    assert pr[2] > pr[1]
+
+    # star graph: hub dominates every leaf
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "a long, b long")
+    spr = {r["node"]: r["pr"] for r in pagerank(undirected_edges(star, "a", "b")).collect()}
+    assert all(spr[0] > spr[i] for i in range(1, 6))
+    assert abs(sum(spr.values()) - 1.0) < 1e-9

@@ -770,3 +770,72 @@ def test_fuzzy_join_blocking_and_threshold(spark):
         for r in fuzzy_join(left, right, "name", "name", max_distance=2).collect()
     )
     assert got == [(1, 10, 1), (1, 11, 2), (2, 13, 0)]
+
+
+def test_pps_sample_membership_rules(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.sampling import pps_sample
+
+    rows = [(i, 10_000_000 if i % 2 == 0 else 0) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = pps_sample(df, "doc_id", "w", 0.001)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # p = min(1, rate*w): huge weights are certainties, zero weights never drawn
+    assert ids == {i for i in range(1, 41) if i % 2 == 0}
+
+    # monotone in rate: the kept set only grows as the rate grows
+    base = spark.createDataFrame([(i, 300) for i in range(1, 201)], "doc_id long, w long")
+    lo = {r["doc_id"] for r in pps_sample(base, "doc_id", "w", 0.0005).collect()}
+    hi = {r["doc_id"] for r in pps_sample(base, "doc_id", "w", 0.002).collect()}
+    assert lo <= hi and len(lo) < len(hi)
+
+    # deterministic across invocations
+    again = {r["doc_id"] for r in pps_sample(base, "doc_id", "w", 0.0005).collect()}
+    assert again == lo
+
+
+def test_vocab_truncate_marks_oov_and_preserves_order(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import vocab_truncate_docs
+
+    common = " ".join(["alpha beta gamma"] * 20)  # 3 tokens x high frequency
+    rare = " ".join(f"rare{i}" for i in range(60))  # 60 singletons
+    rows = [
+        (1, f"alpha {rare} beta", "en", "web", 1),
+        (2, common, "en", "web", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in vocab_truncate_docs(spark, str(tmp_path)).collect()}
+    # doc 2 is pure vocab: untouched
+    assert out[2]["text_trunc"] == common and out[2]["n_unk"] == 0
+    # doc 1: the 60 singletons can't all fit in the top-50 vocab beside
+    # the 3 common tokens; whatever was cut became <unk>, order intact
+    toks = out[1]["text_trunc"].split(" ")
+    assert toks[0] == "alpha" and toks[-1] == "beta"
+    assert out[1]["n_unk"] == toks.count("<unk>") > 0
+    assert out[1]["n_tokens"] == 62
+
+
+def test_prefix_filter_jaccard_exact_pairs(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> jaccard 1.0
+        (3, base + " extra"),  # one extra shingle: 8/10 shared 3-grams
+        (4, "totally different words with no shared trigrams at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 60).collect()
+    }
+    assert out[(1, 2)]["jaccard"] == 1.0
+    # doc3 appends one word: shingle sets 8 vs 9, intersection 8 -> 8/9
+    assert abs(out[(1, 3)]["jaccard"] - 8 / 9) < 1e-6
+    assert abs(out[(2, 3)]["jaccard"] - 8 / 9) < 1e-6
+    # the unrelated doc pairs with nobody
+    assert not any(4 in p for p in out)
+    assert len(out) == 3
