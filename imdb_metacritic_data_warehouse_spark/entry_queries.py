@@ -5982,6 +5982,375 @@ def jaccard_prefix_join_docs(spark, sf_dir):
     return prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold_pct=60)
 
 
+# Cumulative distinct users by day — the scalable REWRITE of
+# COUNT(DISTINCT) over a growing window (which needs unbounded state
+# per window): mark each user's FIRST-seen day (one aggregate), count
+# new users per day, running-sum over the day spine.  The only global
+# window runs over DAYS (calendar-bounded — thousands of rows however
+# large the fact table), so the single-partition cumsum is free; the
+# heavy lifting is two hash aggregates keyed on user_id / day.
+@query(
+    "cumulative_unique_users_daily",
+    """
+    WITH firstseen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    new_by_day AS (SELECT d, COUNT(*) AS new_users FROM firstseen GROUP BY d),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           COALESCE(new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(new_users, 0)) OVER (
+             ORDER BY days.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM days LEFT JOIN new_by_day ON days.d = new_by_day.d
+    """,
+)
+def cumulative_unique_users_daily(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    firstseen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    new_by_day = firstseen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(new_by_day, "d", "left")
+        .select("d", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+    )
+
+
+# SCD2 validity-interval audit — the dbt-style integrity test every
+# historized table needs: exactly one open row per key, no interval
+# overlaps, no gaps, valid_from < valid_to.  Runs the same two-batch
+# merge as scd2_merge_orders, then audits with one per-key window +
+# two aggregates; the single summary row makes violations (expected 0)
+# and coverage (n_keys, n_rows > 0 — non-vacuous) visible in one scan
+# of the history.
+@query(
+    "scd2_validity_audit",
+    f"""
+    WITH b1 AS (
+      SELECT o_orderkey AS pk, o_orderpriority AS prio, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END AS prio,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    state1 AS (
+      SELECT pk, prio, status,
+             TIMESTAMP '{_SCD2_T0}' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM b1
+    ),
+    closed AS (
+      SELECT s.pk, s.prio, s.status, s.valid_from, TIMESTAMP '{_SCD2_T1}' AS valid_to
+      FROM state1 s LEFT JOIN b2 ON s.pk = b2.pk
+      WHERE b2.pk IS NULL
+         OR (s.prio IS DISTINCT FROM b2.prio OR s.status IS DISTINCT FROM b2.status)
+    ),
+    kept AS (
+      SELECT s.* FROM state1 s JOIN b2 ON s.pk = b2.pk
+      WHERE NOT (s.prio IS DISTINCT FROM b2.prio OR s.status IS DISTINCT FROM b2.status)
+    ),
+    inserted AS (
+      SELECT b2.pk, b2.prio, b2.status,
+             TIMESTAMP '{_SCD2_T1}' AS valid_from,
+             TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+      FROM b2 LEFT JOIN state1 s ON b2.pk = s.pk
+      WHERE s.pk IS NULL
+         OR (s.prio IS DISTINCT FROM b2.prio OR s.status IS DISTINCT FROM b2.status)
+    ),
+    merged AS (
+      SELECT * FROM closed UNION ALL SELECT * FROM kept
+      UNION ALL SELECT * FROM inserted
+    ),
+    seq AS (
+      SELECT pk, valid_from, valid_to,
+             lead(valid_from) OVER (PARTITION BY pk ORDER BY valid_from) AS nf
+      FROM merged
+    ),
+    per AS (
+      SELECT pk, COUNT(*) AS nr,
+             CAST(SUM(CASE WHEN valid_to = TIMESTAMP '9999-12-31 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+      FROM merged GROUP BY pk
+    ),
+    a1 AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(nr) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN n_open <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open_violations
+      FROM per
+    ),
+    a2 AS (
+      SELECT
+        CAST(SUM(CASE WHEN valid_from >= valid_to THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_inverted,
+        CAST(SUM(CASE WHEN nf IS NOT NULL AND nf < valid_to THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlaps,
+        CAST(SUM(CASE WHEN nf IS NOT NULL AND nf > valid_to THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_gaps
+      FROM seq
+    )
+    SELECT * FROM a1 CROSS JOIN a2
+    """,
+)
+def scd2_validity_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b2 = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-CHANGED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    state1 = scd2_apply(None, b1, "pk", ["prio", "status"], _SCD2_T0)
+    merged = scd2_apply(state1, b2, "pk", ["prio", "status"], _SCD2_T1)
+    merged = _materialize(merged)  # feeds the window audit AND the per-key agg
+    sentinel = F.lit("9999-12-31 00:00:00").cast("timestamp")
+    w = Window.partitionBy("pk").orderBy("valid_from")
+    seq = merged.select(
+        "pk",
+        "valid_from",
+        "valid_to",
+        F.lead("valid_from").over(w).alias("nf"),
+    )
+    per = merged.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum((F.col("valid_to") == sentinel).cast("int")).alias("n_open"),
+    )
+    a1 = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("nr").alias("n_rows"),
+        F.sum((F.col("n_open") != 1).cast("int")).alias("n_open_violations"),
+    )
+    a2 = seq.agg(
+        F.sum((F.col("valid_from") >= F.col("valid_to")).cast("int")).alias(
+            "n_inverted"
+        ),
+        F.sum(
+            (F.col("nf").isNotNull() & (F.col("nf") < F.col("valid_to"))).cast("int")
+        ).alias("n_overlaps"),
+        F.sum(
+            (F.col("nf").isNotNull() & (F.col("nf") > F.col("valid_to"))).cast("int")
+        ).alias("n_gaps"),
+    )
+    return a1.crossJoin(a2)
+
+
+# Bucketed table checksum — the cheap replica-reconciliation primitive
+# (anti-entropy): XOR of per-row 60-bit content hashes within key
+# buckets.  Two replicas compare 16 (bucket, n, xor) rows instead of
+# row-by-row; a mismatched bucket scopes the repair scan to 1/16 of the
+# table (recurse with more buckets for finer localization).  XOR is
+# order-independent and never overflows — no modular-sum portability
+# hazard; one hash aggregate, scan-scale at 100 TB.
+@query(
+    "table_checksum_orders",
+    """
+    SELECT CAST(o_orderkey % 16 AS INT) AS bucket, COUNT(*) AS n,
+           bit_xor(CAST(CONCAT('0x', substr(md5(CONCAT_WS('|',
+             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+             o_orderstatus, CAST(o_totalprice AS VARCHAR),
+             CAST(o_orderdate AS VARCHAR))), 1, 15)) AS BIGINT)) AS xor_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def table_checksum_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rowhash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                    F.col("o_orderdate").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select(
+            (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+            rowhash.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("xor_sum"))
+    )
+
+
+# Winsorization — robust-stats clipping at exact per-group percentiles
+# (the outlier treatment feature pipelines apply before normalization).
+# Cutoffs from ONE array-fraction percentile aggregate per group
+# (single value buffer), broadcast back to the fact scan; clip is
+# least/greatest, no second sort.  Clip counts are integers (cutoffs
+# interpolate between data values, so a 1-ulp engine drift in the
+# cutoff cannot cross a datum); averages rounded to absorb
+# summation-order drift.
+@query(
+    "winsorize_lineitem_prices",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(lo, 4) AS p05, round(hi, 4) AS p95,
+           round(AVG(CAST(l_extendedprice AS DOUBLE)), 4) AS avg_raw,
+           round(AVG(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi)), 4)
+             AS avg_winsorized,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.l_returnflag
+    GROUP BY l.l_returnflag, lo, hi
+    """,
+)
+def winsorize_lineitem_prices(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile(v, F.array(F.lit(0.05), F.lit(0.95))).alias("ps")
+    )
+    cuts = cuts.select(
+        "l_returnflag", F.col("ps")[0].alias("lo"), F.col("ps")[1].alias("hi")
+    )
+    j = li.join(F.broadcast(cuts), "l_returnflag")
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag", "lo", "hi").agg(
+        F.round(F.avg(v), 4).alias("avg_raw"),
+        F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((v < F.col("lo")).cast("int")).cast("bigint").alias("n_clipped_low"),
+        F.sum((v > F.col("hi")).cast("int")).cast("bigint").alias("n_clipped_high"),
+    ).select(
+        "l_returnflag",
+        F.round("lo", 4).alias("p05"),
+        F.round("hi", 4).alias("p95"),
+        "avg_raw",
+        "avg_winsorized",
+        "n",
+        "n_clipped_low",
+        "n_clipped_high",
+    )
+
+
+# Last-touch attribution — every purchase credited to the user's most
+# recent click within a 7-day lookback (the marketing-analytics read of
+# the as-of join; operator composition: asof_join + interval residual,
+# exactly the PIT-lookup discipline).  Channel is derived from the
+# click's props payload; clicks outside the window fall back to
+# 'unattributed'.  Age in exact integer microseconds — no float.
+@query(
+    "attribution_last_touch",
+    """
+    WITH purch AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, ts AS click_ts,
+             json_extract_string(props, '$.k')::BIGINT AS k
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,
+           CASE WHEN c.click_ts IS NOT NULL AND c.click_ts >= p.ts - INTERVAL 7 DAY
+                THEN CASE CAST(c.k % 3 AS INT)
+                       WHEN 0 THEN 'search' WHEN 1 THEN 'social' ELSE 'email' END
+                ELSE 'unattributed' END AS channel,
+           CASE WHEN c.click_ts IS NOT NULL AND c.click_ts >= p.ts - INTERVAL 7 DAY
+                THEN epoch_us(p.ts) - epoch_us(c.click_ts) END AS click_age_us
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    j = asof_join(purch, clicks, key="user_id", right_payload=["click_ts", "k"])
+    within = F.col("click_ts_asof").isNotNull() & (
+        F.col("click_ts_asof") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    channel = (
+        F.when(
+            within,
+            F.when(F.col("k_asof") % 3 == 0, F.lit("search"))
+            .when(F.col("k_asof") % 3 == 1, F.lit("social"))
+            .otherwise(F.lit("email")),
+        ).otherwise(F.lit("unattributed"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        channel.alias("channel"),
+        F.when(
+            within, F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts_asof"))
+        ).alias("click_age_us"),
+    )
+
+
+# Inverted-index construction — term → (document frequency, sorted
+# posting list), the retrieval structure BM25 probes.  One distinct +
+# one hash aggregate, both keyed on term; posting lists are sorted
+# arrays so the artifact (not just its stats) is engine-comparable.
+# At 100 TB the only hot spot is stop-term posting width — cap or
+# shard head terms (doc_frequency_terms has the df histogram to pick
+# the cap); the aggregate itself is a standard explode+groupBy.
+@query(
+    "inverted_index_postings",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+    FROM tok GROUP BY term
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            "term"
+        ),
+    )
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

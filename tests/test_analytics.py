@@ -218,3 +218,93 @@ def test_pagerank_hand_graph(spark):
     spr = {r["node"]: r["pr"] for r in pagerank(undirected_edges(star, "a", "b")).collect()}
     assert all(spr[0] > spr[i] for i in range(1, 6))
     assert abs(sum(spr.values()) - 1.0) < 1e-9
+
+
+def test_scd2_validity_audit_clean_history(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import scd2_validity_audit
+
+    r = scd2_validity_audit(spark, sf_dir).collect()[0]
+    assert r["n_keys"] > 0 and r["n_rows"] >= r["n_keys"]
+    assert r["n_open_violations"] == 0
+    assert r["n_inverted"] == 0 and r["n_overlaps"] == 0 and r["n_gaps"] == 0
+
+
+def test_table_checksum_detects_single_row_change(spark, tmp_path, sf_dir):
+    import shutil
+
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        table_checksum_orders,
+    )
+
+    base = {r["bucket"]: r for r in table_checksum_orders(spark, sf_dir).collect()}
+    # corrupt exactly one row's status, keep everything else identical
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    victim = o.select(F.min("o_orderkey").alias("k")).collect()[0]["k"]
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == victim, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    mutated.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["bucket"]: r for r in table_checksum_orders(spark, str(tmp_path)).collect()
+    }
+    diff = [b for b in base if base[b]["xor_sum"] != got[b]["xor_sum"]]
+    assert diff == [int(victim % 16)]
+    assert all(base[b]["n"] == got[b]["n"] for b in base)
+
+
+def test_winsorize_bounds_and_clip_rates(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        winsorize_lineitem_prices,
+    )
+
+    for r in winsorize_lineitem_prices(spark, sf_dir).collect():
+        assert r["p05"] <= r["avg_winsorized"] <= r["p95"]
+        # ~5% clipped each side (exact percentile cutoffs)
+        assert abs(r["n_clipped_low"] / r["n"] - 0.05) < 0.02
+        assert abs(r["n_clipped_high"] / r["n"] - 0.05) < 0.02
+
+
+def test_attribution_window_and_channels(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        attribution_last_touch,
+    )
+
+    rows = attribution_last_touch(spark, sf_dir).collect()
+    assert rows
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    for r in rows:
+        if r["channel"] == "unattributed":
+            assert r["click_age_us"] is None
+        else:
+            assert r["channel"] in ("search", "social", "email")
+            assert 0 <= r["click_age_us"] <= seven_days_us
+
+
+def test_cumulative_uniques_monotone_and_total(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        _events,
+        cumulative_unique_users_daily,
+    )
+
+    rows = sorted(
+        cumulative_unique_users_daily(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    total = _events(spark, sf_dir).select("user_id").distinct().count()
+    assert cums[-1] == total
+    assert sum(r["new_users"] for r in rows) == total
+
+
+def test_inverted_index_postings_consistency(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        inverted_index_postings,
+    )
+
+    for r in inverted_index_postings(spark, sf_dir).collect():
+        p = r["postings"]
+        assert r["df"] == len(p)
+        assert p == sorted(p) and len(set(p)) == len(p)
