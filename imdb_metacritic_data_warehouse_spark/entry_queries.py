@@ -6351,6 +6351,227 @@ def inverted_index_postings(spark, sf_dir):
     )
 
 
+# Survivorship / golden-record assembly — the MDM step after matching:
+# within each exact-dup cluster (fingerprint groups; the fuzzy-match
+# path feeds the same shape), fuse one canonical record with per-field
+# rules — min id as the stable key, longest text wins the body, modal
+# value wins lang/source.  All three rules are single-pass aggregates
+# (max_by on (metric, label) structs — no per-cluster sort), keyed on
+# the cluster id: three hash aggregates + two joins on fp, no skew
+# (cluster sizes are dedup-bounded).  Ties break to the GREATEST label
+# (struct-lexicographic max), pinned on both engines.
+@query(
+    "survivorship_golden_docs",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL  -- case-variant mirror: same fingerprint, other source
+      SELECT doc_id + 1000000, upper(text), lang, 'mirror', n_chars
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL  -- padded mirror: same fingerprint, longer body
+      SELECT doc_id + 2000000, text || ' ', lang, 'padded', n_chars + 1
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    d AS (
+      SELECT doc_id, lang, source, n_chars, {_NORM_SQL} AS fp FROM all_docs
+    ),
+    base AS (
+      SELECT fp, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_members
+      FROM d GROUP BY fp
+    ),
+    longest AS (
+      SELECT fp, doc_id AS longest_doc FROM (
+        SELECT fp, doc_id,
+               row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id DESC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lm AS (
+      SELECT fp, lang AS lang_mode FROM (
+        SELECT fp, lang,
+               row_number() OVER (PARTITION BY fp ORDER BY COUNT(*) DESC, lang DESC) AS rn
+        FROM d GROUP BY fp, lang
+      ) WHERE rn = 1
+    ),
+    sm AS (
+      SELECT fp, source AS source_mode FROM (
+        SELECT fp, source,
+               row_number() OVER (PARTITION BY fp ORDER BY COUNT(*) DESC, source DESC) AS rn
+        FROM d GROUP BY fp, source
+      ) WHERE rn = 1
+    )
+    SELECT base.fp, canonical_doc, n_members, longest_doc, lang_mode, source_mode
+    FROM base JOIN longest USING (fp) JOIN lm USING (fp) JOIN sm USING (fp)
+    """,
+)
+def survivorship_golden_docs(spark, sf_dir):
+    from .operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    padded = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ")).alias("text"),
+        "lang",
+        F.lit("padded").alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    d = (
+        docs.unionByName(mirror)
+        .unionByName(padded)
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    base = d.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        arg_max(F.col("doc_id"), F.struct(F.col("n_chars"), F.col("doc_id"))).alias(
+            "longest_doc"
+        ),
+    )
+    lm = d.groupBy("fp", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lm = lm.groupBy("fp").agg(
+        arg_max(F.col("lang"), F.struct(F.col("c"), F.col("lang"))).alias("lang_mode")
+    )
+    sm = d.groupBy("fp", "source").agg(F.count(F.lit(1)).alias("c"))
+    sm = sm.groupBy("fp").agg(
+        arg_max(F.col("source"), F.struct(F.col("c"), F.col("source"))).alias(
+            "source_mode"
+        )
+    )
+    return base.join(lm, "fp").join(sm, "fp").select(
+        "fp", "canonical_doc", "n_members", "longest_doc", "lang_mode", "source_mode"
+    )
+
+
+# DAU / WAU stickiness — trailing-7-day distinct users per day.  The
+# naive form is COUNT(DISTINCT) over a RANGE window (unbounded state);
+# the scalable rewrite EXPLODES each user-day into the ≤7 window-end
+# days it contributes to, then runs a plain distinct aggregate per day
+# — bounded 7× fanout, equi-shuffled on the day key, no range join.
+# The oracle keeps the honest range-join formulation.
+@query(
+    "dau_wau_stickiness",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT ud.user_id) AS wau
+      FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    )
+    SELECT CAST(days.d AS VARCHAR) AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM days JOIN dau ON days.d = dau.d JOIN wau ON days.d = wau.d
+    """,
+)
+def dau_wau_stickiness(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ud = _materialize(ud)  # feeds days, dau AND the fanout
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("wd"),
+    )
+    wau = (
+        contrib.join(days, contrib["wd"] == days["d"])
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# Session path mining — sessionize each user's stream by 30-minute
+# inactivity gaps (lag + cumulative-sum-of-boundaries, the batch twin
+# of session_window) and rank the most common event-type paths.  The
+# gap test is exact integer microseconds; paths assemble inside one
+# hash aggregate per session (sorted (ts, event_id) structs); the
+# final top-20 is a tiny ordered limit over the path counts.
+@query(
+    "session_paths_events",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  )) > 1800000000 OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS sess
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM tagged GROUP BY user_id, sess
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_paths_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    tagged = seq.withColumn(
+        "sess",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    paths = tagged.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

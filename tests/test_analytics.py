@@ -308,3 +308,53 @@ def test_inverted_index_postings_consistency(spark, sf_dir):
         p = r["postings"]
         assert r["df"] == len(p)
         assert p == sorted(p) and len(set(p)) == len(p)
+
+
+def test_survivorship_fusion_rules(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        survivorship_golden_docs,
+    )
+
+    out = {r["canonical_doc"]: r for r in survivorship_golden_docs(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_id = {r["doc_id"]: r for r in docs}
+    checked = 0
+    for doc_id in by_id:
+        if doc_id % 7 == 0:
+            r = out[doc_id]  # canonical = min id = the original
+            # padded mirror is 1 char longer -> wins the longest rule
+            assert r["longest_doc"] == doc_id + 2000000
+            assert r["n_members"] == (3 if doc_id % 10 == 0 else 2)
+            checked += 1
+    assert checked > 0
+
+
+def test_dau_wau_invariants(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import dau_wau_stickiness
+
+    rows = dau_wau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["wau"] >= r["dau"] > 0
+        assert 0 < r["stickiness"] <= 1
+
+
+def test_session_paths_gap_splitting(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import session_paths_events
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(minutes):
+        return datetime(2024, 3, 1, 12, minutes, 0)
+
+    rows = [
+        (1, 1, t0, "view"),
+        (1, 2, at(10), "click"),   # 10 min gap: same session
+        (1, 3, at(41), "purchase"),  # 31 min gap: NEW session
+        (2, 4, t0, "view"),
+        (2, 5, at(10), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["path"]: r["n_sessions"] for r in session_paths_events(spark, str(tmp_path)).collect()}
+    assert got == {"view>click": 2, "purchase": 1}
