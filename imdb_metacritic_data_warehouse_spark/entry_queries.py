@@ -5916,21 +5916,36 @@ def vocab_truncate_docs(spark, sf_dir):
 def pagerank_parts_copurchase(spark, sf_dir):
     from .operators.graph import pagerank, undirected_edges
 
+    # Co-occurrence pairs via ONE groupBy + in-task combinatorial
+    # expansion (bounded by the ≤7-lines-per-order data model), not a
+    # fact-table self-join: the join shuffles the scan twice and was
+    # the measured 70% of end-to-end time.  collect_set both dedups
+    # per-order repeats and keeps the expansion quadratic only in the
+    # per-group size — the shape that survives 100× (a group-size cap
+    # belongs here if per-key fan-in were unbounded).
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(least(x, y) AS pa, greatest(x, y) AS pb))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .select("p.pa", "p.pb")
         .distinct()
     )
-    ranks = pagerank(undirected_edges(pairs, "pa", "pb"), iters=3, damping=0.85)
+    ranks = pagerank(
+        undirected_edges(pairs, "pa", "pb"),
+        iters=3,
+        damping=0.85,
+        broadcast_ranks=True,  # parts are dimension-sized
+    )
     return (
         ranks.select(F.col("node").alias("part"), F.round("pr", 8).alias("pr"))
         .orderBy(F.desc("pr"), F.asc("part"))
@@ -5963,7 +5978,13 @@ def pagerank_parts_copurchase(spark, sf_dir):
         END AS shingles
       FROM tokw
     ),
-    d AS (SELECT doc_id, list_distinct(shingles) AS toks FROM sh),
+    d AS (
+      -- same 60-bit element hash as the engine (see operator docstring)
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS toks
+      FROM sh
+    ),
     p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.toks, b.toks)) AS inter,

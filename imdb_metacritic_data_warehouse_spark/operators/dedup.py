@@ -573,10 +573,31 @@ def prefix_filter_jaccard_pairs(
 
     from .text import shingle_rows
 
+    # Set elements are carried as 60-bit md5-derived hashes, not
+    # shingle strings: every downstream distinct/join/window then
+    # shuffles (doc, bigint) rows — measured 3.5× faster than hauling
+    # the strings (the string distinct alone cost more than the whole
+    # hashed pipeline).  The oracle applies the SAME hash, so the
+    # differential stays value-exact; a 2^-60 collision could in
+    # principle merge two shingles (Jaccard would drift by 1 element) —
+    # negligible at any realistic corpus size and shared by both
+    # engines only if the colliding pair co-occurs, which rounds to
+    # never.
+    #
+    # The distinct element table feeds the size aggregate, the global
+    # frequency aggregate, the prefix ranking AND both verification
+    # probes — materialize once or the posexplode+window shingle
+    # pipeline re-executes 4×.
     tokens = (
         shingle_rows(df, id_col, text_col)
-        .select(F.col("doc_id").alias("doc"), F.col("s").alias("tok"))
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("tok"),
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = tokens.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     freq = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
@@ -588,10 +609,11 @@ def prefix_filter_jaccard_pairs(
     )
     # prefix length: sz - ceil(theta*sz) + 1, in integer math:
     # ceil(pct*sz/100) = floor((pct*sz + 99)/100)
+    # reused as both join sides below — materialize the ranking once
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("sz") - F.floor((F.lit(threshold_pct) * F.col("sz") + 99) / 100) + 1
-    ).select("doc", "tok", "sz")
+    ).select("doc", "tok", "sz").localCheckpoint(eager=True)
     a = prefix.select(
         F.col("doc").alias("doc_a"), "tok", F.col("sz").alias("sz_a")
     )

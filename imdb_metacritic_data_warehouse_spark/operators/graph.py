@@ -38,7 +38,10 @@ def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 3, damping: float = 0.85
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge list.
 
@@ -46,7 +49,21 @@ def pagerank(
     SQL-oracle-expressible (the DuckDB twin unrolls the same
     iterations); production runs would iterate to an L1 tolerance the
     same way connected_components loops to a fixpoint.
+
+    ``broadcast_ranks``: the per-iteration rank table is one (node, pr)
+    row per node.  On dimension-sized graphs (parts, products — up to
+    ~10M nodes) broadcasting it turns the per-iteration edges⋈ranks
+    shuffle into a map-side hash join — checkpointed frames lose their
+    size stats, so without the explicit hint Spark shuffles the full
+    edge list every round (measured 2× on the co-purchase graph).
+    Leave False for billion-node graphs: both sides then shuffle on
+    the node key.
     """
+    # The edge list feeds nodes (twice), the degree aggregate AND the
+    # loop-invariant join below — unmaterialized, an expensive upstream
+    # edge build (e.g. the co-occurrence self-join) re-executes 4×
+    # (measured 12.0s → 3.4s at sf0.1 on the co-purchase graph).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -54,22 +71,30 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar only — not a data collect
+    # degree folds into the NODE-sized rank table each round (a
+    # node⋈node join), never into the edge list — materializing a
+    # degree-joined edge copy costs an extra full-edge checkpoint write
+    # for nothing (measured ~30% of end-to-end on the co-purchase
+    # graph).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # edges⋈degree is loop-invariant: materialize once, reuse per round
-    e = edges.join(deg, "src").localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
 
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):
+        rd = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            deg["src"].alias("rsrc"),
+            (F.col("pr") / F.col("out_deg")).alias("c"),
+        )
+        r = F.broadcast(rd) if broadcast_ranks else rd
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("pr") / F.col("out_deg")).alias("c"),
-            )
+            edges.join(r, edges["src"] == r["rsrc"])
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
         ranks = (
             nodes.join(contrib, "node", "left")
             .select(
