@@ -85,6 +85,21 @@ HEADLINE = [
     "vocab_coverage_docs",
     "semantic_dedup_keep",
     "neardup_labels_persisted",
+    # round-3 continuation 2: sequence analytics, graph, exact set-join,
+    # reconciliation/audit, MDM fusion, attribution
+    "markov_transitions_events",
+    "twap_events",
+    "vocab_truncate_docs",
+    "pagerank_parts_copurchase",
+    "jaccard_prefix_join_docs",
+    "cumulative_unique_users_daily",
+    "scd2_validity_audit",
+    "table_checksum_orders",
+    "winsorize_lineitem_prices",
+    "attribution_last_touch",
+    "survivorship_golden_docs",
+    "dau_wau_stickiness",
+    "session_paths_events",
 ]
 
 
