@@ -6593,6 +6593,228 @@ def session_paths_events(spark, sf_dir):
     )
 
 
+# Hard-negative mining — for each anchor, the highest-cosine corpus
+# vectors with a DIFFERENT label (the contrastive-training batch
+# builder: negatives that are hard precisely because they score high).
+# Same broadcast-anchor shape as embedding_cosine_topk with the label
+# disequality folded into the join — no extra pass.
+@query(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS score
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    from .operators.similarity import _dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# Matryoshka truncation audit — recall@10 of the 16-dim embedding
+# prefix against the full 64-dim neighbors (the measurement behind
+# "can we serve the short vectors?").  Two broadcast top-k passes +
+# one pair join; both engines rank on the same rounded scores with the
+# same id tie-break, so the recall integers are exact.
+@query(
+    "matryoshka_recall_audit",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    full_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) DESC,
+                          e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    trunc_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv[1:16], (e.embedding::DOUBLE[])[1:16]), 6) DESC,
+                          e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT f.query_id, COUNT(t.vec_id) AS n_common,
+           CAST(COUNT(t.vec_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM full_top f LEFT JOIN trunc_top t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def matryoshka_recall_audit(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    full = cosine_topk(e, qids, k=10).select("query_id", "vec_id")
+    trunc = cosine_topk(
+        e.withColumn("embedding", F.slice("embedding", 1, 16)), qids, k=10
+    ).select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
+    j = full.join(
+        trunc,
+        (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("tv").alias("n_common"),
+        (F.count("tv").cast("double") / 10).alias("recall_at_10"),
+    )
+
+
+# Maximal Marginal Relevance — diversity-aware re-ranking of the top-20
+# cosine candidates: pick argmax λ·rel − (1−λ)·max-sim-to-selected,
+# three unrolled steps (the oracle mirrors them CTE-for-CTE).  The
+# candidate set is k′-bounded (20) REGARDLESS of corpus size — the
+# expensive part is the initial top-k, which is the ANN family's job;
+# every MMR step is then a ≤20-row argmax and the pairwise-sim table is
+# ≤k′² broadcast rows.  All scores are literal-arithmetic over
+# rounded-6 doubles with id tie-breaks — engine-exact.
+@query(
+    "mmr_rerank_topk",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5
+    ),
+    cand AS (
+      SELECT vec_id, rel FROM (
+        SELECT e.vec_id,
+               round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS rel,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) DESC,
+                          e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id <> 5
+      ) WHERE rank <= 20
+    ),
+    cvec AS (
+      SELECT c.vec_id, c.rel, e.embedding::DOUBLE[] AS v
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+    ),
+    sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.v, b.v), 6) AS s
+      FROM cvec a JOIN cvec b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    r2 AS (
+      SELECT c.vec_id,
+             CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.s AS mmr
+      FROM cand c
+      JOIN sim m ON m.ia = c.vec_id AND m.ib = (SELECT vec_id FROM s1)
+      WHERE c.vec_id <> (SELECT vec_id FROM s1)
+    ),
+    s2 AS (SELECT vec_id, mmr FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    r3 AS (
+      SELECT c.vec_id,
+             CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * MAX(m.s) AS mmr
+      FROM cand c
+      JOIN sim m ON m.ia = c.vec_id
+                AND m.ib IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+      WHERE c.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+      GROUP BY c.vec_id, c.rel
+    ),
+    s3 AS (SELECT vec_id, mmr FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT 1 AS pos, vec_id, round(rel, 6) AS mmr_score FROM s1
+    UNION ALL SELECT 2, vec_id, round(mmr, 6) FROM s2
+    UNION ALL SELECT 3, vec_id, round(mmr, 6) FROM s3
+    """,
+)
+def mmr_rerank_topk(spark, sf_dir):
+    from .operators.similarity import _dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    cand = (
+        cosine_topk(e, [5], k=20)
+        .select("vec_id", F.col("score").alias("rel"))
+    )
+    cvec = cand.join(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", "rel", F.col("embedding").alias("v")
+    )
+    cvec = _materialize(cvec)  # ≤20 rows; feeds sim AND three argmax steps
+    a = cvec.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = cvec.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    sim = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("s"))
+    )
+    sim = _materialize(sim)
+    cand = cvec.select("vec_id", "rel")
+
+    lam, one_m = F.lit(0.7), F.lit(0.3)
+    s1 = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+    s1_id = s1.select(F.col("vec_id").alias("sel"))
+    r2 = (
+        cand.join(F.broadcast(s1_id), cand["vec_id"] != F.col("sel"))
+        .join(sim, (sim["ia"] == cand["vec_id"]) & (sim["ib"] == F.col("sel")))
+        .select("vec_id", (lam * F.col("rel") - one_m * F.col("s")).alias("mmr"))
+    )
+    s2 = r2.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1)
+    sel2 = s1_id.unionByName(s2.select(F.col("vec_id").alias("sel")))
+    sel2 = _materialize(sel2)
+    r3 = (
+        cand.join(
+            F.broadcast(sel2.groupBy().agg(F.collect_set("sel").alias("sels")))
+        )
+        .filter(~F.array_contains(F.col("sels"), F.col("vec_id")))
+        .join(sim, sim["ia"] == cand["vec_id"])
+        .join(F.broadcast(sel2), sim["ib"] == F.col("sel"))
+        .groupBy(cand["vec_id"], "rel")
+        .agg(F.max("s").alias("ms"))
+        .select("vec_id", (lam * F.col("rel") - one_m * F.col("ms")).alias("mmr"))
+    )
+    s3 = r3.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1)
+    return (
+        s1.select(F.lit(1).alias("pos"), "vec_id", F.round("rel", 6).alias("mmr_score"))
+        .unionByName(
+            s2.select(F.lit(2).alias("pos"), "vec_id", F.round("mmr", 6).alias("mmr_score"))
+        )
+        .unionByName(
+            s3.select(F.lit(3).alias("pos"), "vec_id", F.round("mmr", 6).alias("mmr_score"))
+        )
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

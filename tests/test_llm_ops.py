@@ -839,3 +839,42 @@ def test_prefix_filter_jaccard_exact_pairs(spark):
     # the unrelated doc pairs with nobody
     assert not any(4 in p for p in out)
     assert len(out) == 3
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import hard_negative_mining
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert 1 <= r["rank"] <= 5
+
+
+def test_mmr_diversifies_against_pure_relevance(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import mmr_rerank_topk
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import cosine_topk
+
+    picks = {r["pos"]: r for r in mmr_rerank_topk(spark, sf_dir).collect()}
+    assert set(picks) == {1, 2, 3}
+    assert len({r["vec_id"] for r in picks.values()}) == 3
+    # position 1 IS the relevance argmax
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top1 = cosine_topk(e, [5], k=1).collect()[0]
+    assert picks[1]["vec_id"] == top1["vec_id"]
+    # scores are non-increasing: each later pick trades relevance for diversity
+    assert picks[1]["mmr_score"] >= picks[2]["mmr_score"] >= picks[3]["mmr_score"]
+
+
+def test_matryoshka_recall_range(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        matryoshka_recall_audit,
+    )
+
+    rows = matryoshka_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_common"] <= 10
+        assert abs(r["recall_at_10"] - r["n_common"] / 10) < 1e-12
