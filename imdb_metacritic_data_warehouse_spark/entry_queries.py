@@ -6815,6 +6815,261 @@ def mmr_rerank_topk(spark, sf_dir):
     )
 
 
+# Wilson-score lower bound on the daily purchase share among
+# click+purchase interactions — the ranking-safe conversion estimate
+# (a 2/3 day never outranks a 400/1000 day on the lower bound).  Every term is +,·,/,√ over exact integer
+# counts and double literals — all correctly-rounded IEEE ops, so the
+# expression (written with IDENTICAL structure on both engines)
+# matches before the final round(…,6).  One aggregate on the day key.
+@query(
+    "ctr_wilson_bounds",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'purchase')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(d AS VARCHAR) AS day, n AS trials, s AS successes,
+           round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
+           round(
+             ((CAST(s AS DOUBLE) / n)
+              + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * CAST(n AS DOUBLE))
+              - CAST(1.96 AS DOUBLE) * sqrt(
+                  (CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                  + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)),
+             6) AS wilson_lower
+    FROM daily WHERE n > 0
+    """,
+)
+def ctr_wilson_bounds(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("event_type").isin("click", "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("s"),
+    ).filter(F.col("n") > 0)
+    z = F.lit(1.96)
+    nd = F.col("n").cast("double")
+    p = F.col("s").cast("double") / F.col("n")
+    wilson = (
+        (p + (z * z) / (2 * nd) - z * F.sqrt(p * (1 - p) / F.col("n") + (z * z) / (4 * nd * nd)))
+        / (1 + (z * z) / nd)
+    )
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("n").alias("trials"),
+        F.col("s").alias("successes"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
+
+
+# A/B experiment readout over a deterministic content-hash split
+# (operators/sampling.hash_bucket — the same engine-portable membership
+# as every split here): per-arm purchase-value means, relative lift,
+# and the two-sample z statistic.  Arms assign by user hash, so re-runs
+# and engines agree row-for-row; the variance aggregates differ in
+# last-ulps between engines (different accumulation algorithms) and are
+# absorbed by round(…,6).
+@query(
+    "ab_test_lift",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 < 5000
+                  THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, AVG(value) AS mean, var_samp(value) AS v
+      FROM tagged GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 'A' THEN mean END) AS mean_a,
+        MAX(CASE WHEN arm = 'B' THEN mean END) AS mean_b,
+        MAX(CASE WHEN arm = 'A' THEN v END) AS v_a,
+        MAX(CASE WHEN arm = 'B' THEN v END) AS v_b
+      FROM arms
+    )
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_b - mean_a) / mean_a, 6) AS rel_lift,
+           round((mean_b - mean_a)
+                 / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)), 6)
+             AS z_score
+    FROM wide
+    """,
+)
+def ab_test_lift(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    tagged = e.select(
+        F.when(hash_bucket(F.col("user_id")) < 5000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "value",
+    )
+    arms = tagged.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("mean"))).alias("mean_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("mean"))).alias("mean_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("v"))).alias("v_b"),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_b") - F.col("mean_a")) / F.col("mean_a"), 6).alias(
+            "rel_lift"
+        ),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(
+                F.col("v_a") / F.col("n_a").cast("double")
+                + F.col("v_b") / F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# Join-key skew report — the pre-flight diagnosis before any big join:
+# key cardinality, hottest-key share, top-10 concentration, and the
+# Herfindahl index of the key distribution.  One count aggregate on the
+# key + one tiny ordered limit; the report is what decides between a
+# plain shuffle join, salting, or a skew-split hint.
+@query(
+    "skew_report_lineitem",
+    """
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt
+      FROM counts
+    ),
+    hhi AS (
+      SELECT round(SUM((CAST(cnt AS DOUBLE) / t.n_rows)
+                       * (CAST(cnt AS DOUBLE) / t.n_rows)), 9) AS hhi
+      FROM counts CROSS JOIN tot t
+    ),
+    top10 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows
+      FROM (SELECT cnt FROM counts ORDER BY cnt DESC, l_partkey LIMIT 10)
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           round(CAST(max_cnt AS DOUBLE) / n_rows, 9) AS max_share,
+           round(CAST(top10_rows AS DOUBLE) / n_rows, 9) AS top10_share,
+           hhi
+    FROM tot CROSS JOIN hhi CROSS JOIN top10
+    """,
+)
+def skew_report_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _materialize(counts)  # feeds totals, the HHI pass AND the top-10
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    hhi = (
+        counts.crossJoin(F.broadcast(tot.select("n_rows")))
+        .select(
+            (
+                (F.col("cnt").cast("double") / F.col("n_rows"))
+                * (F.col("cnt").cast("double") / F.col("n_rows"))
+            ).alias("sh2")
+        )
+        .agg(F.round(F.sum("sh2"), 9).alias("hhi"))
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+    )
+    return tot.crossJoin(hhi).crossJoin(top10).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 9).alias(
+            "max_share"
+        ),
+        F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 9).alias(
+            "top10_share"
+        ),
+        "hhi",
+    )
+
+
+# Time-decayed engagement score — recency-weighted activity (the
+# feature-store staple).  Weights are LITERAL half-life steps on whole-
+# week age buckets (1, ½, ¼, ⅛, ¹⁄₁₆) — exactly-representable
+# powers of two via CASE, never pow()/exp() (transcendental libm calls
+# are not correctly rounded and differ across engines).  Age anchors to
+# the corpus max day: one scalar aggregate broadcast to the scan.
+@query(
+    "time_decayed_engagement",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    aged AS (
+      SELECT user_id, value,
+             CAST(d1 - CAST(ts AS DATE) AS INTEGER) // 7 AS age_weeks
+      FROM events CROSS JOIN mx
+      WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id,
+           round(SUM(value * CASE age_weeks
+                               WHEN 0 THEN CAST(1.0 AS DOUBLE)
+                               WHEN 1 THEN CAST(0.5 AS DOUBLE)
+                               WHEN 2 THEN CAST(0.25 AS DOUBLE)
+                               WHEN 3 THEN CAST(0.125 AS DOUBLE)
+                               ELSE CAST(0.0625 AS DOUBLE) END), 6) AS score,
+           COUNT(*) AS n_events
+    FROM aged GROUP BY user_id
+    """,
+)
+def time_decayed_engagement(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    mx = e.agg(F.max(F.to_date("ts")).alias("d1"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "value",
+        (F.datediff(F.col("d1"), F.to_date("ts")) / 7).cast("int").alias("age_weeks"),
+    )
+    w = (
+        F.when(F.col("age_weeks") == 0, F.lit(1.0))
+        .when(F.col("age_weeks") == 1, F.lit(0.5))
+        .when(F.col("age_weeks") == 2, F.lit(0.25))
+        .when(F.col("age_weeks") == 3, F.lit(0.125))
+        .otherwise(F.lit(0.0625))
+    )
+    return aged.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * w), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

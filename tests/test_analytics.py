@@ -358,3 +358,63 @@ def test_session_paths_gap_splitting(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = {r["path"]: r["n_sessions"] for r in session_paths_events(spark, str(tmp_path)).collect()}
     assert got == {"view>click": 2, "purchase": 1}
+
+
+def test_wilson_lower_bound_properties(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import ctr_wilson_bounds
+
+    rows = ctr_wilson_bounds(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["successes"] <= r["trials"]
+        # the lower bound is a shrunk estimate: below p_hat, never negative
+        assert 0 <= r["wilson_lower"] <= r["p_hat"] + 1e-9
+
+
+def test_ab_split_is_deterministic_and_covers_all(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        _events,
+        ab_test_lift,
+    )
+
+    r1 = ab_test_lift(spark, sf_dir).collect()[0]
+    r2 = ab_test_lift(spark, sf_dir).collect()[0]
+    assert r1 == r2  # content-hash arms: rerun-stable
+    total = _events(spark, sf_dir).filter(F.col("event_type") == "purchase").count()
+    assert r1["n_a"] + r1["n_b"] == total
+
+
+def test_skew_report_shares(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        skew_report_lineitem,
+    )
+
+    r = skew_report_lineitem(spark, sf_dir).collect()[0]
+    assert 0 < r["max_share"] <= r["top10_share"] <= 1
+    # HHI is bounded by [1/n_keys, 1]
+    assert 1.0 / r["n_keys"] - 1e-9 <= r["hhi"] <= 1
+    assert r["n_rows"] >= r["n_keys"]
+
+
+def test_time_decay_weights_recency(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        time_decayed_engagement,
+    )
+
+    rows = [
+        # user 1: value 8 this week; user 2: the same value 4+ weeks old
+        (1, 1, datetime(2024, 3, 28, 12, 0, 0), "click", 8.0, "{}"),
+        (2, 2, datetime(2024, 2, 1, 12, 0, 0), "click", 8.0, "{}"),
+        (3, 3, datetime(2024, 3, 28, 13, 0, 0), "view", 99.0, "{}"),  # excluded type
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {r["user_id"]: r["score"] for r in time_decayed_engagement(spark, td).collect()}
+    assert got[1] == 8.0
+    assert got[2] == 8.0 * 0.0625
+    assert 3 not in got

@@ -40,12 +40,16 @@ DEFAULT_QUERIES = [
 ]
 
 # which tables each probe query actually reads (others are symlinked)
-SCALED_TABLES = ["documents", "embeddings", "orders", "events"]
+SCALED_TABLES = ["documents", "embeddings", "orders", "events", "lineitem"]
 ID_COLS = {
     "documents": "doc_id",
     "embeddings": "vec_id",
     "orders": "o_orderkey",
     "events": "event_id",
+    # replicas re-key the ORDER, not the part: N× more orders over the
+    # same part catalog — the realistic densification for co-occurrence
+    # graph probes (edge count grows sub-linearly, weights grow)
+    "lineitem": "l_orderkey",
 }
 
 
