@@ -7070,6 +7070,171 @@ def time_decayed_engagement(spark, sf_dir):
     )
 
 
+# Association rules over co-ordered parts — support / confidence / lift
+# (the market-basket classic).  Reuses the bounded per-order pair
+# expansion (groupBy + in-task combinatorics, no fact self-join);
+# support counts come from ONE pair aggregate and item counts from one
+# item aggregate joined back.  Everything is exact integer ratios — no
+# log, no float boundary; ordering on rounded lift with pair tie-break.
+@query(
+    "association_rules_parts",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    n_orders AS (SELECT COUNT(*) AS n FROM baskets),
+    items AS (
+      SELECT unnest(ps) AS item, l_orderkey FROM baskets
+    ),
+    item_counts AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS ante, b.item AS cons, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT ante, cons, n_pair,
+           round(CAST(n_pair AS DOUBLE) / n.n, 6) AS support,
+           round(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           round(CAST(n_pair AS DOUBLE) * n.n
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+    FROM pairs
+    JOIN item_counts ia ON pairs.ante = ia.item
+    JOIN item_counts ib ON pairs.cons = ib.item
+    CROSS JOIN n_orders n
+    WHERE n_pair >= 2
+    ORDER BY lift DESC, ante, cons LIMIT 20
+    """,
+)
+def association_rules_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()  # (order, item) memberships
+    items = _materialize(items)  # feeds order count, item counts AND pairs
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    per_order = items.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(least(x, y) AS ante, greatest(x, y) AS cons))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ante", "p.cons")
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ib), "cons")
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.lit(n_orders)
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+    )
+
+
+# Per-user behavioral entropy — Shannon entropy (and perplexity) of the
+# event-type distribution, the "diversity of behavior" feature.  p's
+# are exact integer ratios; log2 is transcendental (NOT correctly
+# rounded, engines may differ in the last ulp) so it appears only under
+# the round(…,6) on output VALUES — never in a membership or ordering
+# decision (NOTES.md float-parity rule).
+@query(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_types,
+           MAX(t.tot) AS n_events,
+           round(-SUM((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot)), 6)
+             AS entropy_bits
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def user_event_entropy(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.max("tot").alias("n_events"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
+
+
+# Equi-depth binning — quantile-edged histogram (every bin ≈ equal
+# population; the feature-discretization and optimizer-statistics
+# primitive equi-WIDTH histograms can't replace on skewed data).  Edges
+# from one array-fraction percentile aggregate broadcast to the scan;
+# bin assignment compares the raw value against interpolated cutoffs
+# (strictly interior data can't sit within 1 ulp of them, so counts are
+# engine-exact).
+@query(
+    "equidepth_bins_orders",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM orders
+    ),
+    binned AS (
+      SELECT CAST(len(list_filter(qs, q -> CAST(o_totalprice AS DOUBLE) >= q)) AS INTEGER) AS bin
+      FROM orders CROSS JOIN cuts
+    )
+    SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
+    """,
+)
+def equidepth_bins_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    cuts = o.agg(
+        F.percentile(v, F.array(*[F.lit(k / 10) for k in range(1, 10)])).alias("qs")
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("qs"), lambda q: v >= q)).cast("int").alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -418,3 +418,41 @@ def test_time_decay_weights_recency(spark):
     assert got[1] == 8.0
     assert got[2] == 8.0 * 0.0625
     assert 3 not in got
+
+
+def test_association_rules_math(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        association_rules_parts,
+    )
+
+    rows = association_rules_parts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pair"] >= 2
+        assert 0 < r["support"] <= r["confidence"] <= 1
+        assert r["lift"] > 0
+
+
+def test_entropy_bounds(spark, sf_dir):
+    import math
+
+    from imdb_metacritic_data_warehouse_spark.entry_queries import user_event_entropy
+
+    rows = user_event_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 ≤ H ≤ log2(n_types)
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(max(r["n_types"], 1)) + 1e-9
+
+
+def test_equidepth_bins_balanced(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        equidepth_bins_orders,
+    )
+
+    rows = {r["bin"]: r["n"] for r in equidepth_bins_orders(spark, sf_dir).collect()}
+    assert set(rows) == set(range(10))
+    total = sum(rows.values())
+    for n in rows.values():
+        # each decile holds ~10% of rows (interpolated cutoffs: ±2%)
+        assert abs(n / total - 0.1) < 0.02
