@@ -7235,6 +7235,116 @@ def equidepth_bins_orders(spark, sf_dir):
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
 
 
+# Cross-document repeated-chunk detection — boilerplate SPANS (headers,
+# disclaimers, templates) that whole-doc fingerprints and doc-level
+# near-dup both miss: chunk every doc with the sliding splitter, md5
+# each chunk, keep fingerprints seen in ≥2 DISTINCT docs.  One chunk
+# explode + one fingerprint aggregate; the hot key (a viral boilerplate
+# chunk) lands on one reducer only for its COUNT — no list
+# materialization.
+@query(
+    "duplicate_chunk_spans",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, words,
+             CAST(ceil(greatest(len(words) - 64, 0) / 48.0) AS INTEGER) + 1 AS n_chunks
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, g.c AS chunk_id,
+             md5(array_to_string(words[g.c * 48 + 1 : g.c * 48 + 64], ' ')) AS fp
+      FROM counted, LATERAL (
+        SELECT unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS c
+      ) g
+    )
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS min_doc
+    FROM chunks GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicate_chunk_spans(spark, sf_dir):
+    from .operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    ).select("doc_id", F.md5(F.col("chunk_text")).alias("fp"))
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# Chi-square independence test: event type × day-of-week contingency —
+# "does behavior depend on the weekday?".  Observed counts are one
+# aggregate; expected counts are row-total × col-total / N (exact
+# integer products in double); χ² sums (O−E)²/E over ≤7·|types| cells.
+# Day-of-week alignment pinned: DuckDB dayofweek() is Sunday=0, Spark
+# dayofweek() is Sunday=1 — the Spark side subtracts 1.
+@query(
+    "chisq_event_dow",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY dow),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT o.o,
+             CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+      FROM obs o JOIN rt ON o.event_type = rt.event_type
+                JOIN ct ON o.dow = ct.dow CROSS JOIN n
+    )
+    SELECT round(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS INTEGER)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS INTEGER) AS dof,
+           (SELECT n FROM n) AS n
+    FROM cells
+    """,
+)
+def chisq_event_dow(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = _materialize(obs)  # feeds row/col/grand totals AND the cells
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    chi2 = cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        F.max("n").alias("n"),
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"))
+    )
+    return chi2.crossJoin(F.broadcast(dof)).select("chi2", "dof", "n")
+
+
 # ===========================================================================
 # Registration-order curation.
 #

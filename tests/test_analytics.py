@@ -456,3 +456,31 @@ def test_equidepth_bins_balanced(spark, sf_dir):
     for n in rows.values():
         # each decile holds ~10% of rows (interpolated cutoffs: ±2%)
         assert abs(n / total - 0.1) < 0.02
+
+
+def test_duplicate_chunk_spans_planted_boilerplate(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        duplicate_chunk_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(64))  # one full shared chunk
+    rows = [
+        (1, boiler, "en", "web", 1),
+        (2, boiler, "en", "web", 2),
+        (3, " ".join(f"u{i}" for i in range(64)), "en", "web", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = duplicate_chunk_spans(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["min_doc"] == 1
+
+
+def test_chisq_nonnegative_and_dof(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import chisq_event_dow
+
+    r = chisq_event_dow(spark, sf_dir).collect()[0]
+    assert r["chi2"] >= 0
+    assert r["dof"] == (5 - 1) * (7 - 1)  # 5 event types x 7 weekdays
+    assert r["n"] > 0
