@@ -457,3 +457,65 @@ def test_knn_graph_pair_dedup_is_id_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "v#" not in line and "embedding#" not in line, line
+
+
+def test_vocab_truncate_broadcasts_vocab(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["vocab_truncate_docs"](spark, SF_DIR))
+    # the top-V vocab joins the token stream map-side, never a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_cutoffs_broadcast_back(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["winsorize_lineitem_prices"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # percentile cutoffs come from ONE array-fraction aggregate
+    assert plan.count("percentile") <= 4  # partial+final, never per-quantile pairs
+
+
+def test_pagerank_lineage_is_checkpoint_bounded(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    df = QUERIES["pagerank_parts_copurchase"](spark, SF_DIR)
+    plan = _plan(df)
+    # iterations consume materialized RDDs, not a 3x-unrolled join tree:
+    # the final plan must reference checkpointed scans
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # and the co-occurrence build must not appear as a lineitem self-join
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_jaccard_prefix_join_carries_hashes_not_strings(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 60)
+    plan = _plan(df)
+    # verification joins run over the checkpointed hashed element table
+    assert "ExistingRDD" in plan
+    # the accept test is integer math, no float threshold anywhere
+    assert "0.6" not in plan
+
+
+def test_hard_negatives_broadcast_anchor_set(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["hard_negative_mining"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus side scans once
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_dau_wau_has_no_range_join(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["dau_wau_stickiness"](spark, SF_DIR))
+    # the 7-day window comes from a bounded explode + equi-join,
+    # never a nested-loop range join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
