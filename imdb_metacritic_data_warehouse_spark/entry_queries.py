@@ -7345,6 +7345,71 @@ def chisq_event_dow(spark, sf_dir):
     return chi2.crossJoin(F.broadcast(dof)).select("chi2", "dof", "n")
 
 
+# Production variant of the exact set-similarity join: collapse exact-
+# fingerprint duplicates to min-id representatives FIRST (one cheap
+# aggregate), join over representatives, carry multiplicities.  This is
+# the answer to the operator's Σ|cluster|² output law: m copies of a
+# document are m(m−1)/2 pairs in the naive join but ONE representative
+# here — 16×-replica probe: 32.5× naive vs 1.3× collapsed.  The upper-
+# cased mirror rows create real multiplicity (fingerprint casefolds).
+@query(
+    "jaccard_prefix_join_collapsed",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (SELECT doc_id, text, {_NORM_SQL} AS f FROM all_docs),
+    reps AS (
+      SELECT f, MIN(doc_id) AS doc_id, COUNT(*) AS mult FROM fp GROUP BY f
+    ),
+    rd AS (
+      SELECT r.doc_id, r.mult, fp.text
+      FROM reps r JOIN fp ON fp.doc_id = r.doc_id
+    ),
+    tokw AS (SELECT doc_id, mult, string_split(lower(text), ' ') AS words FROM rd),
+    sh AS (
+      SELECT doc_id, mult,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tokw
+    ),
+    d AS (
+      SELECT doc_id, mult,
+             list_distinct(list_transform(shingles,
+               s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS toks
+      FROM sh
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.mult AS multiplicity_a, b.mult AS multiplicity_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) AS sa, len(b.toks) AS sb
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, sa + sb - inter AS uni,
+           round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard,
+           multiplicity_a, multiplicity_b
+    FROM p WHERE 100 * inter >= 60 * (sa + sb - inter)
+    """,
+)
+def jaccard_prefix_join_collapsed(spark, sf_dir):
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    return prefix_filter_jaccard_pairs(
+        docs.unionByName(mirror), "doc_id", "text", threshold_pct=60,
+        collapse_exact=True,
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

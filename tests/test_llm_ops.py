@@ -878,3 +878,28 @@ def test_matryoshka_recall_range(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_common"] <= 10
         assert abs(r["recall_at_10"] - r["n_common"] / 10) < 1e-12
+
+
+def test_prefix_filter_collapse_exact_multiplicity(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = base + " extra"
+    rows = [
+        (1, base),
+        (2, base.upper()),   # exact dup of 1 after casefold
+        (3, base + " "),     # exact dup of 1 after whitespace collapse... 
+        (4, other),
+        (5, "unrelated trigram free words entirely disjoint content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_filter_jaccard_pairs(df, "doc_id", "text", 60, collapse_exact=True)
+    got = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+    # docs 1/2/3 collapse to representative 1 with multiplicity 3;
+    # the only surviving pair is (1, 4)
+    assert set(got) == {(1, 4)}
+    assert got[(1, 4)]["multiplicity_a"] == 3
+    assert got[(1, 4)]["multiplicity_b"] == 1
+    assert abs(got[(1, 4)]["jaccard"] - 8 / 9) < 1e-6
