@@ -7410,6 +7410,125 @@ def jaccard_prefix_join_collapsed(spark, sf_dir):
     )
 
 
+# Least-squares trend slope of daily revenue — the "is the metric
+# drifting" primitive behind alerting and forecasting baselines.
+# Slope/intercept from the closed-form normal equations over exact
+# aggregates: x is an integer day index (no epoch-scale cancellation),
+# y is DECIMAL-summed then cast — the only doubles are the final
+# divisions, rounded.  One day-keyed aggregate + one scalar pass.
+@query(
+    "daily_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    ),
+    indexed AS (
+      SELECT CAST(d - (SELECT MIN(d) FROM daily) AS INTEGER) AS x, y FROM daily
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+             SUM(y) AS sy, SUM(x * y) AS sxy
+      FROM indexed
+    )
+    SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def daily_revenue_trend(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    indexed = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("x"), "y"
+    )
+    s = indexed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# Funnel latency percentiles — view → purchase time-to-convert p50/p90
+# per converting user (first view, first LATER purchase), the latency
+# companion to funnel_conversion_events' rate.  Deltas in exact integer
+# seconds; percentile interpolation parity as in exact_percentiles.
+@query(
+    "funnel_latency_percentiles",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    delays AS (
+      SELECT (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 1000000 AS delay_s
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           round(quantile_cont(CAST(delay_s AS DOUBLE), 0.5), 4) AS p50_s,
+           round(quantile_cont(CAST(delay_s AS DOUBLE), 0.9), 4) AS p90_s
+    FROM delays
+    """,
+)
+def funnel_latency_percentiles(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+    )
+    delays = p.select(
+        (
+            (F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("delay_s")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.percentile(F.col("delay_s").cast("double"), F.lit(0.5)), 4
+        ).alias("p50_s"),
+        F.round(
+            F.percentile(F.col("delay_s").cast("double"), F.lit(0.9)), 4
+        ).alias("p90_s"),
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -484,3 +484,31 @@ def test_chisq_nonnegative_and_dof(spark, sf_dir):
     assert r["chi2"] >= 0
     assert r["dof"] == (5 - 1) * (7 - 1)  # 5 event types x 7 weekdays
     assert r["n"] > 0
+
+
+def test_trend_slope_recovers_line(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import daily_revenue_trend
+
+    # y = 100 + 10x: one purchase per day with value 100+10*day
+    rows = [
+        (i, i, datetime(2024, 3, 1 + i, 12, 0, 0), "purchase", 100.0 + 10 * i, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = daily_revenue_trend(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 10
+    assert abs(r["slope_per_day"] - 10.0) < 1e-6
+    assert abs(r["intercept"] - 100.0) < 1e-6
+
+
+def test_funnel_latency_ordering(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        funnel_latency_percentiles,
+    )
+
+    r = funnel_latency_percentiles(spark, sf_dir).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p50_s"] <= r["p90_s"]
