@@ -7529,6 +7529,125 @@ def funnel_latency_percentiles(spark, sf_dir):
     )
 
 
+# END-TO-END corpus curation — the full training-data chain as ONE
+# oracle-checked composition: language + length gate → exact-fingerprint
+# dedup → MinHash/LSH near-dup clustering (keep canonical) → greedy
+# token-budget selection.  Each stage is individually verified above;
+# this pins their COMPOSITION (the artifact a pipeline actually ships).
+# The mirror/variant unions plant real exact- and near-dups so every
+# stage provably removes something.  Scale shape: stage 1 is a scan
+# filter, stage 2 one fingerprint aggregate, stage 3 the bucketed LSH +
+# checkpoint-bounded components, stage 4 the two-phase global cumsum —
+# no stage regresses the operators' individual plans.
+@query(
+    "curate_corpus_end_to_end",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang = 'en' AND len(string_split(lower(text), ' ')) >= 20
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zz yy xx' FROM base WHERE doc_id % 25 = 0
+    ),
+    fpd AS (SELECT doc_id, text, {_NORM_SQL} AS f FROM corpus),
+    exact AS (SELECT f, MIN(doc_id) AS keep FROM fpd GROUP BY f),
+    survivors AS (
+      SELECT fpd.doc_id, fpd.text FROM fpd JOIN exact ON fpd.doc_id = exact.keep
+    ),
+    tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM survivors),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tok
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    clusters AS (SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n),
+    canon AS (
+      SELECT s.doc_id, s.text FROM survivors s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM clusters cl WHERE cl.node = s.doc_id AND cl.node <> cl.cluster
+      )
+    ),
+    sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM canon
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM ordered WHERE cum_tokens <= 20000
+    """,
+)
+def curate_corpus_end_to_end(spark, sf_dir):
+    from .operators.dedup import connected_components, dedup_exact, lsh_candidate_pairs
+    from .operators.packing import global_cumsum
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(
+        (F.col("lang") == "en") & (F.size(tokens(F.col("text"))) >= 20)
+    ).select("doc_id", "text")
+    mirror = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    near = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+    )
+    corpus = base.unionByName(mirror).unionByName(near)
+    survivors = dedup_exact(corpus, "doc_id", "text")
+    survivors = _materialize(survivors)  # feeds LSH AND the canon anti-join
+    pairs = lsh_candidate_pairs(survivors, "doc_id", "text")
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select("node")
+    canon = survivors.join(
+        F.broadcast(losers), survivors["doc_id"] == F.col("node"), "left_anti"
+    )
+    sized = canon.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    spanned = global_cumsum(
+        sized, [F.desc("n_tokens"), F.asc("doc_id")], "n_tokens",
+        out_col="cum_tokens",
+    )
+    return spanned.filter(F.col("cum_tokens") <= 20000).select(
+        "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

@@ -903,3 +903,24 @@ def test_prefix_filter_collapse_exact_multiplicity(spark):
     assert got[(1, 4)]["multiplicity_a"] == 3
     assert got[(1, 4)]["multiplicity_b"] == 1
     assert abs(got[(1, 4)]["jaccard"] - 8 / 9) < 1e-6
+
+
+def test_curation_chain_stage_effects(spark, sf_dir):
+    """Every stage of the end-to-end chain must provably remove rows."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        curate_corpus_end_to_end,
+    )
+
+    out = curate_corpus_end_to_end(spark, sf_dir).collect()
+    assert out
+    ids = {r["doc_id"] for r in out}
+    # exact-dup mirrors (+1000000) must never survive: their originals
+    # have smaller ids and identical fingerprints
+    assert not any(1000000 <= i < 2000000 for i in ids)
+    # near-dup variants (+2000000) lose to their originals in clustering
+    assert not any(i >= 2000000 for i in ids)
+    # budget invariant: cumulative tokens within budget, order greedy
+    rows = sorted(out, key=lambda r: r["cum_tokens"])
+    assert rows[-1]["cum_tokens"] <= 20000
+    toks = [r["n_tokens"] for r in rows]
+    assert toks == sorted(toks, reverse=True)
