@@ -100,6 +100,19 @@ HEADLINE = [
     "survivorship_golden_docs",
     "dau_wau_stickiness",
     "session_paths_events",
+    # round-3 continuation 3: retrieval, experiment stats, market-basket,
+    # and the end-to-end curation composition
+    "hard_negative_mining",
+    "mmr_rerank_topk",
+    "ctr_wilson_bounds",
+    "ab_test_lift",
+    "skew_report_lineitem",
+    "association_rules_parts",
+    "user_event_entropy",
+    "equidepth_bins_orders",
+    "daily_revenue_trend",
+    "jaccard_prefix_join_collapsed",
+    "curate_corpus_end_to_end",
 ]
 
 
