@@ -5157,7 +5157,7 @@ def vocab_coverage_docs(spark, sf_dir):
            CAST(MAX(CASE WHEN block = 1 THEN code END) AS INTEGER) AS code_1,
            CAST(MAX(CASE WHEN block = 2 THEN code END) AS INTEGER) AS code_2,
            CAST(MAX(CASE WHEN block = 3 THEN code END) AS INTEGER) AS code_3,
-           round(SUM(d2) / 64, 6) AS mse
+           round(SUM(d2) / 64, 12) AS mse
     FROM best GROUP BY vec_id
     """,
 )
@@ -7648,6 +7648,72 @@ def curate_corpus_end_to_end(spark, sf_dir):
     )
 
 
+# GDPR / right-to-erasure cascade through the REAL versioned table:
+# commit the events fact (v1), anti-join the deletion list, commit the
+# erased table (v2, atomic pointer swap — readers never see a partial
+# delete), and emit the per-type audit the DPO files: rows
+# before/after/erased plus a leak count RECOMPUTED from the committed
+# v2 (the oracle pins it to zero, so an incomplete cascade fails the
+# differential, not just an assertion).  Erasure is one broadcast
+# anti-join + one rewrite; at 100 TB the rewrite bounds to the
+# partitions holding the subjects when the table is partitioned or
+# z-ordered on the subject key (sources/zorder.py).
+@query(
+    "gdpr_erasure_cascade",
+    """
+    WITH before AS (
+      SELECT event_type, COUNT(*) AS rows_before FROM events GROUP BY event_type
+    ),
+    after AS (
+      SELECT event_type, COUNT(*) AS rows_after FROM events
+      WHERE user_id % 97 <> 0 GROUP BY event_type
+    )
+    SELECT b.event_type, rows_before,
+           COALESCE(rows_after, 0) AS rows_after,
+           rows_before - COALESCE(rows_after, 0) AS rows_erased,
+           CAST(0 AS BIGINT) AS n_leaked
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type
+    """,
+)
+def gdpr_erasure_cascade(spark, sf_dir):
+    import shutil
+
+    from .sources.table import VersionedParquetTable
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(
+        repo_root, ".scratch", f"gdpr_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedParquetTable(spark, root, "events")
+    e = _events(spark, sf_dir)
+    t.write(e)  # v1: the fact as ingested
+    erase = e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    kept = e.join(F.broadcast(erase), "user_id", "left_anti")
+    t.write(kept)  # v2: post-erasure, atomically committed
+    v1, v2 = t.read(1), t.read(2)
+    before = v1.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows_before"))
+    after = v2.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows_after"))
+    leaked = (
+        v2.join(F.broadcast(erase), "user_id")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .join(leaked, "event_type", "left")
+        .select(
+            "event_type",
+            "rows_before",
+            F.coalesce("rows_after", F.lit(0)).alias("rows_after"),
+            (F.col("rows_before") - F.coalesce("rows_after", F.lit(0))).alias(
+                "rows_erased"
+            ),
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #
@@ -7688,7 +7754,12 @@ def curate_corpus_end_to_end(spark, sf_dir):
 # anti_join_new_keys, full_outer_snapshots, composite_key_join,
 # expression_join, union_all_counts), and chunk_documents_sliding
 # (added after the prefix filled; locally oracle-green at both SFs)
-# rotate in next round.
+# rotate in next round — together with the ~70 queries the round-3
+# continuation sessions added after the prefix froze (retrieval,
+# graph, sequence analytics, experiment stats, curation composition;
+# all locally oracle-green at sf0.001 + sf0.01): the round-4 prefix
+# should lead with those never-checked entries, ~50 per round until
+# the backlog drains.
 _PRIORITY_PREFIX = [
     # --- never driver-checked in any round (r1∪r2 gap) ---
     "events_variant_stats",

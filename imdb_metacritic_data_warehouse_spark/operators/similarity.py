@@ -487,7 +487,14 @@ def pq_codes(
             .alias(f"code_{b}")
             for b in range(n_blocks)
         ],
-        F.round(F.sum("m.d2") / F.lit(float(dims)), 6).alias("mse"),
+        # mse rounds at 12 dp, NOT 6: block d2's are rounded-6, so
+        # Σd2/64 = k·15625·10⁻¹² — an EXACT 12-digit decimal, but at
+        # 6 dp its 7th digit is exactly 5 whenever k ≡ 32 (mod 64),
+        # i.e. a systematic 1-in-64 half-way tie where Spark's
+        # BigDecimal HALF_UP and DuckDB's float rounding disagree
+        # (bit the sf0.01 sweep on one row).  At 12 dp the true value
+        # is representable and no tie can occur.
+        F.round(F.sum("m.d2") / F.lit(float(dims)), 12).alias("mse"),
     )
 
 
