@@ -27,6 +27,11 @@ CASES = [
     ("knn_graph_embeddings", "LSH collision self-join and pair dedup ship bare (src,dst) ids; embeddings join back only at scoring (no exchange carries a vector column)."),
     ("interval_overlap_sessions", "Interval x interval overlap as chunk-exploded equi-join + owner-chunk codegen filter - one shuffle, no BroadcastNestedLoop."),
     ("mixture_sample_domains", "Data-derived keep rates from one stratum aggregate broadcast back; membership is a scan-local hash filter."),
+    ("pagerank_parts_copurchase", "Iterative graph op: per-round edges joins a BROADCAST node-sized rank/degree table then one aggregate on dst; lineage checkpoint-bounded (plan reads ExistingRDD, not a 3x-unrolled tree); co-occurrence edges from ONE groupBy + in-task pair expansion, no fact self-join."),
+    ("jaccard_prefix_join_docs", "Exact set-similarity join: prefix filtering on globally-RARE hashed shingles (the frequency ordering is the skew defense); integer threshold test; verification bounded by candidates."),
+    ("dau_wau_stickiness", "Trailing-7-day distinct as bounded day-explode + equi-join and plain per-day aggregate - no range join, no unbounded window state."),
+    ("vocab_truncate_docs", "Top-V vocab aggregate BROADCAST to the token stream; reassembly sorts (pos,token) structs inside one hash aggregate per doc."),
+    ("curate_corpus_end_to_end", "Four curation stages composed without re-scans: filter at the source, one fingerprint aggregate, bucketed LSH + checkpoint-bounded components, two-phase budget cumsum."),
 ]
 
 
