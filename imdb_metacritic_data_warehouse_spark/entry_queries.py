@@ -7714,6 +7714,62 @@ def gdpr_erasure_cascade(spark, sf_dir):
     )
 
 
+# Out-of-orderness diagnostics — the measurement that SIZES a streaming
+# watermark: treating event_id as arrival order, lateness = (running
+# max event-time at arrival) − event-time.  Per type: max lateness,
+# share of late rows, share later than 1h — read these, then set
+# ``withWatermark`` to the observed tail instead of guessing.  One
+# arrival-ordered window (partitioned by type) + one aggregate;
+# lateness in exact integer µs.
+@query(
+    "out_of_order_stats_events",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - epoch_us(ts) AS late_us
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           MAX(late_us) AS max_late_us,
+           round(CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS late_share,
+           round(CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS very_late_share
+    FROM seq GROUP BY event_type
+    """,
+)
+def out_of_order_stats_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.select(
+        "event_type",
+        (
+            F.max(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))
+        ).alias("late_us"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_us").alias("max_late_us"),
+        F.round(
+            F.sum((F.col("late_us") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_share"),
+        F.round(
+            F.sum((F.col("late_us") > 3600000000).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("very_late_share"),
+    )
+
+
 # ===========================================================================
 # Registration-order curation.
 #

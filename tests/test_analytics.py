@@ -512,3 +512,25 @@ def test_funnel_latency_ordering(spark, sf_dir):
     r = funnel_latency_percentiles(spark, sf_dir).collect()[0]
     assert r["n_converted"] > 0
     assert 0 <= r["p50_s"] <= r["p90_s"]
+
+
+def test_out_of_order_lateness_hand_case(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        out_of_order_stats_events,
+    )
+
+    rows = [
+        (1, 1, datetime(2024, 3, 1, 12, 0, 0), "click", 0.0, "{}"),
+        (2, 1, datetime(2024, 3, 1, 12, 10, 0), "click", 0.0, "{}"),
+        # arrives third but happened 5 min before event 2: 300s late
+        (3, 1, datetime(2024, 3, 1, 12, 5, 0), "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = out_of_order_stats_events(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 3
+    assert r["max_late_us"] == 300 * 1_000_000
+    assert abs(r["late_share"] - 1 / 3) < 1e-6
+    assert r["very_late_share"] == 0.0
