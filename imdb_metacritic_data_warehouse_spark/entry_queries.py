@@ -5631,14 +5631,29 @@ def _bm25_scored_cte() -> str:
     """,
 )
 def hybrid_search_rrf(spark, sf_dir):
+    # All three rankings are corpus-sized totals, so each goes through
+    # the two-phase global_row_number (range partition + local rank +
+    # broadcast offsets) — a bare Window.orderBy row_number funnels the
+    # whole scored corpus through ONE task (the round-3 scale-killer;
+    # same fix as the rating_slide leaderboard, operators/rank.py:26).
+    from .operators.rank import global_row_number
     from .operators.similarity import _dot
     from .operators.text import bm25_scores
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    lex = bm25_scores(d, _BM25_TERMS)
-    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lr"))
+    # global_row_number reads its input twice (offsets agg + join);
+    # materialize the expensive scored leaves once so the BM25 corpus
+    # aggregation / dot-product scan don't re-execute per branch (the
+    # lsh_candidate_pairs no-cross-branch-CSE pattern, dedup.py:191)
+    lex = (
+        bm25_scores(d, _BM25_TERMS)
+        .filter(F.col("bm25") > 0)
+        .localCheckpoint(eager=False)
+    )
+    lexr = global_row_number(
+        lex, [F.desc("bm25"), F.asc("doc_id")], out_col="lr"
+    ).select("doc_id", "lr")
     qv = e.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("qv"))
     dense = (
         e.filter(F.col("vec_id") != 5)
@@ -5647,9 +5662,11 @@ def hybrid_search_rrf(spark, sf_dir):
             F.col("vec_id").alias("doc_id"),
             F.round(_dot(F.col("embedding"), F.col("qv")), 6).alias("cos"),
         )
+        .localCheckpoint(eager=False)
     )
-    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
-    denser = dense.select("doc_id", F.row_number().over(wd).alias("dr"))
+    denser = global_row_number(
+        dense, [F.desc("cos"), F.asc("doc_id")], out_col="dr"
+    ).select("doc_id", "dr")
     fused = (
         lexr.join(denser, "doc_id", "full_outer")
         .select(
@@ -5662,9 +5679,8 @@ def hybrid_search_rrf(spark, sf_dir):
             ).alias("rrf"),
         )
     )
-    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
-        fused.withColumn("pos", F.row_number().over(wf))
+        global_row_number(fused, [F.desc("rrf"), F.asc("doc_id")], out_col="pos")
         .filter(F.col("pos") <= 10)
         .select(
             "doc_id",

@@ -519,3 +519,46 @@ def test_dau_wau_has_no_range_join(spark):
     # never a nested-loop range join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _window_nodes(plan: str) -> list[tuple[str, str]]:
+    """(partition_spec, order_spec) for every Window node in an
+    executedPlan string.  A Window line prints as
+    ``Window [exprs], [partitionCols], [orderCols]`` (partition list
+    empty/absent for a global window)."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow\b\s+\[.*?\],\s*\[(.*?)\],\s*\[(.*?)\]\s*$", line)
+        if m:
+            out.append((m.group(1), m.group(2)))
+            continue
+        # global window prints only [exprs], [orderCols]
+        m = re.search(r"\bWindow\b\s+\[.*?\],\s*\[([^\[\]]*?)\]\s*$", line)
+        if m:
+            out.append(("", m.group(1)))
+    return out
+
+
+def test_hybrid_search_rrf_has_no_corpus_global_window(spark):
+    """Round-3 scale-killer regression gate: every ranking in the RRF
+    fusion must be the two-phase global_row_number — any window that is
+    unpartitioned AND ordered on a corpus-sized key (bm25/cos/rrf)
+    funnels the whole scored corpus through one task.  The only
+    allowed unpartitioned windows are the per-partition offset
+    prefix-sums (ordered on __pid, one row per partition)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["hybrid_search_rrf"](spark, SF_DIR))
+    windows = _window_nodes(plan)
+    assert windows, "expected Window nodes in the hybrid RRF plan"
+    for part, order in windows:
+        if part.strip():
+            continue  # partitioned (per-pid local rank) — fine
+        assert "__pid" in order, (
+            f"unpartitioned corpus window (order: {order!r}) — "
+            "use operators.rank.global_row_number"
+        )
+    # three two-phase ranks → three range exchanges feeding the local ranks
+    assert plan.lower().count("rangepartitioning") >= 3
