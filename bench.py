@@ -175,15 +175,37 @@ def main():
         timings[name] = round(best, 3)
         total += timings[name]
 
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record (timings + plan fingerprints) goes to BENCH_LOCAL.json
+    # in-repo: the driver keeps only the last ~2000 chars of stdout, and
+    # round 3's timings were truncated away behind the fingerprint dict.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "plan_fingerprints": plans,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
+    # Stdout stays ONE JSON line, ordered so the informative tail
+    # (slowest queries, total) survives truncation: fingerprints are
+    # file-only, per-query timings first, slowest-10 + value LAST.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": timings,
+                "slowest10": slowest,
+                "value": round(total, 3),
             }
         )
     )

@@ -744,7 +744,13 @@ def _minhash_corpus(spark, sf_dir):
     """,
 )
 def minhash_lsh_pairs(spark, sf_dir):
-    return lsh_candidate_pairs(_minhash_corpus(spark, sf_dir), "doc_id", "text")
+    # threshold-driven banding is the front door: lsh_params(0.63, 12)
+    # fits the S-curve midpoint (1/b)^(1/r) to the target similarity
+    # and resolves to the same (12 hashes, 4 bands) the oracle SQL
+    # replays (pinned by tests/test_llm_ops.py::test_lsh_params_s_curve)
+    return lsh_candidate_pairs(
+        _minhash_corpus(spark, sf_dir), "doc_id", "text", threshold=0.63, max_hashes=12
+    )
 
 
 # Exact n-gram Jaccard verification on deterministic candidate pairs.
@@ -1577,6 +1583,44 @@ def pipeline_genre_metrics(spark, sf_dir):
     )
 
 
+# Standalone movie_genre_link build (core/movie_genre_link.sql) — the
+# J2 composite-natural-key join + F5 JSON genre explode through the
+# REAL builder, with its own value-hash gate (previously only covered
+# inside the pipeline_genre_metrics composition).
+@query(
+    "pipeline_movie_genre_link",
+    _PIPELINE_SQL_PRELUDE
+    + """,
+    exploded AS (
+      SELECT DISTINCT movie_name AS movie_nm, CAST(min_duration AS INTEGER) AS duration,
+             unnest(from_json(replace(genres, '''', '"'), '["VARCHAR"]')) AS genre
+      FROM movie_raw
+    )
+    SELECT DISTINCT md5(j.movie_id || g.genre_id) AS mv_gen_link_id,
+           j.movie_id, g.genre_id
+    FROM exploded i
+    JOIN movie_hub j ON i.movie_nm = j.movie_nm AND i.duration = j.movie_duration
+    JOIN genre_hub g ON g.genre_nm = i.genre
+    """,
+)
+def pipeline_movie_genre_link(spark, sf_dir):
+    wh = _ShimWarehouse(
+        spark,
+        {
+            "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: _synth_movie_raw(spark, sf_dir)[0].filter(
+                F.lit(False)
+            ),
+        },
+        # movie_hub feeds the composite-key join only once here, but
+        # genre_hub is broadcast — no multi-consumer table, no
+        # materialization needed
+    )
+    return wh.read("stg", "movie_genre_link").select(
+        "mv_gen_link_id", "movie_id", "genre_id"
+    )
+
+
 # ===========================================================================
 # Custom join operators + OLAP extensions (as-of join, range join,
 # rollup, pivot, approximate sketches).
@@ -1687,26 +1731,67 @@ def pivot_lineitem_status(spark, sf_dir):
     return pv
 
 
-# Approximate sketches (HLL distinct, approximate quantiles) — engine-
-# specific estimators have no cross-engine oracle; rows-only check.
-# Quantiles are emitted as scalar columns (not array<double>): the
-# driver's canonicalizer sorts on every column and list cells are
-# unhashable/unsortable in pandas.
-@query("approx_sketches")
+# Approximate sketches (HLL distinct, approximate quantiles).  The
+# estimates themselves are engine-internal (no cross-engine oracle),
+# so the value-hash gate checks the published ERROR CONTRACT instead:
+# the HLL estimate must land within 3·rsd of the exact distinct count
+# (rsd=0.05 default → ±15%), and each approx quantile must fall
+# between the exact quantiles at p∓0.01 (accuracy=10000 guarantees
+# rank error ≤ 1e-4 — 100× slack).  Both engines emit the exact
+# counts plus the pass/fail booleans; DuckDB's booleans are literal
+# TRUE, so any sketch drifting out of contract breaks the hash.
+# Scalars only (not array<double>): the driver's canonicalizer cannot
+# sort list cells (round-1 failure).
+@query(
+    "approx_sketches",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_3rsd,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p95_within_rank_eps,
+           TRUE AS p99_within_rank_eps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_sketches(spark, sf_dir):
+    from .operators.percentile import exact_percentiles_grouped
+
     li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("__q"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    bounds = exact_percentiles_grouped(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.49, 0.51, 0.94, 0.96, 0.98, 1.0],
+        ["__lo50", "__hi50", "__lo95", "__hi95", "__lo99", "__hi99"],
+    )
+
+    def _band(q_idx: int, lo: str, hi: str):
+        v = F.col("__q").getItem(q_idx)
+        return (v >= F.col(lo)) & (v <= F.col(hi))
+
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("__q"),
-        )
+        exact.join(approx, "l_returnflag")
+        .join(bounds, "l_returnflag")
         .select(
             "l_returnflag",
-            "approx_parts",
-            F.col("__q").getItem(0).alias("price_p50"),
-            F.col("__q").getItem(1).alias("price_p95"),
-            F.col("__q").getItem(2).alias("price_p99"),
+            "exact_parts",
+            (
+                F.abs(F.col("__approx_parts") - F.col("exact_parts"))
+                <= F.lit(0.15) * F.col("exact_parts")
+            ).alias("hll_within_3rsd"),
+            _band(0, "__lo50", "__hi50").alias("p50_within_rank_eps"),
+            _band(1, "__lo95", "__hi95").alias("p95_within_rank_eps"),
+            _band(2, "__lo99", "__hi99").alias("p99_within_rank_eps"),
         )
     )
 
@@ -2433,8 +2518,48 @@ def salted_groupby_events(spark, sf_dir):
 
 
 # Multimodal feature extraction through the Arrow-batched mapInPandas
-# path (fake decoder — real codecs absent by design); rows-only check.
-@query("multimodal_features")
+# path (fake decoder — real codecs absent by design).  The fake
+# feature is pure byte arithmetic (byte-sum folded into 4 buckets over
+# the UTF-8 payload), so DuckDB can replay it value-for-value from the
+# same text column: the corpus is ASCII (guarded below via
+# octet_length = length), so per-character ascii() IS the byte stream.
+# This turns the r1-r3 rows-only check into a full value-hash gate on
+# the mapInPandas path: batching, schema, checksum, and feature math.
+@query(
+    "multimodal_features",
+    """
+    WITH guard AS (
+      -- byte-level replay is only valid on an ASCII corpus; a non-ASCII
+      -- row would silently desync substr (chars) from bytes, so fail
+      -- loudly instead (division by zero) if that assumption breaks
+      SELECT CASE WHEN COUNT(*) = 0 THEN 1 ELSE 1 // 0 END AS ok
+      FROM documents WHERE octet_length(encode(text)) <> length(text)
+    ),
+    pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ),
+    bucket AS (
+      SELECT doc_id, CAST((i - 1) % 4 AS INTEGER) AS j,
+             SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS s
+      FROM pos GROUP BY doc_id, j
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS total FROM bucket GROUP BY doc_id
+    )
+    SELECT d.doc_id, 'image/fake' AS media_type,
+           CAST(length(d.text) AS BIGINT) * (SELECT ok FROM guard) AS n_bytes,
+           md5(d.text) AS checksum,
+           round(COALESCE(MAX(CASE WHEN j = 0 THEN s END), 0) / t.total, 6) AS f0,
+           round(COALESCE(MAX(CASE WHEN j = 1 THEN s END), 0) / t.total, 6) AS f1,
+           round(COALESCE(MAX(CASE WHEN j = 2 THEN s END), 0) / t.total, 6) AS f2,
+           round(COALESCE(MAX(CASE WHEN j = 3 THEN s END), 0) / t.total, 6) AS f3
+    FROM documents d
+    JOIN bucket b ON b.doc_id = d.doc_id
+    JOIN tot t ON t.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.text, t.total
+    """,
+)
 def multimodal_features(spark, sf_dir):
     media = attach_media(_t(spark, sf_dir, "documents"))
     feats = extract_features(media)
@@ -3473,19 +3598,21 @@ def cube_orders(spark, sf_dir):
     """,
 )
 def exact_percentiles(spark, sf_dir):
+    # Two-phase rank formulation (operators/percentile.py): F.percentile
+    # buffers every group value in one aggregate buffer — an OOM at
+    # 100 TB.  The rank rewrite keeps peak memory at one range
+    # partition and reproduces Percentile.getPercentile's interpolation
+    # arithmetic bit-for-bit.
+    from .operators.percentile import exact_percentiles_grouped
+
     li = _t(spark, sf_dir, "lineitem")
-    # One percentile agg with an ARRAY of fractions: a single per-group
-    # value buffer serves both quantiles (two separate percentile()
-    # calls each keep their own copy of every value — ~1.5× slower).
-    pc = li.groupBy("l_returnflag").agg(
-        F.percentile(
-            F.col("l_extendedprice").cast("double"), F.array(F.lit(0.5), F.lit(0.9))
-        ).alias("ps")
+    pc = exact_percentiles_grouped(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9], ["p50", "p90"]
     )
     return pc.select(
         "l_returnflag",
-        F.round(F.col("ps")[0], 4).alias("p50"),
-        F.round(F.col("ps")[1], 4).alias("p90"),
+        F.round(F.col("p50"), 4).alias("p50"),
+        F.round(F.col("p90"), 4).alias("p90"),
     )
 
 

@@ -195,6 +195,8 @@ def lsh_candidate_pairs(
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
     bucket_cap: int = 1024,
+    threshold: float | None = None,
+    max_hashes: int = MINHASH_HASHES,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidates: documents sharing at
     least one band signature.  Output: (doc_a, doc_b), doc_a < doc_b.
@@ -218,7 +220,14 @@ def lsh_candidate_pairs(
     Both paths read the checkpointed band table, which preserves its
     (band, band_sig) hash partitioning, so neither re-shuffles the
     input; the only new exchange is the final pair ``distinct``.
+
+    ``threshold`` is the preferred front door: the banding scheme is
+    derived from the target Jaccard similarity via ``lsh_params``
+    (S-curve midpoint fitting, bounded by ``max_hashes``) instead of
+    hand-picked (num_hashes, bands).
     """
+    if threshold is not None:
+        num_hashes, bands = lsh_params(threshold, max_hashes)
     banded = lsh_band_table(df, id_col, text_col, num_hashes, bands)
     w = Window.partitionBy("band", "band_sig")
     sized = (

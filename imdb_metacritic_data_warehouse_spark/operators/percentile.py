@@ -1,0 +1,106 @@
+"""Exact interpolated percentiles without a buffer-everything aggregate.
+
+``F.percentile`` (like PG ``percentile_cont``) is an
+OpenHashMap-buffering aggregate: every value of the group is held in
+one executor's memory before the quantile is read off — fine at sf0.1,
+an OOM at 100 TB.  ``percentile_approx`` is the sketch-based scale
+path; when EXACT quantiles are the contract, the scalable plan is the
+two-phase rank formulation (same machinery as
+``operators/rank.global_row_number`` / ``packing.global_cumsum``):
+
+1. range-repartition on (keys…, value) — sampling-based, skew-aware;
+2. rank locally per (partition, key); per-(key, partition) counts are
+   a tiny table (``n_partitions × n_keys`` rows) whose per-key prefix
+   sum broadcasts back — global per-key ranks with no single task ever
+   holding a whole group;
+3. per-key row counts (broadcast) turn each requested fraction into
+   the two bounding ranks; only those O(keys × fracs) rows survive the
+   final aggregate, which interpolates with EXACTLY Spark's
+   ``Percentile.getPercentile`` arithmetic
+   (``(higher - pos) * lower_val + (pos - lower) * higher_val``) so
+   results are bit-identical to the buffering aggregate it replaces.
+
+No value is ever buffered per-group; peak memory is one range
+partition, which AQE/`repartitionByRange` sizes independently of group
+cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentiles_grouped(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    fracs: list[float],
+    out_names: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per ``keys``
+    group, one output column per fraction (NULLs excluded, like
+    ``percentile_cont``).  Output: keys… + out_names… (double)."""
+    out_names = out_names or [f"p{int(f * 100)}" for f in fracs]
+    assert len(out_names) == len(fracs)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    v = F.col(value_col).cast("double")
+    base = (
+        df.select(*keys, v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .repartitionByRange(n_parts, *[F.col(k) for k in keys], F.col("__v"))
+    )
+    pid = F.spark_partition_id()
+    local = base.withColumn("__pid", pid).withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy(pid, *keys).orderBy(F.col("__v").asc())
+        ),
+    )
+    # (key, partition) counts → per-key prefix sum of earlier partitions
+    # (tiny: n_partitions × n_keys rows), broadcast back for global ranks
+    offsets = (
+        local.groupBy("__pid", *keys)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.partitionBy(*keys)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    counts = offsets.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
+    ranked = local.join(
+        F.broadcast(offsets.select("__pid", *keys, "__off")), ["__pid", *keys]
+    ).withColumn("__rn", (F.col("__lrn") + F.col("__off")).cast("long"))
+
+    # bounding ranks per fraction (0-based position = frac * (n - 1))
+    with_n = ranked.join(F.broadcast(counts), keys)
+    aggs = []
+    needed = F.lit(False)
+    for f, name in zip(fracs, out_names):
+        pos = F.lit(float(f)) * (F.col("__n") - 1).cast("double")
+        lo = F.floor(pos).cast("long") + 1  # 1-based rank of lower index
+        hi = F.ceil(pos).cast("long") + 1
+        needed = needed | (F.col("__rn") == lo) | (F.col("__rn") == hi)
+        lo_v = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
+        hi_v = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+        lo_pos = F.max(F.when(F.col("__rn") == lo, pos))
+        # Spark Percentile.getPercentile arithmetic, term for term:
+        # lower == higher → the value itself; else
+        # (higher - pos) * lowerValue + (pos - lower) * higherValue
+        lower_idx = F.floor(lo_pos)
+        higher_idx = F.ceil(lo_pos)
+        interp = F.when(lower_idx == higher_idx, lo_v).otherwise(
+            (higher_idx.cast("double") - lo_pos) * lo_v
+            + (lo_pos - lower_idx.cast("double")) * hi_v
+        )
+        aggs.append(interp.alias(name))
+    return with_n.filter(needed).groupBy(*keys).agg(*aggs)

@@ -924,3 +924,64 @@ def test_curation_chain_stage_effects(spark, sf_dir):
     assert rows[-1]["cum_tokens"] <= 20000
     toks = [r["n_tokens"] for r in rows]
     assert toks == sorted(toks, reverse=True)
+
+
+def test_lsh_params_s_curve():
+    """Pin the banding minhash_lsh_pairs' threshold front door resolves
+    to — the oracle SQL replays (12 hashes, 4 bands), so this exact
+    factorization is a correctness contract, not a tuning choice —
+    and verify the collision S-curve it implies behaves: monotone in
+    s, midpoint at the target, steep across it."""
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import lsh_params
+
+    n, b = lsh_params(0.63, 12)
+    assert (n, b) == (12, 4)
+    r = n // b
+
+    def p_collide(s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    probs = [p_collide(s / 20) for s in range(21)]
+    assert all(x <= y for x, y in zip(probs, probs[1:]))  # monotone
+    assert p_collide(0.3) < 0.15      # rejects dissimilar pairs
+    assert p_collide(0.63) > 0.45     # fires near the target
+    assert p_collide(0.9) > 0.95      # keeps true near-dups
+
+
+def test_exact_percentiles_grouped_matches_buffering_aggregate(spark):
+    """The two-phase rank percentile must be bit-identical to Spark's
+    own buffering F.percentile (whose interpolation arithmetic it
+    replicates term for term), including single-row groups, duplicate
+    values, NULLs, and fraction 1.0."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.percentile import (
+        exact_percentiles_grouped,
+    )
+
+    df = spark.range(2003).select(
+        (F.col("id") % 7).alias("k"),
+        F.when(F.col("id") % 31 == 0, None)
+        .otherwise(((F.col("id") * 37) % 401).cast("double") / 7.0)
+        .alias("v"),
+    )
+    # one singleton group and one all-duplicates group
+    extra = spark.createDataFrame(
+        [(100, 5.5)] + [(200, 3.25)] * 4, "k long, v double"
+    )
+    df = df.unionByName(extra)
+    fracs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    names = [f"q{i}" for i in range(len(fracs))]
+    got = {
+        r["k"]: [r[n] for n in names]
+        for r in exact_percentiles_grouped(df, ["k"], "v", fracs, names).collect()
+    }
+    want = {
+        r["k"]: list(r["ps"])
+        for r in df.groupBy("k")
+        .agg(F.percentile("v", F.array(*[F.lit(f) for f in fracs])).alias("ps"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])

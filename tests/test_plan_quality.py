@@ -562,3 +562,43 @@ def test_hybrid_search_rrf_has_no_corpus_global_window(spark):
         )
     # three two-phase ranks → three range exchanges feeding the local ranks
     assert plan.lower().count("rangepartitioning") >= 3
+
+
+def test_insert_only_merge_null_safe_anti_join_is_hashable(spark):
+    """insert_only_merge anti-joins on eqNullSafe (<=>).  Spark treats
+    <=> as an equi-key in current versions, but if a future version
+    (or an added residual predicate) demoted it to a non-equi
+    condition, the anti-join would silently become a
+    BroadcastNestedLoop — O(n·m) at 100 TB.  Pin the shuffle-join
+    execution with broadcast disabled."""
+    from imdb_metacritic_data_warehouse_spark.operators.scd2 import insert_only_merge
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.range(1000).select(
+            F.md5(F.col("id").cast("string")).alias("pk"), F.col("id").alias("v")
+        )
+        n = spark.range(500, 1500).select(
+            F.md5(F.col("id").cast("string")).alias("pk"), F.col("id").alias("v")
+        )
+        plan = _plan(insert_only_merge(t, n, "pk", ["pk", "v"]))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exact_percentiles_has_no_buffering_aggregate(spark):
+    """exact_percentiles must use the two-phase rank formulation —
+    F.percentile buffers every group value inside one aggregation
+    buffer (OOM at 100 TB).  The plan must show the range exchange and
+    no percentile() aggregate expression."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["exact_percentiles"](spark, SF_DIR))
+    assert "percentile(" not in plan
+    assert "rangepartitioning" in plan.lower()
