@@ -1998,6 +1998,37 @@ def pipeline_movie_data(spark, sf_dir):
     return _marts.build_movie_data(wh)
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Per-invocation scratch root for the disk-path queries.  A FIXED
+    path (round-3 shape) races when two processes run the same query
+    concurrently — e.g. bench.py and check_oracle.py on one sf_dir both
+    rmtree + rewrite the same version pointer (ADVICE r3).  mkdtemp
+    gives every invocation its own root; the bucketed catalog database
+    name is derived from this root (plans/pipeline.py), so catalog
+    entries isolate too."""
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo_root, ".scratch")
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(
+        prefix=f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_", dir=base
+    )
+
+
+def _finish_scratch(df: DataFrame, root: str) -> DataFrame:
+    """Materialize the read-back frame off its scratch files (eager
+    localCheckpoint — the disk round-trip has happened by then), then
+    delete the scratch root so per-invocation temp dirs never
+    accumulate.  The returned plan references only the checkpointed
+    blocks, so the caller can hold it indefinitely."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # The same mart through the REAL persistence path: bronze parquet on
 # disk → Warehouse.run_table (repair → builder → align_to_spec → SCD2 /
 # insert-only merge → VersionedParquetTable atomic version swap) → read
@@ -2021,19 +2052,12 @@ def pipeline_movie_data(spark, sf_dir):
     """,
 )
 def warehouse_movie_data_disk(spark, sf_dir):
-    import shutil
-
     from .plans.pipeline import Warehouse
     from .sources.bronze import write_bronze
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(
-        repo_root, ".scratch", f"wh_disk_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    # fresh layout per run: deterministic v1 commits (a re-merge of the
-    # identical snapshot is also a no-op — pytest covers idempotence —
-    # but starting clean keeps this query pure for the oracle compare)
-    shutil.rmtree(root, ignore_errors=True)
+    # fresh per-invocation layout: deterministic v1 commits, no
+    # cross-process version-pointer race (see _scratch_dir)
+    root = _scratch_dir("wh_disk", sf_dir)
     bronze_root = os.path.join(root, "bronze")
     imdb, _ = _synth_movie_raw(spark, sf_dir)
     write_bronze(imdb, bronze_root, "movie_raw_data_imdb")
@@ -2042,7 +2066,7 @@ def warehouse_movie_data_disk(spark, sf_dir):
     wh.run_table("stg", "movie_hub", _SCD2_T0)
     wh.run_table("stg", "movie_info_sat", _SCD2_T0)
     wh.run_table("data_mart", "movie_data", _SCD2_T0)
-    return wh.read("data_mart", "movie_data")
+    return _finish_scratch(wh.read("data_mart", "movie_data"), root)
 
 
 # The BUCKETED physical layout through the real disk path: stg
@@ -2059,16 +2083,10 @@ def warehouse_movie_data_disk(spark, sf_dir):
     + "SELECT movie_emp_link_id, movie_id, emp_id FROM movie_emp_link",
 )
 def warehouse_emp_link_bucketed_disk(spark, sf_dir):
-    import shutil
-
     from .plans.pipeline import Warehouse
     from .sources.bronze import write_bronze
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(
-        repo_root, ".scratch", f"wh_bucketed_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_dir("wh_bucketed", sf_dir)
     bronze_root = os.path.join(root, "bronze")
     imdb, meta = _synth_movie_raw(spark, sf_dir)
     actors, actors_meta = _synth_actor_raw(spark, sf_dir)
@@ -2080,9 +2098,20 @@ def warehouse_emp_link_bucketed_disk(spark, sf_dir):
     wh.run_table("stg", "movie_hub", _SCD2_T0)
     wh.run_table("stg", "employee_hub", _SCD2_T0)
     wh.run_table("stg", "movie_emp_link", _SCD2_T0)
-    return wh.read("stg", "movie_emp_link").select(
-        "movie_emp_link_id", "movie_id", "emp_id"
+    out = _finish_scratch(
+        wh.read("stg", "movie_emp_link").select(
+            "movie_emp_link_id", "movie_id", "emp_id"
+        ),
+        root,
     )
+    # the bucketed versions live as catalog tables under the session
+    # warehouse dir (not under `root`) — drop the per-invocation
+    # database too, or temp-root isolation would leak one DB per run
+    import hashlib
+
+    db = "wh_" + hashlib.md5(os.path.join(root, "warehouse").encode()).hexdigest()[:10]
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out
 
 
 # Two SCD2 batches through the REAL disk path: batch 1 loads the sat,
@@ -2127,16 +2156,10 @@ def warehouse_emp_link_bucketed_disk(spark, sf_dir):
     """,
 )
 def warehouse_scd2_two_batch_disk(spark, sf_dir):
-    import shutil
-
     from .plans.pipeline import Warehouse
     from .sources.bronze import write_bronze
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(
-        repo_root, ".scratch", f"wh_scd2_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_dir("wh_scd2", sf_dir)
     bronze_root = os.path.join(root, "bronze")
     # single-source sat: with both sources live, IMDB+METACRITIC rows
     # share a title_item_id (md5(movie_id||url)) and a multi-row pk
@@ -2162,12 +2185,15 @@ def warehouse_scd2_two_batch_disk(spark, sf_dir):
     write_bronze(mutated, bronze_root, "movie_raw_data_imdb")
     wh.run_table("stg", "movie_info_sat", _SCD2_T1)
     sat = wh.table("stg", "movie_info_sat").read()
-    return sat.select(
-        "title_item_id",
-        "movie_id",
-        "rating",
-        F.col("valid_from").cast("string").alias("valid_from"),
-        F.col("valid_to").cast("string").alias("valid_to"),
+    return _finish_scratch(
+        sat.select(
+            "title_item_id",
+            "movie_id",
+            "rating",
+            F.col("valid_from").cast("string").alias("valid_from"),
+            F.col("valid_to").cast("string").alias("valid_to"),
+        ),
+        root,
     )
 
 
@@ -5193,26 +5219,23 @@ def mixture_sample_domains(spark, sf_dir):
     """,
 )
 def neardup_labels_persisted(spark, sf_dir):
-    import shutil
-
     from .sources.table import VersionedParquetTable
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(
-        repo_root, ".scratch", f"neardup_labels_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_dir("neardup_labels", sf_dir)
     pairs = lsh_candidate_pairs(_minhash_corpus(spark, sf_dir), "doc_id", "text")
     labels = connected_components(pairs)
     t = VersionedParquetTable(spark, root, "neardup_labels")
     t.write(labels)
     persisted = t.read()
-    return persisted.select(
-        "node",
-        "cluster",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster"))
-        .alias("cluster_size"),
+    return _finish_scratch(
+        persisted.select(
+            "node",
+            "cluster",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster"))
+            .alias("cluster_size"),
+        ),
+        root,
     )
 
 
@@ -5462,15 +5485,9 @@ def trailing_window_anomalies(spark, sf_dir):
     """,
 )
 def version_diff_orders(spark, sf_dir):
-    import shutil
-
     from .sources.table import VersionedParquetTable, version_diff
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(
-        repo_root, ".scratch", f"cdf_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_dir("cdf", sf_dir)
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -5485,7 +5502,7 @@ def version_diff_orders(spark, sf_dir):
     t = VersionedParquetTable(spark, root, "orders_cdf")
     t.write(v1)
     t.write(v2)
-    return version_diff(t, "o_orderkey")
+    return _finish_scratch(version_diff(t, "o_orderkey"), root)
 
 
 # Data-quality constraint report (operators/dq.dq_report): the
@@ -6434,9 +6451,14 @@ def winsorize_lineitem_prices(spark, sf_dir):
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
+      -- dedup to ONE click per (user_id, ts), keeping the max-event_id
+      -- row: DuckDB ASOF and the Spark carry-forward window resolve
+      -- equal-timestamp ties each their own way, so ties must not
+      -- reach the as-of join at all (ADVICE r3)
       SELECT user_id, ts, ts AS click_ts,
-             json_extract_string(props, '$.k')::BIGINT AS k
+             max_by(json_extract_string(props, '$.k')::BIGINT, event_id) AS k
       FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,
            CASE WHEN c.click_ts IS NOT NULL AND c.click_ts >= p.ts - INTERVAL 7 DAY
@@ -6454,11 +6476,15 @@ def attribution_last_touch(spark, sf_dir):
     purch = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(
+                F.get_json_object("props", "$.k").cast("bigint"), F.col("event_id")
+            ).alias("k")
+        )
+        .withColumn("click_ts", F.col("ts"))
     )
     j = asof_join(purch, clicks, key="user_id", right_payload=["click_ts", "k"])
     within = F.col("click_ts_asof").isNotNull() & (
@@ -7819,15 +7845,9 @@ def curate_corpus_end_to_end(spark, sf_dir):
     """,
 )
 def gdpr_erasure_cascade(spark, sf_dir):
-    import shutil
-
     from .sources.table import VersionedParquetTable
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    root = os.path.join(
-        repo_root, ".scratch", f"gdpr_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_dir("gdpr", sf_dir)
     t = VersionedParquetTable(spark, root, "events")
     e = _events(spark, sf_dir)
     t.write(e)  # v1: the fact as ingested
@@ -7842,7 +7862,7 @@ def gdpr_erasure_cascade(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_leaked"))
     )
-    return (
+    audit = (
         before.join(after, "event_type", "left")
         .join(leaked, "event_type", "left")
         .select(
@@ -7855,6 +7875,7 @@ def gdpr_erasure_cascade(spark, sf_dir):
             F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
         )
     )
+    return _finish_scratch(audit, root)
 
 
 # Out-of-orderness diagnostics — the measurement that SIZES a streaming

@@ -33,14 +33,24 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
     suffix: str = "_asof",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the most recent right payload
-    at or before its timestamp (NULLs where no right row precedes)."""
+    at or before its timestamp (NULLs where no right row precedes).
+
+    ``right_tiebreak`` names a right-side column that deterministically
+    orders right rows sharing (key, ts) — the carried payload is the
+    row with the HIGHEST tiebreak value.  Without it, duplicate right
+    timestamps leave the carried payload plan-order-dependent (stable
+    per run, but a differential flake against engines that resolve
+    ASOF ties their own way — ADVICE r3)."""
     payload = right_payload or [c for c in right.columns if c not in (key, right_ts)]
+    tie_type = dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int"
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload) + ">"
@@ -50,6 +60,7 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("__tie"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
         ).alias("__l"),
@@ -57,10 +68,14 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts (tag 0 < 1): an exact
-    # tie means the right row IS visible to the left row (<= semantics)
+    # tie means the right row IS visible to the left row (<= semantics).
+    # Among equal-(key, ts) right rows, ascending tiebreak puts the
+    # highest value last — last_value carries it.  Left rows' NULL tie
+    # sorts first WITHIN tag 1 (asc nulls-first default) — irrelevant,
+    # tag already orders them after every right row of the same ts.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))

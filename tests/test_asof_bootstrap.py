@@ -74,3 +74,30 @@ def test_bootstrap_catalog_and_empty_tables(spark, tmp_path):
     assert t.current_version() == v1
     for (schema, table), spec in ALL_SPECS.items():
         assert struct_type_for(spec).fieldNames()[0] == spec.columns[0][0]
+
+
+def test_asof_join_right_tiebreak_is_deterministic(spark):
+    """Duplicate right timestamps per key: with right_tiebreak the
+    carried payload is the row with the HIGHEST tiebreak value, on
+    every run — not whichever the shuffle happened to order last."""
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 5, "p0")], "user_id int, ts int, event string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100, "a"), (1, 5, 300, "c"), (1, 5, 200, "b"), (1, 9, 50, "z")],
+        "user_id int, ts int, event_id int, v string",
+    )
+    for _ in range(3):
+        out = {
+            r.event: r.v_asof
+            for r in asof_join(
+                left,
+                right.repartition(8),
+                key="user_id",
+                right_payload=["v"],
+                right_tiebreak="event_id",
+            ).collect()
+        }
+        # at ts=5 three right rows tie — event_id 300 ('c') must win;
+        # at ts=10 the latest right row is ts=9 ('z')
+        assert out == {"p0": "c", "p1": "z"}

@@ -56,7 +56,14 @@ ID_COLS = {
 def build_scaled(spark, n: int) -> str:
     from pyspark.sql import functions as F
 
-    out = f"{SCRATCH}/x{n}"
+    # the scratch path encodes WHICH tables are scaled: a cached dir
+    # built before a table joined SCALED_TABLES would otherwise be
+    # reused with that table still a 1x symlink, silently probing Nx
+    # timings against unscaled data (ADVICE r3)
+    import hashlib
+
+    tset = hashlib.md5("|".join(SCALED_TABLES).encode()).hexdigest()[:8]
+    out = f"{SCRATCH}/x{n}-{tset}"
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
