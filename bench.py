@@ -113,6 +113,15 @@ HEADLINE = [
     "daily_revenue_trend",
     "jaccard_prefix_join_collapsed",
     "curate_corpus_end_to_end",
+    # round 4: the de-scale-killed RRF fusion, the newly oracle-gated
+    # sketch/multimodal paths, the standalone link-table build, and the
+    # erasure/CDF disk paths (now race-free per-invocation scratch)
+    "hybrid_search_rrf",
+    "pipeline_movie_genre_link",
+    "multimodal_features",
+    "approx_sketches",
+    "version_diff_orders",
+    "gdpr_erasure_cascade",
 ]
 
 
