@@ -794,6 +794,98 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard(corpus, pairs, "doc_id", "text")
 
 
+# MinHash estimator-quality audit: per candidate pair, the sketch's
+# Jaccard ESTIMATE (matching signature positions / 12) against the
+# exact 3-gram Jaccard, plus a tolerance verdict — the in-engine check
+# that banding parameters actually deliver their promised accuracy
+# before a dedup run trusts them at 100 TB.  est = k/12 never ties at
+# 6 dp (k·10⁶ ≢ 6 mod 12 has no solution — NOTES float-rule #4);
+# exact reuses ngram_jaccard's proven rounding; the verdict compares
+# the two ROUNDED values against 0.35 (estimator σ = √(J(1−J)/12) ≤
+# 0.145, so 0.35 ≈ 2.4σ at the worst point — far from any boundary).
+@query(
+    "minhash_estimate_audit",
+    f"""
+    WITH {_MINHASH_CORPUS_SQL},
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM sh
+    ),
+    pairs AS (
+      SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             round(CAST(len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12, 6) AS est_jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN dsh a ON a.doc_id = p.doc_a
+      JOIN dsh b ON b.doc_id = p.doc_b AND b.s = a.s
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    ex AS (
+      SELECT p.doc_a, p.doc_b,
+             round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) AS exact_jaccard
+      FROM pairs p
+      LEFT JOIN inter USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
+           abs(e.est_jaccard - x.exact_jaccard) <= 0.35 AS within_tolerance
+    FROM est e JOIN ex x USING (doc_a, doc_b)
+    """,
+)
+def minhash_estimate_audit(spark, sf_dir):
+    from .operators.dedup import minhash_signatures, ngram_jaccard
+
+    corpus = _minhash_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1000000).alias("doc_b"),
+        )
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / 12, 6).alias("est_jaccard"),
+        )
+    )
+    exact = ngram_jaccard(corpus, pairs, "doc_id", "text").withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        (
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) <= F.lit(0.35)
+        ).alias("within_tolerance"),
+    )
+
+
 # SimHash 16-bit signatures (md5-derived token hashes, bit-vote aggregate).
 @query(
     "simhash_signatures",
@@ -5440,6 +5532,77 @@ def fuzzy_match_part_names(spark, sf_dir):
     )
 
 
+# Entity resolution end product: fuzzy-match pairs → transitive
+# closure → one golden entity per cluster (MDM dedup of a dirty
+# dimension).  The pairwise matcher alone (fuzzy_match_part_names)
+# leaves A~B, B~C unreconciled; connected components assigns both to
+# the min-key entity, whose name becomes the golden record.  Same
+# blocking-bounded Levenshtein join + the checkpoint-bounded min-label
+# loop as near-dup dedup — no new scale surface; the oracle expresses
+# the fixpoint as a recursive CTE.
+@query(
+    "entity_clusters_parts",
+    """
+    WITH RECURSIVE p AS (SELECT p_partkey, lower(p_name) AS n FROM part),
+    b AS (
+      SELECT p_partkey, n, split_part(n, ' ', 1) AS w1,
+             CAST(floor(length(n) / 4) AS INTEGER) AS band
+      FROM p
+    ),
+    pairs AS (
+      SELECT DISTINCT a.p_partkey AS pa, c.p_partkey AS pb
+      FROM b a JOIN b c
+        ON a.w1 = c.w1 AND abs(a.band - c.band) <= 1
+       AND a.p_partkey < c.p_partkey
+      WHERE levenshtein(a.n, c.n) <= 2
+    ),
+    edges AS (
+      SELECT pa AS s, pb AS d FROM pairs
+      UNION SELECT pb, pa FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    labels AS (SELECT n AS node, MIN(m) AS entity_id FROM reach GROUP BY n)
+    SELECT l.node AS p_partkey, l.entity_id, g.n AS golden_name,
+           COUNT(*) OVER (PARTITION BY l.entity_id) AS entity_size
+    FROM labels l JOIN p g ON g.p_partkey = l.entity_id
+    """,
+)
+def entity_clusters_parts(spark, sf_dir):
+    from .operators.dedup import connected_components
+    from .operators.linkage import fuzzy_join
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = (
+        fuzzy_join(p, p, "p_name", "p_name", max_distance=2)
+        .filter(F.col("p_partkey") < F.col("p_partkey_r"))
+        .select(
+            F.col("p_partkey").alias("doc_a"), F.col("p_partkey_r").alias("doc_b")
+        )
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    golden = p.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.lower(F.col("p_name")).alias("golden_name"),
+    )
+    return (
+        labels.select(F.col("node").alias("p_partkey"), F.col("cluster").alias("entity_id"))
+        .join(F.broadcast(golden), "entity_id")
+        .select(
+            "p_partkey",
+            "entity_id",
+            "golden_name",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("entity_id"))
+            .alias("entity_size"),
+        )
+    )
+
+
 # Event-time RANGE window frame (the one frame family rows-based
 # window_frame_functions can't express): per-user trailing 6-hour
 # statistics and a z-score anomaly flag.  Both engines order by
@@ -6047,6 +6210,32 @@ def vocab_truncate_docs(spark, sf_dir):
     )
 
 
+def _copurchase_pairs(spark, sf_dir):
+    """Distinct co-purchase part pairs (pa < pb) via ONE groupBy +
+    in-task combinatorial expansion (bounded by the ≤7-lines-per-order
+    data model), not a fact-table self-join: the join shuffles the
+    scan twice and was the measured 70% of PageRank end-to-end time.
+    collect_set both dedups per-order repeats and keeps the expansion
+    quadratic only in the per-group size — the shape that survives
+    100× (a group-size cap belongs here if per-key fan-in were
+    unbounded)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    return (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(least(x, y) AS pa, greatest(x, y) AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+    )
+
+
 # PageRank over the co-purchase graph — parts are linked when they
 # appear in the same order; 3 synchronous power iterations (unrolled in
 # the oracle), damping 0.85.  Per-iteration cost is one edges⋈ranks
@@ -6114,30 +6303,7 @@ def vocab_truncate_docs(spark, sf_dir):
 def pagerank_parts_copurchase(spark, sf_dir):
     from .operators.graph import pagerank, undirected_edges
 
-    # Co-occurrence pairs via ONE groupBy + in-task combinatorial
-    # expansion (bounded by the ≤7-lines-per-order data model), not a
-    # fact-table self-join: the join shuffles the scan twice and was
-    # the measured 70% of end-to-end time.  collect_set both dedups
-    # per-order repeats and keeps the expansion quadratic only in the
-    # per-group size — the shape that survives 100× (a group-size cap
-    # belongs here if per-key fan-in were unbounded).
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = (
-        per_order.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(least(x, y) AS pa, greatest(x, y) AS pb))))"
-                )
-            ).alias("p")
-        )
-        .select("p.pa", "p.pb")
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     ranks = pagerank(
         undirected_edges(pairs, "pa", "pb"),
         iters=3,
@@ -6147,6 +6313,79 @@ def pagerank_parts_copurchase(spark, sf_dir):
     return (
         ranks.select(F.col("node").alias("part"), F.round("pr", 8).alias("pr"))
         .orderBy(F.desc("pr"), F.asc("part"))
+        .limit(50)
+    )
+
+
+# Triangle counts + local clustering coefficient over the co-purchase
+# graph — the community-density / spam-graph-robustness signal next to
+# PageRank's importance.  Degree-ordered wedge counting
+# (operators/graph.triangle_counts): edges orient low→high (degree,
+# id), wedges come only from oriented out-neighborhoods (out-degree
+# bounded O(√m) however skewed the hubs), closure is one equi-join.
+# The naive all-neighbor-pairs expansion is quadratic in hub degree —
+# the formulation that dies exactly where real graphs are dense.
+# Coefficient 2T/(d(d−1)) is an integer-count ratio → round-6 stable.
+@query(
+    "triangle_counts_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT pa AS node FROM pairs UNION ALL SELECT pb AS node FROM pairs
+      ) GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pa ELSE p.pb END AS src,
+             CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pb ELSE p.pa END AS dst,
+             CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN db.d ELSE da.d END AS dd
+      FROM pairs p JOIN deg da ON da.node = p.pa JOIN deg db ON db.node = p.pb
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oe e1 JOIN oe e2
+        ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+      JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    tc AS (
+      SELECT node, COUNT(*) AS tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT t.node AS part, t.tri, d.d AS degree,
+           round(2.0 * t.tri / (d.d * (d.d - 1)), 6) AS clustering
+    FROM tc t JOIN deg d ON d.node = t.node
+    ORDER BY t.tri DESC, part LIMIT 50
+    """,
+)
+def triangle_counts_parts(spark, sf_dir):
+    from .operators.graph import triangle_counts
+
+    # the pair expansion feeds the operator's degree/orientation joins
+    # AND the coefficient's degree table — materialize once
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    tc = triangle_counts(pairs, "pa", "pb")
+    fwd = pairs.select(F.col("pa").alias("node")).unionByName(
+        pairs.select(F.col("pb").alias("node"))
+    )
+    deg = fwd.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        tc.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            "tri",
+            F.col("d").alias("degree"),
+            F.round(
+                F.lit(2.0) * F.col("tri") / (F.col("d") * (F.col("d") - 1)), 6
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("tri"), F.asc("part"))
         .limit(50)
     )
 

@@ -106,3 +106,70 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
+    """Per-node triangle counts over a distinct undirected pair list
+    (``a < b`` per row) — the clustering/community-density signal
+    (and the robustness metric behind spam-graph detection).
+
+    Scale shape — degree-ordered wedge counting (the MapReduce-classic
+    formulation): every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, wedges are generated only from each
+    node's ORIENTED out-neighborhood, and a wedge (b, c) closes iff
+    the oriented edge b→c exists.  Orientation bounds every node's
+    out-degree by O(√m) regardless of how skewed the raw degree
+    distribution is, so the wedge join never explodes on hub nodes —
+    the naive all-neighbor-pairs expansion is quadratic in the hub
+    degree and dies exactly where real graphs are dense.  Three hash
+    joins on node keys; no driver state.
+
+    Returns (node, tri) for every node in at least one triangle.
+    """
+    fwd = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    deg = (
+        fwd.select(F.col("x").alias("node"))
+        .unionByName(fwd.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: src = lower (d, node); carry the dst order key so wedge
+    # generation needs no extra degree join
+    e = (
+        fwd.join(deg.withColumnRenamed("node", "x").withColumnRenamed("d", "dx"), "x")
+        .join(deg.withColumnRenamed("node", "y").withColumnRenamed("d", "dy"), "y")
+        .select(
+            F.when(
+                F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y")),
+                F.struct(
+                    F.col("x").alias("src"),
+                    F.col("y").alias("dst"),
+                    F.col("dy").alias("dd"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("y").alias("src"),
+                    F.col("x").alias("dst"),
+                    F.col("dx").alias("dd"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.dd")
+        .localCheckpoint(eager=True)  # feeds the wedge self-join twice + closure
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dd").alias("db"))
+    e2 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dd").alias("dc"))
+    wedges = e1.join(e2, "a").filter(
+        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
+    )
+    tri = wedges.join(
+        e.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    ).select("a", "b", "c")
+    credited = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return credited.groupBy("node").agg(F.count(F.lit(1)).alias("tri"))

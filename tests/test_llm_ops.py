@@ -985,3 +985,28 @@ def test_exact_percentiles_grouped_matches_buffering_aggregate(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant edge: every K4 vertex sits in C(3,2)=3
+    triangles, the pendant in none."""
+    from imdb_metacritic_data_warehouse_spark.operators.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "pa int, pb int",
+    )
+    got = {r.node: r.tri for r in triangle_counts(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_orientation_handles_hub(spark):
+    """Star graph (hub degree n, no triangles): degree orientation must
+    emit ZERO wedges from the hub — every star edge orients leaf→hub
+    (leaves have lower degree), so out-neighborhoods stay size ≤ 1."""
+    from imdb_metacritic_data_warehouse_spark.operators.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "pa int, pb int"
+    )
+    assert triangle_counts(pairs).count() == 0
