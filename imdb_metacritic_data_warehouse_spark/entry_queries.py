@@ -3633,6 +3633,76 @@ def bpe_pair_counts_docs(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"))
 
 
+def _bpe_round_sql(i: int, prev: str) -> str:
+    """One unrolled BPE merge round as SQL CTEs (the DuckDB twin of a
+    ``bpe_train_symbols`` iteration): count adjacent unequal pairs
+    weighted by word frequency, pick the (cnt DESC, a, b) argmax, mark
+    start positions, drop consumed tails."""
+    return f"""
+    cand{i} AS (
+      SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b, c
+        FROM {prev}
+      ) WHERE b IS NOT NULL AND a <> b GROUP BY a, b
+    ),
+    top{i} AS (SELECT a, b FROM cand{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    mk{i} AS (
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: an empty top{i} (no
+      -- unequal pair left) must mark nothing, not wipe the table
+      SELECT s.w, s.c, s.pos, s.sym, t.b AS tb,
+             (s.sym = t.a AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = t.b) AS is_start
+      FROM {prev} s LEFT JOIN top{i} t ON TRUE
+    ),
+    s{i} AS (
+      SELECT w, c, pos,
+             CASE WHEN is_start THEN sym || tb ELSE sym END AS sym
+      FROM (
+        SELECT *, COALESCE(lag(is_start) OVER (PARTITION BY w ORDER BY pos), FALSE) AS is_tail
+        FROM mk{i}
+      ) WHERE NOT is_tail
+    )"""
+
+
+# Iterative BPE tokenizer training — two full count→argmax→merge
+# rounds (operators/text.bpe_train_symbols), not just the candidate
+# count.  The corpus collapses to the word-frequency table up front;
+# every round after is vocabulary-sized windows + aggregates, the
+# shape that lets tokenizer training run IN the data engine at 100 TB
+# instead of streaming the corpus to a driver-side trainer.  Only
+# unequal pairs are merge candidates (self-overlapping equal pairs
+# need sequential semantics neither engine's windows express — and
+# real BPE rounds on natural text virtually never pick 'aa' first).
+# Output: the post-merge symbol inventory; merged symbols appearing
+# with correct corpus counts validates selection AND rewrite.
+@query(
+    "bpe_train_merges_docs",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    s0 AS (
+      SELECT w, c, CAST(g.i AS INTEGER) AS pos,
+             substr(w, CAST(g.i AS INTEGER), 1) AS sym
+      FROM wc, LATERAL (
+        SELECT unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS i
+      ) g
+      WHERE len(w) >= 1
+    ),
+    {_bpe_round_sql(1, "s0")},
+    {_bpe_round_sql(2, "s1")}
+    SELECT sym AS symbol, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM s2 GROUP BY sym
+    ORDER BY cnt DESC, symbol LIMIT 40
+    """,
+)
+def bpe_train_merges_docs(spark, sf_dir):
+    from .operators.text import bpe_train_symbols
+
+    out = bpe_train_symbols(_t(spark, sf_dir, "documents"), merges=2)
+    return out.orderBy(F.desc("cnt"), F.asc("symbol")).limit(40)
+
+
 # Unpivot (wide → long): stack() — the inverse of pivot.
 @query(
     "unpivot_measures",
@@ -4029,6 +4099,67 @@ def doc_frequency_terms(spark, sf_dir):
         )
         .orderBy(F.desc("doc_freq"), "term")
         .limit(50)
+    )
+
+
+# TF-IDF top-k terms per document — the classic sparse feature vector
+# next to BM25's probabilistic scoring (keyword extraction, cheap
+# retrieval, topic drift monitoring).  Two hash aggregates (tf on
+# (doc, term), df on term) + one broadcast of the term-level idf table
+# (vocabulary-sized — Zipf-small after aggregation) + ONE
+# doc-partitioned rank window: every shuffle is keyed, nothing global.
+# weight = tf · ln(N/df): integer × ln-double, identical on both
+# engines; round-6 per the established ln parity pattern.
+@query(
+    "tfidf_topk_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE length(term) >= 3 GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             round(t.tf * ln(n.n_docs / d.df), 6) AS weight
+      FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, weight, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY weight DESC, term
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_topk_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "weight", F.col("rk").cast("int").alias("rk"))
     )
 
 

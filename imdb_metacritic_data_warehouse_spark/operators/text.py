@@ -611,3 +611,85 @@ def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
         )
     )
     return short.unionByName(long)
+
+
+def bpe_train_symbols(
+    df, text_col: str = "text", merges: int = 2
+) -> "DataFrame":
+    """Iterative BPE tokenizer training, distributed: ``merges`` rounds
+    of count-adjacent-pairs → merge the argmax pair across the corpus
+    (``bpe_pair_counts`` is one count step; this is the loop).
+
+    Scale shape — the corpus is touched ONCE (word-frequency
+    aggregate); every round after operates on the Zipf-small
+    vocabulary symbol table: pair counting is a per-word lead() window
+    + a hash aggregate weighted by word frequency, the argmax pair is
+    a 1-row broadcast, and the merge rewrite is two per-word windows
+    (mark starts where (sym, next) equals the pair, drop the consumed
+    tails).  Only pairs with left ≠ right are candidates: unequal
+    pairs cannot self-overlap, so the simultaneous window marking IS
+    the greedy left-to-right BPE merge — and the whole loop stays
+    engine-replayable SQL (an equal pair like 'aa' over 'aaa' needs
+    sequential semantics no window can express).
+
+    Returns the post-merge symbol inventory (symbol, cnt) — merged
+    symbols appear with their corpus frequencies, which validates both
+    the pair selection and the rewrite.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # the symbol table feeds pair counting AND the rewrite each round,
+    # and the next round compounds the lineage — checkpoint per round
+    # (vocabulary-sized, cheap), the iterative-loop discipline of
+    # connected_components/pagerank
+    sym = (
+        wc.filter(F.length("w") >= 1)
+        .select(
+            "w",
+            "c",
+            F.posexplode(F.split(F.col("w"), "")).alias("pos", "sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_seq = Window.partitionBy("w").orderBy("pos")
+    for _ in range(merges):
+        cand = (
+            sym.withColumn("nxt", F.lead("sym").over(w_seq))
+            .filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = cand.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        # LEFT join on TRUE, not crossJoin: with no mergeable pair left
+        # (all-equal adjacencies), top is EMPTY and a cross join would
+        # wipe the symbol table; NULL a/b just marks nothing
+        marked = sym.join(
+            F.broadcast(top.select("a", "b")), F.lit(True), "left"
+        ).withColumn(
+            "is_start",
+            (F.col("sym") == F.col("a"))
+            & (F.lead("sym").over(w_seq) == F.col("b")),
+        )
+        sym = (
+            marked.withColumn(
+                "is_tail",
+                F.coalesce(F.lag("is_start").over(w_seq), F.lit(False)),
+            )
+            .filter(~F.col("is_tail"))
+            .select(
+                "w",
+                "c",
+                "pos",
+                F.when(
+                    F.col("is_start"), F.concat(F.col("sym"), F.col("b"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("sym").alias("symbol")).agg(
+        F.sum("c").alias("cnt")
+    )

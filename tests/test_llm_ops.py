@@ -1010,3 +1010,29 @@ def test_triangle_counts_orientation_handles_hub(spark):
         [(0, i) for i in range(1, 40)], "pa int, pb int"
     )
     assert triangle_counts(pairs).count() == 0
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    """Corpus 'abab'x3 + 'ab'x2: round 1 merges (a,b) with weight 8;
+    round 2 finds only the equal pair (ab, ab) — excluded — so the
+    inventory must survive an EMPTY merge round unchanged."""
+    from imdb_metacritic_data_warehouse_spark.operators.text import bpe_train_symbols
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string"
+    )
+    got = {r.symbol: r.cnt for r in bpe_train_symbols(docs, merges=2).collect()}
+    assert got == {"ab": 8}
+
+
+def test_bpe_train_two_merges_builds_on_first(spark):
+    """'abc'x5 'abd'x2: merge 1 = (a,b) weight 7; merge 2 = (ab,c)
+    weight 5 — the second round must see the FIRST round's merged
+    symbol as a unit."""
+    from imdb_metacritic_data_warehouse_spark.operators.text import bpe_train_symbols
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abc abc abd abd")], "doc_id long, text string"
+    )
+    got = {r.symbol: r.cnt for r in bpe_train_symbols(docs, merges=2).collect()}
+    assert got == {"abc": 5, "ab": 2, "d": 2}
