@@ -8372,78 +8372,73 @@ def out_of_order_stats_events(spark, sf_dir):
 # query keeps its historical CORRECTNESS_r{N} row and stays covered by
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
-# Round-3 prefix: the 38 entries never checked in any round +
-# approx_sketches (r1 row was a FAIL — effectively never green), the 9
-# queries new this round (3 disk-path + 5 training ops + PIT lookup),
-# and 2 of the 3 heavy queries whose plans changed this round
-# (minhash_lsh_pairs, pipeline_genre_metrics — the riskier semantic
-# rewrites).  text_analysis (changed, locally oracle-green at two SFs
-# + plan-gated), the 6 r1-green entries (latest_snapshot_filter,
-# anti_join_new_keys, full_outer_snapshots, composite_key_join,
-# expression_join, union_all_counts), and chunk_documents_sliding
-# (added after the prefix filled; locally oracle-green at both SFs)
-# rotate in next round — together with the ~70 queries the round-3
-# continuation sessions added after the prefix froze (retrieval,
-# graph, sequence analytics, experiment stats, curation composition;
-# all locally oracle-green at sf0.001 + sf0.01): the round-4 prefix
-# should lead with those never-checked entries, ~50 per round until
-# the backlog drains.
+# Round-4 prefix: the 6 queries new this round, the 5 changed-this-
+# round queries never driver-checked, the 5 riskiest rewrites of
+# previously-green queries (new oracles / two-phase percentile /
+# threshold LSH / cached CC labels), then 34 of the 61-entry
+# never-checked backlog from the round-3 continuation sessions.  The
+# remaining ~27 backlog entries (pagerank, jaccard_prefix_join_*,
+# sequence analytics, experiment stats, curation composition — all
+# locally oracle-green at sf0.001 + sf0.01, transcript in
+# ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
 _PRIORITY_PREFIX = [
-    # --- never driver-checked in any round (r1∪r2 gap) ---
-    "events_variant_stats",
-    "window_frame_functions",
-    "exists_semi_join",
-    "salted_groupby_events",
+    # --- new this round (r4): never checked anywhere ---
+    "pipeline_movie_genre_link",
+    "triangle_counts_parts",
+    "minhash_estimate_audit",
+    "entity_clusters_parts",
+    "tfidf_topk_docs",
+    "bpe_train_merges_docs",
+    # --- changed this round AND never driver-checked ---
+    "hybrid_search_rrf",
+    "attribution_last_touch",
+    "version_diff_orders",
+    "gdpr_erasure_cascade",
+    "neardup_labels_persisted",
+    # --- changed this round (riskiest rewrites need re-validation;
+    #     the scratch-isolation-only warehouse_* changes are locally
+    #     verified and stay out to leave room for the backlog) ---
     "multimodal_features",
-    "ann_ivf",
-    "scrub_documents",
-    "unpivot_measures",
-    "deterministic_sample_split",
-    "cube_orders",
-    "exact_percentiles",
-    "intersect_except_sets",
-    "correlated_agg_threshold",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "doc_frequency_terms",
-    "grouping_sets_orders",
-    "ann_ivf_sampled",
-    "profile_lineitem_numeric",
-    "histogram_extendedprice",
-    "q12_priority_case_agg",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_revenue",
-    "q10_returned_revenue",
-    "q15_top_supplier",
-    "q7_nation_volume",
-    "topk_per_group_brand",
-    "q4_priority_exists",
-    "q21_waiting_suppliers",
-    "q22_dormant_rich_customers",
-    "q16_supplier_count_distinct",
-    "q8_market_share",
-    "q11_important_suppliers",
-    "dedup_keep_canonical",
-    "q2_cheapest_supplier",
-    "q20_part_volume_suppliers",
-    # --- r1 row was a FAIL; fixed in r2 but never re-checked ---
     "approx_sketches",
-    # --- new this round: real disk persistence path ---
-    "warehouse_movie_data_disk",
-    "warehouse_scd2_two_batch_disk",
-    "warehouse_emp_link_bucketed_disk",
-    # --- new this round: training-data ops + PIT lookup ---
-    "pack_sequences_budget",
-    "decontaminate_docs",
-    "deterministic_global_shuffle",
-    "repetition_ratio_docs",
-    "pit_lookup_orders",
-    "unigram_logprob_docs",
-    # --- plans changed this round (re-validate the rewrites) ---
+    "exact_percentiles",
     "minhash_lsh_pairs",
-    "pipeline_genre_metrics",
+    "neardup_clusters",
+    # --- never-driver-checked backlog (34 of the remaining 61;
+    #     the rest rotate in next round) ---
+    "chunk_documents_sliding",
+    "bm25_docs",
+    "dup_ngram_fraction_docs",
+    "contamination_ngram_docs",
+    "quality_logit_docs",
+    "balanced_resample_docs",
+    "embedding_centroid_outliers",
+    "q9_product_type_profit",
+    "q17_small_quantity_revenue",
+    "funnel_conversion_events",
+    "cohort_retention_events",
+    "compaction_plan_orders",
+    "ngram_containment_pairs",
+    "stratified_topk_docs",
+    "knn_graph_embeddings",
+    "semantic_dedup_keep",
+    "bpe_pair_counts_docs",
+    "select_token_budget_docs",
+    "corpus_report_by_source",
+    "interval_overlap_sessions",
+    "quantize_embeddings_int8",
+    "mixture_sample_domains",
+    "vocab_coverage_docs",
+    "pq_codes_embeddings",
+    "quality_calibrated_filter",
+    "fuzzy_match_part_names",
+    "trailing_window_anomalies",
+    "dq_report_orders",
+    "gap_fill_user_hours",
+    "incremental_neardup_ingest",
+    "markov_transitions_events",
+    "twap_events",
+    "weighted_sample_pps_docs",
+    "vocab_truncate_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
