@@ -122,6 +122,11 @@ HEADLINE = [
     "approx_sketches",
     "version_diff_orders",
     "gdpr_erasure_cascade",
+    "triangle_counts_parts",
+    "minhash_estimate_audit",
+    "entity_clusters_parts",
+    "tfidf_topk_docs",
+    "bpe_train_merges_docs",
 ]
 
 
