@@ -4283,8 +4283,10 @@ def quality_quantile_filter(spark, sf_dir):
         "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("q")
     )
     scored = _materialize(scored)
-    cuts = scored.groupBy("lang").agg(
-        F.round(F.percentile(F.col("q"), F.lit(0.25)), 6).alias("cut")
+    from .operators.percentile import exact_percentiles_grouped
+
+    cuts = exact_percentiles_grouped(scored, ["lang"], "q", [0.25], ["__cut"]).select(
+        "lang", F.round(F.col("__cut"), 6).alias("cut")
     )
     return (
         scored.join(F.broadcast(cuts), "lang")
@@ -6818,13 +6820,14 @@ def table_checksum_orders(spark, sf_dir):
     """,
 )
 def winsorize_lineitem_prices(spark, sf_dir):
+    from .operators.percentile import exact_percentiles_grouped
+
     li = _t(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.percentile(v, F.array(F.lit(0.05), F.lit(0.95))).alias("ps")
-    )
-    cuts = cuts.select(
-        "l_returnflag", F.col("ps")[0].alias("lo"), F.col("ps")[1].alias("hi")
+    # two-phase rank percentiles (no per-group value buffer; bit-equal
+    # to the F.percentile aggregate this replaced)
+    cuts = exact_percentiles_grouped(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95], ["lo", "hi"]
     )
     j = li.join(F.broadcast(cuts), "l_returnflag")
     clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
@@ -7801,11 +7804,14 @@ def user_event_entropy(spark, sf_dir):
     """,
 )
 def equidepth_bins_orders(spark, sf_dir):
+    from .operators.percentile import exact_percentiles_grouped
+
     o = _t(spark, sf_dir, "orders")
     v = F.col("o_totalprice").cast("double")
-    cuts = o.agg(
-        F.percentile(v, F.array(*[F.lit(k / 10) for k in range(1, 10)])).alias("qs")
-    )
+    names = [f"__q{k}" for k in range(1, 10)]
+    cuts = exact_percentiles_grouped(
+        o, [], "o_totalprice", [k / 10 for k in range(1, 10)], names
+    ).select(F.array(*[F.col(n) for n in names]).alias("qs"))
     binned = o.crossJoin(F.broadcast(cuts)).select(
         F.size(F.filter(F.col("qs"), lambda q: v >= q)).cast("int").alias("bin")
     )
@@ -8095,14 +8101,18 @@ def funnel_latency_percentiles(spark, sf_dir):
         .cast("bigint")
         .alias("delay_s")
     )
-    return delays.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(
-            F.percentile(F.col("delay_s").cast("double"), F.lit(0.5)), 4
-        ).alias("p50_s"),
-        F.round(
-            F.percentile(F.col("delay_s").cast("double"), F.lit(0.9)), 4
-        ).alias("p90_s"),
+    from .operators.percentile import exact_percentiles_grouped
+
+    delays = _materialize(delays)  # feeds the count AND both rank passes
+    qs = exact_percentiles_grouped(
+        delays, [], "delay_s", [0.5, 0.9], ["__p50", "__p90"]
+    )
+    return delays.agg(F.count(F.lit(1)).alias("n_converted")).crossJoin(
+        F.broadcast(qs)
+    ).select(
+        "n_converted",
+        F.round(F.col("__p50"), 4).alias("p50_s"),
+        F.round(F.col("__p90"), 4).alias("p90_s"),
     )
 
 

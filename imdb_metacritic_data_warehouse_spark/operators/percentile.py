@@ -44,6 +44,7 @@ def exact_percentiles_grouped(
     ``percentile_cont``).  Output: keys… + out_names… (double)."""
     out_names = out_names or [f"p{int(f * 100)}" for f in fracs]
     assert len(out_names) == len(fracs)
+    keys = list(keys)  # [] = one global group (a keyless total percentile)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     v = F.col(value_col).cast("double")
@@ -81,8 +82,13 @@ def exact_percentiles_grouped(
         F.broadcast(offsets.select("__pid", *keys, "__off")), ["__pid", *keys]
     ).withColumn("__rn", (F.col("__lrn") + F.col("__off")).cast("long"))
 
-    # bounding ranks per fraction (0-based position = frac * (n - 1))
-    with_n = ranked.join(F.broadcast(counts), keys)
+    # bounding ranks per fraction (0-based position = frac * (n - 1));
+    # keyless → counts is one row, broadcast as a scalar cross join
+    with_n = (
+        ranked.join(F.broadcast(counts), keys)
+        if keys
+        else ranked.crossJoin(F.broadcast(counts))
+    )
     aggs = []
     needed = F.lit(False)
     for f, name in zip(fracs, out_names):
