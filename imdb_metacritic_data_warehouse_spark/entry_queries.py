@@ -5705,25 +5705,50 @@ def fuzzy_match_part_names(spark, sf_dir):
     """,
 )
 def entity_clusters_parts(spark, sf_dir):
+    # Collapse-exact first (the Σ|cluster|² law, SCALE.md): matching
+    # depends only on the NAME, and dirty dimensions are duplicate-
+    # heavy (this table: 20k parts over 64 distinct names at sf0.1 —
+    # the naive self-match emits 3.1M pairs, 50s of Levenshtein +
+    # 47s of CC on pure duplicate blowup).  Fuzzy-match + CC run on
+    # the distinct-name representatives (min partkey per name); every
+    # part then inherits its name's entity label by a broadcast map.
+    # Labels are IDENTICAL to the naive plan: the min partkey of an
+    # entity is necessarily its name-group's representative.
     from .operators.dedup import connected_components
     from .operators.linkage import fuzzy_join
 
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("n")
+    )
+    names = p.groupBy("n").agg(
+        F.min("p_partkey").alias("rep"), F.count(F.lit(1)).alias("grp")
+    )
+    reps = names.select(F.col("rep").alias("p_partkey"), F.col("n").alias("p_name"))
     pairs = (
-        fuzzy_join(p, p, "p_name", "p_name", max_distance=2)
+        fuzzy_join(reps, reps, "p_name", "p_name", max_distance=2)
         .filter(F.col("p_partkey") < F.col("p_partkey_r"))
         .select(
             F.col("p_partkey").alias("doc_a"), F.col("p_partkey_r").alias("doc_b")
         )
         .distinct()
     )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs).withColumnRenamed("node", "rep")
+    # a rep with no fuzzy neighbor keeps its own label; its parts stay
+    # in the output only when the name group has an exact-dup pair
+    # (grp >= 2) — exactly the naive plan's membership rule
+    rep_label = (
+        names.join(labels, "rep", "left")
+        .filter(F.col("cluster").isNotNull() | (F.col("grp") >= 2))
+        .select(
+            "n", F.coalesce("cluster", F.col("rep")).alias("entity_id")
+        )
+    )
     golden = p.select(
-        F.col("p_partkey").alias("entity_id"),
-        F.lower(F.col("p_name")).alias("golden_name"),
+        F.col("p_partkey").alias("entity_id"), F.col("n").alias("golden_name")
     )
     return (
-        labels.select(F.col("node").alias("p_partkey"), F.col("cluster").alias("entity_id"))
+        p.join(F.broadcast(rep_label), "n")
+        .select("p_partkey", "entity_id")
         .join(F.broadcast(golden), "entity_id")
         .select(
             "p_partkey",
