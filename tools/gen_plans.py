@@ -32,6 +32,12 @@ CASES = [
     ("dau_wau_stickiness", "Trailing-7-day distinct as bounded day-explode + equi-join and plain per-day aggregate - no range join, no unbounded window state."),
     ("vocab_truncate_docs", "Top-V vocab aggregate BROADCAST to the token stream; reassembly sorts (pos,token) structs inside one hash aggregate per doc."),
     ("curate_corpus_end_to_end", "Four curation stages composed without re-scans: filter at the source, one fingerprint aggregate, bucketed LSH + checkpoint-bounded components, two-phase budget cumsum."),
+    ("hybrid_search_rrf", "All three RRF rankings two-phase (range exchange + pid-partitioned window + broadcast offsets); scored leaves checkpointed once - no unpartitioned corpus window, no recomputed BM25 subtree."),
+    ("exact_percentiles", "Exact quantiles with NO buffering aggregate: range exchange on (key, value), per-(key,partition) local ranks, broadcast offsets, bounding-rank interpolation."),
+    ("triangle_counts_parts", "Edge-iterator triangles: oriented out-neighborhoods packed per node, closure via in-task array_intersect - the wedge set never becomes shuffle rows."),
+    ("entity_clusters_parts", "Collapse-exact entity resolution: fuzzy join + components over distinct-name representatives; parts inherit labels via a broadcast map."),
+    ("bpe_train_merges_docs", "Iterative BPE: corpus collapses to the word-frequency aggregate up front; each merge round is vocabulary-sized windows + a 1-row broadcast argmax; lineage checkpoint-bounded per round."),
+    ("tfidf_topk_docs", "tf/df hash aggregates, vocabulary-sized idf BROADCAST back, one doc-partitioned rank window - no global window, no corpus-side re-scan."),
 ]
 
 
