@@ -127,6 +127,7 @@ HEADLINE = [
     "entity_clusters_parts",
     "tfidf_topk_docs",
     "bpe_train_merges_docs",
+    "mad_outliers_lineitem",
 ]
 
 

@@ -6874,6 +6874,72 @@ def winsorize_lineitem_prices(spark, sf_dir):
     )
 
 
+# Robust (median/MAD) outlier detection — the anomaly gate that, unlike
+# z-scores, does not let the outliers inflate their own threshold
+# (mean AND stddev both break down at 50% contamination; median/MAD at
+# 0.5/0.5).  Two passes of the two-phase rank percentile
+# (operators/percentile.py): per-group median, then the median of
+# absolute deviations over the derived column — no buffering aggregate
+# at either step.  The modified z-score 0.6745·|x−med|/MAD uses only
+# +,−,·,/ of exact-decimal constants; flag threshold 3.5 (Iglewicz-
+# Hoaglin) compared on the UNROUNDED score.
+@query(
+    "mad_outliers_lineitem",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, med,
+             quantile_cont(abs(CAST(l_extendedprice AS DOUBLE) - med), 0.5) AS mad
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+      GROUP BY l.l_returnflag, med
+    )
+    SELECT l.l_returnflag,
+           round(d.med, 4) AS median_price,
+           round(d.mad, 4) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN 0.6745 * abs(CAST(l_extendedprice AS DOUBLE) - d.med) / d.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN dev d ON l.l_returnflag = d.l_returnflag
+    GROUP BY l.l_returnflag, d.med, d.mad
+    """,
+)
+def mad_outliers_lineitem(spark, sf_dir):
+    from .operators.percentile import exact_percentiles_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    med = exact_percentiles_grouped(
+        li, ["l_returnflag"], "l_extendedprice", [0.5], ["med"]
+    )
+    devs = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(v - F.col("med")).alias("adev")
+    )
+    mad = exact_percentiles_grouped(
+        devs, ["l_returnflag"], "adev", [0.5], ["mad"]
+    )
+    cuts = med.join(mad, "l_returnflag")
+    score = F.lit(0.6745) * F.abs(v - F.col("med")) / F.col("mad")
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((score > 3.5).cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 4).alias("median_price"),
+            F.round("mad", 4).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
 # Last-touch attribution — every purchase credited to the user's most
 # recent click within a 7-day lookback (the marketing-analytics read of
 # the as-of join; operator composition: asof_join + interval residual,
@@ -8424,6 +8490,7 @@ _PRIORITY_PREFIX = [
     "entity_clusters_parts",
     "tfidf_topk_docs",
     "bpe_train_merges_docs",
+    "mad_outliers_lineitem",
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
     "attribution_last_touch",
@@ -8473,7 +8540,6 @@ _PRIORITY_PREFIX = [
     "markov_transitions_events",
     "twap_events",
     "weighted_sample_pps_docs",
-    "vocab_truncate_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
