@@ -128,6 +128,7 @@ HEADLINE = [
     "tfidf_topk_docs",
     "bpe_train_merges_docs",
     "mad_outliers_lineitem",
+    "incremental_agg_from_cdf",
 ]
 
 

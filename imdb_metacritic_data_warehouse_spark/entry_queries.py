@@ -5864,6 +5864,124 @@ def version_diff_orders(spark, sf_dir):
     return _finish_scratch(version_diff(t, "o_orderkey"), root)
 
 
+# Incremental aggregate maintenance from the change feed — the reason
+# a lakehouse emits CDF at all: a downstream aggregate refreshes by
+# applying RETRACTIONS from the delta (insert → +row, delete → −row,
+# update → −pre-image +post-image, both sides of a key that changed
+# group), never re-scanning the table.  Work is bounded by the delta
+# size plus the group-key-count state merge.  The oracle is the brutal
+# honesty check: a direct recompute over v2 — the incremental state
+# must equal it value-for-value (decimal adjustments are exact, so
+# retract-then-add commutes with the direct sum).
+@query(
+    "incremental_agg_from_cdf",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 13 <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_from_cdf(spark, sf_dir):
+    from .sources.table import VersionedParquetTable, version_diff
+
+    root = _scratch_dir("cdf_agg", sf_dir)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v1 = base.filter(k % 11 != 0)
+    v2 = base.filter(k % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    t = VersionedParquetTable(spark, root, "orders_cdf_agg")
+    t.write(v1)
+    t.write(v2)
+    # state as of v1 (in a live pipeline this is the previously
+    # committed aggregate, not a recompute)
+    state = (
+        t.read(1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+    feed = version_diff(t, "o_orderkey", include_old=True)
+    adj_struct = "o_orderstatus string, dn long, dp decimal(18,4)"
+    adjustments = feed.select(
+        F.explode(
+            F.when(
+                F.col("change_type") == "insert",
+                F.array(
+                    F.struct(
+                        F.col("o_orderstatus"),
+                        F.lit(1).cast("long").alias("dn"),
+                        _dec("o_totalprice").alias("dp"),
+                    )
+                ),
+            )
+            .when(
+                F.col("change_type") == "delete",
+                F.array(
+                    F.struct(
+                        F.col("o_orderstatus"),
+                        F.lit(-1).cast("long").alias("dn"),
+                        (-_dec("o_totalprice")).alias("dp"),
+                    )
+                ),
+            )
+            .otherwise(  # update: retract pre-image, add post-image
+                F.array(
+                    F.struct(
+                        F.col("old_o_orderstatus").alias("o_orderstatus"),
+                        F.lit(-1).cast("long").alias("dn"),
+                        (-_dec("old_o_totalprice")).alias("dp"),
+                    ),
+                    F.struct(
+                        F.col("o_orderstatus"),
+                        F.lit(1).cast("long").alias("dn"),
+                        _dec("o_totalprice").alias("dp"),
+                    ),
+                )
+            )
+        ).alias("a")
+    ).select("a.*")
+    delta = adjustments.groupBy("o_orderstatus").agg(
+        F.sum("dn").alias("dn"), F.sum("dp").alias("dp")
+    )
+    merged = (
+        state.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,4)"))
+            ).alias("total"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return _finish_scratch(
+        merged.select(
+            "o_orderstatus",
+            "n",
+            F.round(F.col("total"), 2).cast("double").alias("total"),
+        ),
+        root,
+    )
+
+
 # Data-quality constraint report (operators/dq.dq_report): the
 # dbt-test / expectations layer a lake engine must compute where
 # PostgreSQL had constraints.  The dimension side deliberately drops
@@ -8491,6 +8609,7 @@ _PRIORITY_PREFIX = [
     "tfidf_topk_docs",
     "bpe_train_merges_docs",
     "mad_outliers_lineitem",
+    "incremental_agg_from_cdf",
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
     "attribution_last_touch",
@@ -8539,7 +8658,6 @@ _PRIORITY_PREFIX = [
     "incremental_neardup_ingest",
     "markov_transitions_events",
     "twap_events",
-    "weighted_sample_pps_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -122,6 +122,7 @@ def version_diff(
     pk: str,
     v_from: int | None = None,
     v_to: int | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Change-data-feed between two committed versions (the lakehouse
     CDF surface a downstream incremental consumer reads instead of
@@ -160,8 +161,27 @@ def version_diff(
     src = F.when(n_present, F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])).otherwise(
         F.struct(*[F.col(f"o.{c}").alias(c) for c in cols])
     )
-    return (
-        joined.select(change_type.alias("change_type"), src.alias("__r"))
+    out = (
+        joined.select(
+            change_type.alias("change_type"),
+            src.alias("__r"),
+            *(
+                [
+                    F.struct(*[F.col(f"o.{c}").alias(c) for c in cols]).alias("__o")
+                ]
+                if include_old
+                else []
+            ),
+        )
         .filter(F.col("change_type").isNotNull())
-        .select("change_type", "__r.*")
     )
+    if include_old:
+        # retraction consumers (incremental aggregate maintenance) need
+        # the PRE-image of an update to subtract it from state; expose
+        # it as old_<col> (NULL on inserts)
+        return out.select(
+            "change_type",
+            "__r.*",
+            *[F.col(f"__o.{c}").alias(f"old_{c}") for c in cols],
+        )
+    return out.select("change_type", "__r.*")
