@@ -602,3 +602,32 @@ def test_exact_percentiles_has_no_buffering_aggregate(spark):
     plan = _plan(QUERIES["exact_percentiles"](spark, SF_DIR))
     assert "percentile(" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_tfidf_broadcasts_idf_and_partitions_rank(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["tfidf_topk_docs"](spark, SF_DIR))
+    # vocabulary-sized idf/df table broadcast back to the tf stream
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only rank window is doc-partitioned — never a global sort
+    for part, order in _window_nodes(plan):
+        assert part.strip(), f"unpartitioned window in tfidf plan (order: {order!r})"
+
+
+def test_triangle_counts_no_nested_loop(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["triangle_counts_parts"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # edge-iterator formulation: the closure is array_intersect in-task
+    assert "array_intersect" in plan
+
+
+def test_mad_outliers_has_no_buffering_percentile(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["mad_outliers_lineitem"](spark, SF_DIR))
+    assert "percentile(" not in plan
+    assert "rangepartitioning" in plan.lower()

@@ -164,3 +164,53 @@ def test_asof_join_model_check(spark, lefts, rights):
     got = sorted((r.k, r.ts.timestamp(), r.v_asof) for r in out)
     want = sorted((k, float(t), model(k, t)) for k, t in lefts)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    fracs=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_exact_percentiles_model_check(spark, rows, fracs):
+    """Property: the two-phase rank percentile equals Spark's buffering
+    F.percentile on arbitrary (key, nullable value) data and arbitrary
+    fraction sets — including all-NULL groups vanishing from both."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.percentile import (
+        exact_percentiles_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in rows],
+        "k int, v double",
+    )
+    names = [f"q{i}" for i in range(len(fracs))]
+    got = {
+        r["k"]: [r[n] for n in names]
+        for r in exact_percentiles_grouped(df, ["k"], "v", fracs, names).collect()
+    }
+    want = {
+        r["k"]: list(r["ps"])
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("k")
+        .agg(F.percentile("v", F.array(*[F.lit(f) for f in fracs])).alias("ps"))
+        .collect()
+    }
+    assert got == want
