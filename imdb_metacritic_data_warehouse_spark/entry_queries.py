@@ -2097,12 +2097,33 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     rmtree + rewrite the same version pointer (ADVICE r3).  mkdtemp
     gives every invocation its own root; the bucketed catalog database
     name is derived from this root (plans/pipeline.py), so catalog
-    entries isolate too."""
+    entries isolate too.
+
+    Failure hygiene: _finish_scratch only runs on success, so a
+    crashed/interrupted invocation abandons its dir.  Each call
+    therefore garbage-collects SIBLING per-invocation dirs older than
+    an hour (the ``<tag>_<sf>_`` mkdtemp pattern only — the long-lived
+    ``neardup_cc_cache`` never matches), keeping accumulation bounded
+    without racing live concurrent runs."""
+    import shutil
     import tempfile
+    import time as _time
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.join(repo_root, ".scratch")
     os.makedirs(base, exist_ok=True)
+    cutoff = _time.time() - 3600
+    for entry in os.listdir(base):
+        path = os.path.join(base, entry)
+        try:
+            if (
+                "_sf" in entry
+                and os.path.isdir(path)
+                and os.path.getmtime(path) < cutoff
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent GC — fine
     return tempfile.mkdtemp(
         prefix=f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_", dir=base
     )
@@ -2199,10 +2220,7 @@ def warehouse_emp_link_bucketed_disk(spark, sf_dir):
     # the bucketed versions live as catalog tables under the session
     # warehouse dir (not under `root`) — drop the per-invocation
     # database too, or temp-root isolation would leak one DB per run
-    import hashlib
-
-    db = "wh_" + hashlib.md5(os.path.join(root, "warehouse").encode()).hexdigest()[:10]
-    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS {wh.catalog_database()} CASCADE")
     return out
 
 
@@ -2665,16 +2683,19 @@ def salted_groupby_events(spark, sf_dir):
     tot AS (
       SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS total FROM bucket GROUP BY doc_id
     )
+    -- LEFT joins + coalesce: a zero-length text has no bucket rows but
+    -- the Spark decoder still emits its row (n_bytes=0, features 0.0
+    -- via the or-1.0 divisor guard)
     SELECT d.doc_id, 'image/fake' AS media_type,
            CAST(length(d.text) AS BIGINT) * (SELECT ok FROM guard) AS n_bytes,
            md5(d.text) AS checksum,
-           round(COALESCE(MAX(CASE WHEN j = 0 THEN s END), 0) / t.total, 6) AS f0,
-           round(COALESCE(MAX(CASE WHEN j = 1 THEN s END), 0) / t.total, 6) AS f1,
-           round(COALESCE(MAX(CASE WHEN j = 2 THEN s END), 0) / t.total, 6) AS f2,
-           round(COALESCE(MAX(CASE WHEN j = 3 THEN s END), 0) / t.total, 6) AS f3
+           round(COALESCE(MAX(CASE WHEN j = 0 THEN s END) / t.total, 0.0), 6) AS f0,
+           round(COALESCE(MAX(CASE WHEN j = 1 THEN s END) / t.total, 0.0), 6) AS f1,
+           round(COALESCE(MAX(CASE WHEN j = 2 THEN s END) / t.total, 0.0), 6) AS f2,
+           round(COALESCE(MAX(CASE WHEN j = 3 THEN s END) / t.total, 0.0), 6) AS f3
     FROM documents d
-    JOIN bucket b ON b.doc_id = d.doc_id
-    JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN bucket b ON b.doc_id = d.doc_id
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
     GROUP BY d.doc_id, d.text, t.total
     """,
 )
@@ -3914,18 +3935,43 @@ def _neardup_labels_cached(spark, sf_dir):
     import shutil
     import tempfile
 
+    from .operators.dedup import MINHASH_BANDS, MINHASH_HASHES
+
     corpus = _minhash_corpus(spark, sf_dir)
+    # content fingerprint: unit-separated concat (a bare concat makes
+    # (12,'x') and (1,'2x') collide) — the SUM stays order-insensitive
+    # on purpose (content multiset identity)
     fp = corpus.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.crc32(F.concat(F.col("doc_id").cast("string"), F.col("text")))).alias(
-            "h"
-        ),
+        F.sum(
+            F.crc32(F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.col("text")))
+        ).alias("h"),
     ).collect()[0]
+    # the key must ALSO encode the algorithm: stale labels from an old
+    # banding/bucket/CC formulation must never serve a new one
+    algo = f"mh{MINHASH_HASHES}b{MINHASH_BANDS}cap1024ccv1"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.join(repo_root, ".scratch", "neardup_cc_cache")
     os.makedirs(base, exist_ok=True)
+    # GC tmp dirs abandoned by a crashed writer (committed cache dirs
+    # never start with 'tmp' and are kept on purpose)
+    import time as _time
+
+    cutoff = _time.time() - 3600
+    for entry in os.listdir(base):
+        path = os.path.join(base, entry)
+        try:
+            if (
+                entry.startswith("tmp")
+                and os.path.isdir(path)
+                and os.path.getmtime(path) < cutoff
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
     final = os.path.join(
-        base, f"{os.path.basename(sf_dir.rstrip('/'))}-{fp['n']}-{fp['h']:x}"
+        base,
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{algo}-{fp['n']}-{fp['h']:x}",
     )
     if not os.path.isdir(final):
         pairs = lsh_candidate_pairs(corpus, "doc_id", "text")
@@ -5921,7 +5967,6 @@ def incremental_agg_from_cdf(spark, sf_dir):
         )
     )
     feed = version_diff(t, "o_orderkey", include_old=True)
-    adj_struct = "o_orderstatus string, dn long, dp decimal(18,4)"
     adjustments = feed.select(
         F.explode(
             F.when(
@@ -6270,11 +6315,9 @@ def hybrid_search_rrf(spark, sf_dir):
     # materialize the expensive scored leaves once so the BM25 corpus
     # aggregation / dot-product scan don't re-execute per branch (the
     # lsh_candidate_pairs no-cross-branch-CSE pattern, dedup.py:191)
-    lex = (
-        bm25_scores(d, _BM25_TERMS)
-        .filter(F.col("bm25") > 0)
-        .localCheckpoint(eager=False)
-    )
+    # bm25_scores already keeps only bm25 > 0 rows (matching the
+    # oracle's WHERE) — no extra filter needed
+    lex = bm25_scores(d, _BM25_TERMS).localCheckpoint(eager=False)
     lexr = global_row_number(
         lex, [F.desc("bm25"), F.asc("doc_id")], out_col="lr"
     ).select("doc_id", "lr")
@@ -8594,15 +8637,15 @@ def out_of_order_stats_events(spark, sf_dir):
 # query keeps its historical CORRECTNESS_r{N} row and stays covered by
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
-# Round-4 prefix: the 6 queries new this round, the 5 changed-this-
+# Round-4 prefix: the 8 queries new this round, the 5 changed-this-
 # round queries never driver-checked, the 5 riskiest rewrites of
 # previously-green queries (new oracles / two-phase percentile /
-# threshold LSH / cached CC labels), then 34 of the 61-entry
+# threshold LSH / cached CC labels), then 32 of the 61-entry
 # never-checked backlog from the round-3 continuation sessions.  The
-# remaining ~27 backlog entries (pagerank, jaccard_prefix_join_*,
-# sequence analytics, experiment stats, curation composition — all
-# locally oracle-green at sf0.001 + sf0.01, transcript in
-# ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
+# remaining 29 backlog entries (pagerank, jaccard_prefix_join_*,
+# weighted_sample_pps, vocab_truncate, sequence analytics, experiment
+# stats, curation composition — all locally oracle-green at sf0.001 +
+# sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
     "pipeline_movie_genre_link",

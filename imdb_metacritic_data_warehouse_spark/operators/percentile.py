@@ -78,14 +78,30 @@ def exact_percentiles_grouped(
         )
     )
     counts = offsets.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
-    ranked = local.join(
-        F.broadcast(offsets.select("__pid", *keys, "__off")), ["__pid", *keys]
+
+    # joins back to the data must be NULL-SAFE on the keys: groupBy
+    # treats NULL as a group (so F.percentile emits a row for it), and
+    # a plain equi-join would silently drop that whole group
+    def _null_safe_join(left, right, on_keys):
+        rsel = right.select(
+            *[F.col(c).alias(f"__r_{c}") for c in on_keys],
+            *[c for c in right.columns if c not in on_keys],
+        )
+        cond = F.lit(True)
+        for c in on_keys:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        return left.join(F.broadcast(rsel), cond).drop(
+            *[f"__r_{c}" for c in on_keys]
+        )
+
+    ranked = _null_safe_join(
+        local, offsets.select("__pid", *keys, "__off"), ["__pid", *keys]
     ).withColumn("__rn", (F.col("__lrn") + F.col("__off")).cast("long"))
 
     # bounding ranks per fraction (0-based position = frac * (n - 1));
     # keyless → counts is one row, broadcast as a scalar cross join
     with_n = (
-        ranked.join(F.broadcast(counts), keys)
+        _null_safe_join(ranked, counts, keys)
         if keys
         else ranked.crossJoin(F.broadcast(counts))
     )

@@ -77,6 +77,16 @@ class Warehouse:
             df = repair_role_rotation(df)
         return df
 
+    def catalog_database(self) -> str:
+        """Name of this warehouse's session-catalog database for
+        bucketed tables — derived from the warehouse root so distinct
+        roots (per-invocation scratch dirs included) never collide.
+        The single source of truth: callers that must DROP the
+        database after an isolated run use this, not a re-derivation."""
+        import hashlib
+
+        return "wh_" + hashlib.md5(self.root.encode()).hexdigest()[:10]
+
     def table(self, schema: str, name: str):
         """Physical handle for a registered table.  Layout dispatch is
         registry-driven: specs with a ``bucket_key`` get bucketed
@@ -84,9 +94,7 @@ class Warehouse:
         joins); everything else gets plain versioned parquet."""
         spec = registry.ALL_SPECS.get((schema, name))
         if spec is not None and spec.bucket_key:
-            import hashlib
-
-            db = "wh_" + hashlib.md5(self.root.encode()).hexdigest()[:10]
+            db = self.catalog_database()
             return BucketedVersionedTable(
                 self.spark,
                 db,

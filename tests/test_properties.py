@@ -174,7 +174,7 @@ def test_asof_join_model_check(spark, lefts, rights):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(0, 2)),  # NULL is a group too
             st.one_of(st.none(), st.integers(-50, 50)),
         ),
         min_size=1,
@@ -200,7 +200,7 @@ def test_exact_percentiles_model_check(spark, rows, fracs):
     df = spark.createDataFrame(
         [(k, float(v) if v is not None else None) for k, v in rows],
         "k int, v double",
-    )
+    )  # nullable k: the NULL group must survive the offset/count joins
     names = [f"q{i}" for i in range(len(fracs))]
     got = {
         r["k"]: [r[n] for n in names]
