@@ -129,6 +129,7 @@ HEADLINE = [
     "bpe_train_merges_docs",
     "mad_outliers_lineitem",
     "incremental_agg_from_cdf",
+    "leakage_safe_split_events",
 ]
 
 
