@@ -8417,6 +8417,82 @@ def daily_revenue_trend(spark, sf_dir):
     )
 
 
+# CUSUM change-point detection over the daily revenue series — the
+# level-shift monitor behind data-drift and metric-regression alerts:
+# cusum_i = Σ_{j≤i}(y_j − ȳ) peaks at the day the mean shifts, and the
+# peak location is the classic single-change-point estimate.  FP
+# parity is by CONSTRUCTION, not hope: each daily y is an exact
+# decimal→double, ȳ = (exact decimal total)→double / n, and the
+# cumulative window sums LEFT-TO-RIGHT in date order on both engines —
+# ordered accumulation is deterministic where a parallel SUM is not.
+# The windows are over the POST-AGGREGATION day series (hundreds of
+# rows however big the fact table — same bounded-by-construction
+# argument as markov's |event_types|² matrix), so the unpartitioned
+# cumulative window is not a scale hazard.
+@query(
+    "cusum_changepoint_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               / COUNT(DISTINCT CAST(ts AS DATE)) AS mean_y
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      -- cusum_i = (exact decimal prefix sum) − i·ȳ: decimal addition
+      -- is associative, so the window's internal summation order
+      -- (segment tree vs left-to-right) cannot drift the value
+      SELECT d,
+             CAST(SUM(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             - (row_number() OVER (ORDER BY d)) * m.mean_y AS cusum,
+             m.mean_y
+      FROM daily CROSS JOIN m
+    )
+    SELECT CAST(d AS VARCHAR) AS change_date,
+           round(abs(cusum), 4) AS cusum_peak,
+           round(mean_y, 4) AS mean_daily
+    FROM c
+    ORDER BY abs(cusum) DESC, d LIMIT 1
+    """,
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum(_dec("value")), 2).alias("y")  # exact decimal
+    )
+    # mean from the exact decimal TOTAL (one cast), not a double sum of
+    # per-day values — parallel double summation is order-dependent
+    m = e.agg(
+        (
+            F.round(F.sum(_dec("value")), 2).cast("double")
+            / F.count_distinct(F.to_date("ts"))
+        ).alias("mean_y")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("d")
+    # cusum = (exact decimal prefix sum)→double − i·ȳ: the decimal
+    # window sum is order-insensitive, so both engines agree bit-wise
+    c = daily.crossJoin(F.broadcast(m)).withColumn(
+        "cusum",
+        F.sum("y").over(w).cast("double")
+        - F.row_number().over(wr) * F.col("mean_y"),
+    )
+    return (
+        c.orderBy(F.abs(F.col("cusum")).desc(), F.asc("d"))
+        .limit(1)
+        .select(
+            F.col("d").cast("string").alias("change_date"),
+            F.round(F.abs(F.col("cusum")), 4).alias("cusum_peak"),
+            F.round("mean_y", 4).alias("mean_daily"),
+        )
+    )
+
+
 # Funnel latency percentiles — view → purchase time-to-convert p50/p90
 # per converting user (first view, first LATER purchase), the latency
 # companion to funnel_conversion_events' rate.  Deltas in exact integer
