@@ -130,6 +130,7 @@ HEADLINE = [
     "mad_outliers_lineitem",
     "incremental_agg_from_cdf",
     "leakage_safe_split_events",
+    "cusum_changepoint_daily",
 ]
 
 

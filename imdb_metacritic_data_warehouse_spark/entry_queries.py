@@ -8823,12 +8823,12 @@ def out_of_order_stats_events(spark, sf_dir):
 # query keeps its historical CORRECTNESS_r{N} row and stays covered by
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
-# Round-4 prefix: the 9 queries new this round, the 5 changed-this-
+# Round-4 prefix: the 10 queries new this round, the 5 changed-this-
 # round queries never driver-checked, the 5 riskiest rewrites of
 # previously-green queries (new oracles / two-phase percentile /
-# threshold LSH / cached CC labels), then 31 of the 61-entry
+# threshold LSH / cached CC labels), then 30 of the 61-entry
 # never-checked backlog from the round-3 continuation sessions.  The
-# remaining 30 backlog entries (pagerank, jaccard_prefix_join_*,
+# remaining 31 backlog entries (pagerank, markov, jaccard_prefix_join_*,
 # weighted_sample_pps, vocab_truncate, twap, sequence analytics,
 # experiment stats, curation composition — all locally oracle-green at
 # sf0.001 + sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the
@@ -8844,6 +8844,7 @@ _PRIORITY_PREFIX = [
     "mad_outliers_lineitem",
     "incremental_agg_from_cdf",
     "leakage_safe_split_events",
+    "cusum_changepoint_daily",
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
     "attribution_last_touch",
@@ -8890,7 +8891,6 @@ _PRIORITY_PREFIX = [
     "dq_report_orders",
     "gap_fill_user_hours",
     "incremental_neardup_ingest",
-    "markov_transitions_events",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
