@@ -131,6 +131,16 @@ HEADLINE = [
     "incremental_agg_from_cdf",
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
+    # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "bigram_logprob_docs",
+    "hazard_table_users",
+    "diff_in_diff_events",
+    "gaps_islands_orders",
+    "yoy_growth_monthly",
+    "cms_heavy_hitters_events",
+    "pareto_frontier_parts",
+    "bfs_khop_parts",
+    "psi_drift_orders",
 ]
 
 

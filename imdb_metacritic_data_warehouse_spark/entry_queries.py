@@ -8812,6 +8812,479 @@ def out_of_order_stats_events(spark, sf_dir):
 # remains locally verified by tools/check_oracle.py regardless of order.
 # ===========================================================================
 
+# ---------------------------------------------------------------------------
+# Round-4 continuation: sketch/skyline/graph-traversal/drift additions.
+
+# Gaps-and-islands — per-customer runs of CONSECUTIVE order days (the
+# streak/retention primitive; same family as sessionization but on the
+# calendar grid, not an inactivity gap).  The date-minus-row_number
+# trick turns each run into a constant grouping key; the window is
+# partitioned by customer — per-key series length bounds the task, the
+# same argument that makes session_paths_events scale.
+@query(
+    "gaps_islands_orders",
+    """
+    WITH days AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    r AS (
+      SELECT o_custkey, d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+      FROM days
+    ),
+    isl AS (
+      SELECT o_custkey, d - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+      FROM r GROUP BY o_custkey, d - CAST(rn AS INTEGER)
+    )
+    SELECT o_custkey, COUNT(*) AS n_islands, MAX(len) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS n_days
+    FROM isl GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def gaps_islands_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    days = o.select("o_custkey", F.to_date("o_orderdate").alias("d")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = (
+        days.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_custkey", F.date_sub(F.col("d"), F.col("rn")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        isl.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len").alias("max_streak"),
+            F.sum("len").cast("bigint").alias("n_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# Year-over-year growth — monthly revenue with a lag-12 comparison.
+# Revenue is exact-decimal per month then double; the lag window is
+# over the POST-AGGREGATION month series (≤ hundreds of rows whatever
+# the fact-table size — the cusum bounded-by-construction argument),
+# so the unpartitioned ORDER BY is not a scale hazard.  The growth
+# ratio divides two already-rounded doubles with the SAME expression
+# shape on both engines.
+@query(
+    "yoy_growth_monthly",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS VARCHAR) AS month, revenue,
+           round(100 * (revenue / lag(revenue, 12) OVER (ORDER BY month) - 1), 4)
+             AS yoy_pct
+    FROM m ORDER BY month
+    """,
+)
+def yoy_growth_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue")
+    )
+    prev = F.lag("revenue", 12).over(Window.orderBy("month"))
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        F.round(F.lit(100) * (F.col("revenue") / prev - 1), 4).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+# Count-min-sketch heavy hitters with an exact-count audit — the
+# mergeable-sketch shape (operators/sketch.py) whose shuffle is grid-
+# sized (≤ d·w rows per task after map-side combine) however many fact
+# rows feed it, next to the exact top-10 it is audited against.  CMS
+# never undercounts, so ``overcount`` is the per-key realized error —
+# all integers, bit-exact cross-engine via the md5 bucket hash.
+@query(
+    "cms_heavy_hitters_events",
+    """
+    WITH seeds AS (SELECT UNNEST(['0', '1', '2']) AS seed),
+    cells AS (
+      SELECT seed,
+             CAST(CAST(CONCAT('0x', substr(md5(seed || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS INT) AS bucket,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id),
+    top AS (
+      SELECT user_id, n_exact FROM exact ORDER BY n_exact DESC, user_id LIMIT 10
+    ),
+    probe AS (
+      SELECT t.user_id, t.n_exact, s.seed,
+             CAST(CAST(CONCAT('0x', substr(md5(s.seed || ':' || CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS INT) AS bucket
+      FROM top t CROSS JOIN seeds s
+    )
+    SELECT p.user_id, p.n_exact,
+           MIN(COALESCE(c.cnt, 0)) AS n_est,
+           MIN(COALESCE(c.cnt, 0)) - p.n_exact AS overcount
+    FROM probe p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.n_exact
+    ORDER BY p.n_exact DESC, p.user_id
+    """,
+)
+def cms_heavy_hitters_events(spark, sf_dir):
+    from .operators.sketch import cms_estimate, count_min_sketch
+
+    e = _events(spark, sf_dir)
+    sk = count_min_sketch(e, F.col("user_id"), depth=3, width=64)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sk, top, "user_id", depth=3, width=64, out_col="n_est")
+    return est.withColumn(
+        "overcount", F.col("n_est") - F.col("n_exact")
+    ).orderBy(F.desc("n_exact"), F.asc("user_id"))
+
+
+# 2-D Pareto frontier (skyline) over parts — cheapest-for-the-size
+# non-dominated set.  The oracle is the O(N²) NOT-EXISTS dominance
+# join (fine at sf0.01; IT is the formulation that cannot scale); the
+# engine path is the sort-based skyline in operators/skyline.py: tier
+# collapse + two-phase strict-prefix running max — no all-pairs join,
+# no single-task window.  Duplicate (price, size) rows survive
+# together under strict dominance on both engines.
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark, sf_dir):
+    from .operators.skyline import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return (
+        pareto_frontier_2d(
+            p, "p_retailprice", "p_size", broadcast_tiers=True  # 1k price tiers
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+# Bounded k-hop BFS from a seed part over the co-purchase graph — the
+# blast-radius / neighborhood-expansion primitive (recall expansion
+# from a labeled seed set, abuse-ring walk).  Frontier-based: each
+# round joins only the newly-reached nodes against the edge list
+# (operators/graph.bfs_distances), never the full visited set; the
+# hop bound unrolls the loop driver-side with zero collects.  Edges
+# come from the content-keyed committed co-purchase cache shared with
+# PageRank/triangles.  The oracle is a depth-bounded recursive CTE.
+@query(
+    "bfs_khop_parts",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    seed AS (SELECT MIN(src) AS node FROM edges),
+    reach(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON r.node = e.src WHERE r.dist < 3
+    ),
+    mind AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+    SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_part, MAX(node) AS max_part
+    FROM mind GROUP BY dist ORDER BY dist
+    """,
+)
+def bfs_khop_parts(spark, sf_dir):
+    from .operators.graph import bfs_distances, undirected_edges
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = undirected_edges(pairs, "pa", "pb")
+    seeds = edges.agg(F.min("src").alias("node"))
+    dists = bfs_distances(edges, seeds, max_hops=3)
+    return (
+        dists.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .orderBy("dist")
+    )
+
+
+# PSI distribution drift — Population Stability Index of the order-
+# value distribution, early period (< 1998) vs late, over fixed-width
+# price bins with Laplace-smoothed shares (empty-side bins contribute
+# finitely instead of ±∞).  The model-monitoring twin of
+# chisq_event_dow.  One fact-table pass (bin+period groupBy) + a
+# broadcast scalar-totals join.  FP parity: shares are ratios of exact
+# integer counts with identical expression shape; ln() only ever sees
+# a round-6 input (the repo's log-under-round discipline,
+# user_event_entropy).
+@query(
+    "psi_drift_orders",
+    """
+    WITH b AS (
+      SELECT CAST(LEAST(9, CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER)) AS INTEGER) AS bin,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM orders
+    ),
+    c AS (
+      SELECT bin,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c)
+    SELECT bin, n_a, n_b,
+           round((CAST(n_a + 1 AS DOUBLE) / (ta + 10) - CAST(n_b + 1 AS DOUBLE) / (tb + 10))
+                 * ln(round((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+                            / (CAST(n_b + 1 AS DOUBLE) / (tb + 10)), 6)), 6)
+             AS psi_contrib
+    FROM c CROSS JOIN t ORDER BY bin
+    """,
+)
+def psi_drift_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.lit(9), F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    ).cast("int")
+    in_a = (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date")).cast("int")
+    c = (
+        o.select(bin_col.alias("bin"), in_a.alias("in_a"))
+        .groupBy("bin")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("n_a"),
+            F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+        )
+    )
+    t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + 10)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + 10)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(F.round(pa / pb, 6)), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+# Bigram-LM quality scoring — context-sensitive perplexity proxy one
+# step above unigram_logprob: mean −ln p(w2|w1) under the corpus's own
+# add-one-smoothed bigram model.  Bigrams come from a codegen zip_with
+# over the token array (zero shuffle); count tables are Zipf-small and
+# broadcast; |V| is a 1-row broadcast scalar.  Same ln-under-round-6
+# discipline as the unigram scorer.
+@query(
+    "bigram_logprob_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+      ) g
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vs
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vs))), 6) AS avg_neg_logprob
+    FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_docs(spark, sf_dir):
+    from .operators.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+# Kaplan-Meier-style hazard table over user activity lifespans — the
+# churn/survival read of the events table: for each calendar day, how
+# many users were "alive" (between their first and last observed
+# event) and how many lapsed that day (last event).  No range join:
+# at-risk(d) = cumulative first-days ≤ d  −  cumulative last-days < d,
+# two prefix sums over the DAY SPINE (bounded by calendar length, the
+# cusum bounded-by-construction argument) after two user-sized
+# aggregates.  Hazard d(t)/n(t) is an integer ratio → round-6 stable.
+@query(
+    "hazard_table_users",
+    """
+    WITH life AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT MIN(fd) AS d0, MAX(ld) AS d1 FROM life),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    ),
+    starts AS (SELECT fd AS d, COUNT(*) AS ns FROM life GROUP BY fd),
+    ends AS (SELECT ld AS d, COUNT(*) AS ne FROM life GROUP BY ld),
+    cum AS (
+      SELECT s.d,
+             SUM(COALESCE(st.ns, 0)) OVER (ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             SUM(COALESCE(en.ne, 0)) OVER (ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+             COALESCE(en.ne, 0) AS churned
+      FROM spine s
+      LEFT JOIN starts st ON s.d = st.d
+      LEFT JOIN ends en ON s.d = en.d
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(cs - (ce - churned) AS BIGINT) AS at_risk,
+           CAST(churned AS BIGINT) AS churned,
+           round(CAST(churned AS DOUBLE) / (cs - (ce - churned)), 6) AS hazard
+    FROM cum ORDER BY d
+    """,
+)
+def hazard_table_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    life = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    bounds = life.agg(F.min("fd").alias("d0"), F.max("ld").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    starts = life.groupBy(F.col("fd").alias("d")).agg(F.count(F.lit(1)).alias("ns"))
+    ends = life.groupBy(F.col("ld").alias("d")).agg(F.count(F.lit(1)).alias("ne"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        spine.join(starts, "d", "left")
+        .join(ends, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce("ns", F.lit(0))).over(wcum).alias("cs"),
+            F.sum(F.coalesce("ne", F.lit(0))).over(wcum).alias("ce"),
+            F.coalesce("ne", F.lit(0)).alias("churned"),
+        )
+    )
+    at_risk = F.col("cs") - (F.col("ce") - F.col("churned"))
+    return cum.select(
+        F.col("d").cast("string").alias("day"),
+        at_risk.cast("bigint").alias("at_risk"),
+        F.col("churned").cast("bigint").alias("churned"),
+        F.round(F.col("churned").cast("double") / at_risk, 6).alias("hazard"),
+    ).orderBy("d")
+
+
+# Difference-in-differences — the quasi-experimental readout when only
+# one arm gets the mid-window treatment: ΔΔ = (post_T − pre_T) −
+# (post_C − pre_C) of mean purchase value.  Arms assign by the same
+# engine-portable content hash as every split here
+# (operators/sampling.hash_bucket); the period boundary is a literal.
+# One fact pass (arm × period aggregate), then pure scalar arithmetic
+# on exact decimal sums / bigint counts — doubles appear only at the
+# four divisions, identical shape both engines.
+@query(
+    "diff_in_diff_events",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 < 5000
+                  THEN 'T' ELSE 'C' END AS arm,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 'pre' ELSE 'post' END AS period,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT arm, period, COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sv
+      FROM tagged GROUP BY arm, period
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'T' AND period = 'pre' THEN sv / n END) AS t_pre,
+        MAX(CASE WHEN arm = 'T' AND period = 'post' THEN sv / n END) AS t_post,
+        MAX(CASE WHEN arm = 'C' AND period = 'pre' THEN sv / n END) AS c_pre,
+        MAX(CASE WHEN arm = 'C' AND period = 'post' THEN sv / n END) AS c_post,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+           round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def diff_in_diff_events(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    tagged = e.select(
+        F.when(hash_bucket(F.col("user_id")) < 5000, F.lit("T"))
+        .otherwise(F.lit("C"))
+        .alias("arm"),
+        F.when(F.to_date("ts") < F.lit("2024-01-15").cast("date"), F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        "value",
+    )
+    cells = tagged.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("value")), 4).cast("double").alias("sv"),
+    )
+
+    def cell(arm, period):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("period") == period),
+                F.col("sv") / F.col("n"),
+            )
+        )
+
+    wide = cells.agg(
+        cell("T", "pre").alias("t_pre"),
+        cell("T", "post").alias("t_post"),
+        cell("C", "pre").alias("c_pre"),
+        cell("C", "post").alias("c_post"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did_estimate"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -8823,18 +9296,28 @@ def out_of_order_stats_events(spark, sf_dir):
 # query keeps its historical CORRECTNESS_r{N} row and stays covered by
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
-# Round-4 prefix: the 10 queries new this round, the 5 changed-this-
-# round queries never driver-checked, the 5 riskiest rewrites of
-# previously-green queries (new oracles / two-phase percentile /
-# threshold LSH / cached CC labels), then 30 of the 61-entry
+# Round-4 prefix: the 16 queries new this round (incl. the sketch/
+# skyline/BFS/drift batch from the continuation session), the 5
+# changed-this-round queries never driver-checked, the 5 riskiest
+# rewrites of previously-green queries (new oracles / two-phase
+# percentile / threshold LSH / cached CC labels), then 24 of the
 # never-checked backlog from the round-3 continuation sessions.  The
-# remaining 31 backlog entries (pagerank, markov, jaccard_prefix_join_*,
+# remaining backlog entries (pagerank, markov, jaccard_prefix_join_*,
 # weighted_sample_pps, vocab_truncate, twap, sequence analytics,
-# experiment stats, curation composition — all locally oracle-green at
-# sf0.001 + sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the
-# round-5 prefix.
+# experiment stats, curation composition, fuzzy/anomaly/DQ/gap-fill —
+# all locally oracle-green at sf0.001 + sf0.01, transcript in
+# ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "bigram_logprob_docs",
+    "hazard_table_users",
+    "diff_in_diff_events",
+    "gaps_islands_orders",
+    "yoy_growth_monthly",
+    "cms_heavy_hitters_events",
+    "pareto_frontier_parts",
+    "bfs_khop_parts",
+    "psi_drift_orders",
     "pipeline_movie_genre_link",
     "triangle_counts_parts",
     "minhash_estimate_audit",
@@ -8882,15 +9365,6 @@ _PRIORITY_PREFIX = [
     "corpus_report_by_source",
     "interval_overlap_sessions",
     "quantize_embeddings_int8",
-    "mixture_sample_domains",
-    "vocab_coverage_docs",
-    "pq_codes_embeddings",
-    "quality_calibrated_filter",
-    "fuzzy_match_part_names",
-    "trailing_window_anomalies",
-    "dq_report_orders",
-    "gap_fill_user_hours",
-    "incremental_neardup_ingest",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -179,3 +179,42 @@ def triangle_counts(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame
         .groupBy("node")
         .agg(F.sum("n").cast("long").alias("tri"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a seed set, bounded at ``max_hops`` —
+    the "blast radius" primitive (recall expansion from a labeled set,
+    abuse-neighborhood walk, supply-chain impact).
+
+    Synchronous frontier expansion: each round joins the CURRENT
+    frontier (nodes first reached last round — a strict subset, not
+    the whole visited set) against the edge list, anti-joins out
+    already-visited nodes, and unions into the visited table.  Per
+    round: one equi-join keyed on node id + one anti-join + one
+    distinct — all co-partitioned by node, no global state;
+    ``localCheckpoint`` bounds lineage like the PageRank loop above.
+    Hop count is bounded (``max_hops``), so the loop is driver-side
+    unrolled with no convergence collect at all.
+
+    ``edges``: (src, dst) directed — pass ``undirected_edges`` output
+    for the undirected read.  ``seeds``: one column ``node``.
+    Returns (node, dist) for every node within ``max_hops``.
+    """
+    visited = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited

@@ -302,6 +302,52 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Bigram-LM quality signal: each document's mean −ln p(w2|w1)
+    under the corpus's own empirical bigram model with add-one
+    smoothing over the unigram vocabulary — one step up the n-gram
+    ladder from ``unigram_logprob`` (context-sensitive: word salad
+    with a plausible unigram profile scores badly here).
+
+    Same scale shape as the unigram scorer: the bigram rows are built
+    by a codegen ``zip_with`` over the token array (zero shuffle), the
+    context/bigram count tables are Zipf-small relative to the corpus
+    and broadcast, and |V| rides a 1-row broadcast.  Documents with
+    fewer than two tokens have no bigrams and drop out (same on the
+    oracle side).  p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+|V|).
+    """
+    w = tokens(F.col(text_col))
+    big = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.count_distinct("t").alias("vs"))
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vs")))).alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logprob"),
+    )
+
+
 def vocab_coverage(
     df, vocab_size: int, id_col: str = "doc_id", text_col: str = "text"
 ):

@@ -631,3 +631,48 @@ def test_mad_outliers_has_no_buffering_percentile(spark):
     plan = _plan(QUERIES["mad_outliers_lineitem"](spark, SF_DIR))
     assert "percentile(" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_pareto_skyline_is_two_phase(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    plan = _plan(pareto_frontier_2d(p, "p_retailprice", "p_size"))
+    # the strict-prefix running max range-partitions the tier table —
+    # never a single-task window over the full input
+    assert "rangepartitioning" in plan.lower()
+    # the per-partition prefix maxes are broadcast back
+    assert "BroadcastExchange" in plan
+
+
+def test_cms_sketch_combines_map_side(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+        count_min_sketch,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(count_min_sketch(e, F.col("user_id"), depth=3, width=64))
+    low = plan.lower()
+    # partial aggregation collapses the d-way fanout before the
+    # exchange: the shuffle carries grid cells, not fact rows
+    assert "partial_sum" in low
+    assert low.count("hashaggregate") >= 2
+    assert "exchange hashpartitioning" in low
+
+
+def test_bfs_lineage_is_checkpoint_bounded(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.graph import (
+        bfs_distances,
+        undirected_edges,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "pa long, pb long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    dists = bfs_distances(undirected_edges(pairs, "pa", "pb"), seeds, max_hops=3)
+    plan = _plan(dists)
+    # rounds consume materialized frontiers, not a 3x-unrolled join tree
+    assert "ExistingRDD" in plan

@@ -1,0 +1,153 @@
+"""Unit tests for the count-min sketch, the sort-based skyline, and
+bounded-hop BFS — hand-sized inputs with independently computed
+expectations, plus the CMS never-undercounts invariant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.operators.graph import (
+    bfs_distances,
+    undirected_edges,
+)
+from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+    cms_estimate,
+    count_min_sketch,
+)
+from imdb_metacritic_data_warehouse_spark.operators.skyline import (
+    pareto_frontier_2d,
+    strict_prefix_max,
+)
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    rows = [(k,) for k in [1] * 10 + [2] * 5 + [3] * 2 + [4]]
+    df = spark.createDataFrame(rows, "k long")
+    keys = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    # Tight grid: collisions certain (4 keys, width 2) — estimates must
+    # still never fall below the true counts.
+    sk = count_min_sketch(df, F.col("k"), depth=2, width=2)
+    est = cms_estimate(sk, keys, "k", depth=2, width=2).collect()
+    assert all(r["est"] >= r["n"] for r in est)
+
+    # Wide grid: with 4 keys in 1024 buckets × 3 rows, at least one
+    # row of the sketch is collision-free per key with overwhelming
+    # probability for this FIXED hash (deterministic md5 buckets —
+    # verified by this very assertion), so the min is exact.
+    sk = count_min_sketch(df, F.col("k"), depth=3, width=1024)
+    est = cms_estimate(sk, keys, "k", depth=3, width=1024).collect()
+    assert all(r["est"] == r["n"] for r in est)
+
+
+def test_cms_total_mass_per_row(spark):
+    """Each sketch row partitions the stream: its counters sum to N."""
+    df = spark.range(100).select((F.col("id") % 7).alias("k"))
+    sk = count_min_sketch(df, F.col("k"), depth=3, width=8)
+    per_seed = sk.groupBy("seed").agg(F.sum("cnt").alias("total")).collect()
+    assert len(per_seed) == 3
+    assert all(r["total"] == 100 for r in per_seed)
+
+
+def test_strict_prefix_max_matches_naive(spark):
+    rows = [(i, v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])]
+    df = spark.createDataFrame(rows, "i int, v int")
+    got = {
+        r["i"]: r["pm"]
+        for r in strict_prefix_max(
+            df, [F.col("i").asc()], "v", out_col="pm", num_partitions=3
+        ).collect()
+    }
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    for i in range(10):
+        expect = max(vals[:i]) if i else None
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_pareto_frontier_hand_case(spark):
+    # (cost, gain): frontier = minimal cost for each reachable gain level.
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate of 1 -> both survive
+        (3, 12.0, 5),   # dominated by 1 (same gain, higher cost)
+        (4, 12.0, 7),   # frontier (more gain than anything cheaper)
+        (5, 15.0, 7),   # dominated by 4
+        (6, 15.0, 9),   # frontier
+        (7, 20.0, 9),   # dominated by 6
+        (8, 20.0, 1),   # dominated by everything cheaper with gain>=1
+    ]
+    df = spark.createDataFrame(rows, "id int, cost double, gain int")
+    got = sorted(
+        r["id"] for r in pareto_frontier_2d(df, "cost", "gain").collect()
+    )
+    assert got == [1, 2, 4, 6]
+
+
+def test_bfs_distances_path_graph(spark):
+    # 1-2-3-4-5 path, seeds={1}: dist = node-1, capped at 3 hops.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "pa long, pb long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            undirected_edges(pairs, "pa", "pb"), seeds, max_hops=3
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond the hop bound
+
+
+def test_bfs_min_dist_on_cycle(spark):
+    # Triangle 1-2-3 plus tail 3-4: shortest paths, not first-found.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "pa long, pb long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            undirected_edges(pairs, "pa", "pb"), seeds, max_hops=3
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bigram_logprob_hand_case(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.text import bigram_logprob
+
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # doc 3 has a single token -> no bigrams -> absent
+    assert set(rows) == {1, 2}
+    # corpus bigrams: (a,b)x2, (b,a)x1, (a,a)x1; contexts: a->3, b->1; V=3
+    # p(b|a)=(2+1)/(3+3)=0.5  p(a|b)=(1+1)/(1+3)=0.5  p(a|a)=(1+1)/(3+3)=1/3
+    assert rows[1]["n_bigrams"] == 3
+    expect1 = round(-(math.log(0.5) * 2 + math.log(0.5)) / 3, 6)
+    assert abs(rows[1]["avg_neg_logprob"] - expect1) < 1e-9
+    expect2 = round(-math.log(1 / 3), 6)
+    assert rows[2]["n_bigrams"] == 1
+    assert abs(rows[2]["avg_neg_logprob"] - expect2) < 1e-9
+
+
+def test_hazard_table_invariants(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    rows = QUERIES["hazard_table_users"](spark, sf_dir).collect()
+    assert rows, "spine must not be empty"
+    # at-risk never negative, hazard in [0,1], churned <= at_risk
+    for r in rows:
+        assert r["at_risk"] >= 0
+        assert 0 <= r["churned"] <= max(r["at_risk"], 0)
+        if r["at_risk"] > 0:
+            assert 0.0 <= r["hazard"] <= 1.0
+    # everyone eventually lapses: total churned == distinct users
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["churned"] for r in rows) == n_users
