@@ -132,6 +132,10 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "ks_drift_orders",
+    "fd_audit_orders",
+    "dow_seasonal_residuals_events",
+    "knn_label_agreement",
     "bigram_logprob_docs",
     "hazard_table_users",
     "diff_in_diff_events",

@@ -9285,6 +9285,278 @@ def diff_in_diff_events(spark, sf_dir):
     )
 
 
+# Kolmogorov-Smirnov drift statistic — max ECDF gap between the early
+# and late order-value distributions, the nonparametric twin of
+# psi_drift_orders (no binning choice).  The ECDFs are per-distinct-
+# value cumulative counts under a TOTAL value order — exactly the
+# two-phase global_cumsum (range partition → local cumsum → broadcast
+# offsets), run twice over one range exchange-shaped frame; the final
+# max is an ordinary aggregate.  All counts integer; the gap divides
+# identically-shaped doubles; argmax location tie-breaks to the
+# smallest value on both engines.
+@query(
+    "ks_drift_orders",
+    """
+    WITH tagged AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM orders
+    ),
+    per_v AS (
+      SELECT v, CAST(SUM(in_a) AS BIGINT) AS na,
+             CAST(SUM(1 - in_a) AS BIGINT) AS nb
+      FROM tagged GROUP BY v
+    ),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM per_v),
+    c AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM per_v
+    ),
+    d AS (
+      SELECT v, ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) AS d,
+             CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+      FROM c CROSS JOIN tot
+    )
+    SELECT n_a, n_b, round(d, 6) AS ks_stat, v AS ks_at
+    FROM d ORDER BY d DESC, v LIMIT 1
+    """,
+)
+def ks_drift_orders(spark, sf_dir):
+    from .operators.packing import global_cumsum
+
+    o = _t(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date")).cast("int").alias("in_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("nb"),
+    )
+    tot = per_v.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    c = global_cumsum(per_v, [F.col("v").asc()], "na", out_col="ca")
+    c = global_cumsum(c, [F.col("v").asc()], "nb", out_col="cb")
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(
+            F.col("ca").cast("double") / F.col("ta")
+            - F.col("cb").cast("double") / F.col("tb")
+        ).alias("d"),
+        F.col("ta").cast("bigint").alias("n_a"),
+        F.col("tb").cast("bigint").alias("n_b"),
+    )
+    # argmax with smallest-value tie-break: lexicographic max over
+    # (gap, -v) — an ordinary aggregate, no sort of the full frame
+    best = d.agg(
+        F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"), "n_a", "n_b")).alias("b")
+    )
+    return best.select(
+        F.col("b.n_a").alias("n_a"),
+        F.col("b.n_b").alias("n_b"),
+        F.round(F.col("b.d"), 6).alias("ks_stat"),
+        (-F.col("b.nv")).alias("ks_at"),
+    )
+
+
+# Functional-dependency audit — the profiling primitive behind schema
+# inference and DQ rules ("does X determine Y in this table?").  Each
+# candidate FD is one groupBy(lhs) → count_distinct(rhs) aggregate;
+# violating keys are those with >1 distinct rhs.  Four FDs over the
+# customer-denormalized order view (two that hold by construction, two
+# that don't) — integer counts only, trivially portable.
+@query(
+    "fd_audit_orders",
+    """
+    WITH denorm AS (
+      SELECT o.*, c.c_nationkey, n.n_name
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    f1 AS (
+      SELECT 'o_custkey->c_nationkey' AS fd, COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_custkey, COUNT(DISTINCT c_nationkey) AS nd FROM denorm GROUP BY 1)
+    ),
+    f2 AS (
+      SELECT 'c_nationkey->n_name' AS fd, COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT c_nationkey, COUNT(DISTINCT n_name) AS nd FROM denorm GROUP BY 1)
+    ),
+    f3 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd, COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd FROM denorm GROUP BY 1)
+    ),
+    f4 AS (
+      SELECT 'o_orderstatus->o_orderpriority' AS fd, COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS nd FROM denorm GROUP BY 1)
+    )
+    SELECT fd, n_keys, n_violating,
+           CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS holds
+    FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+          UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+    ORDER BY fd
+    """,
+)
+def fd_audit_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    denorm = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+
+    def fd(lhs: str, rhs: str):
+        per_key = denorm.groupBy(lhs).agg(F.count_distinct(rhs).alias("nd"))
+        return per_key.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_violating"),
+        )
+
+    out = (
+        fd("o_custkey", "c_nationkey")
+        .unionByName(fd("c_nationkey", "n_name"))
+        .unionByName(fd("o_custkey", "o_orderpriority"))
+        .unionByName(fd("o_orderstatus", "o_orderpriority"))
+    )
+    return out.select(
+        "fd",
+        "n_keys",
+        "n_violating",
+        F.when(F.col("n_violating") == 0, 1).otherwise(0).alias("holds"),
+    ).orderBy("fd")
+
+
+# Day-of-week seasonal baseline + residuals — the seasonal
+# decomposition step alerting needs before flagging a "drop" that is
+# just a weekend.  Daily revenue and per-weekday means both come from
+# EXACT decimal sums (doubles appear only at the division and the
+# final subtraction, identical shape both engines); weekday is ISO
+# Monday=0 on both.  Day count is calendar-bounded, so the per-day
+# frame is small however large the fact table.
+@query(
+    "dow_seasonal_residuals_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,4))) AS rev_dec
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    dow AS (
+      SELECT isodow(d) - 1 AS wd, COUNT(*) AS n_days,
+             SUM(rev_dec) AS tot
+      FROM daily GROUP BY 1
+    )
+    SELECT CAST(daily.d AS VARCHAR) AS day,
+           CAST(isodow(daily.d) - 1 AS INTEGER) AS weekday,
+           CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+           round(CAST(tot AS DOUBLE) / n_days, 4) AS dow_mean,
+           round(CAST(ROUND(rev_dec, 2) AS DOUBLE)
+                 - CAST(tot AS DOUBLE) / n_days, 4) AS residual
+    FROM daily JOIN dow ON isodow(daily.d) - 1 = dow.wd
+    ORDER BY daily.d
+    """,
+)
+def dow_seasonal_residuals_events(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(_dec("value")).alias("rev_dec")
+    )
+    dow = daily.groupBy(F.weekday("d").alias("wd")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rev_dec").alias("tot")
+    )
+    mean = F.col("tot").cast("double") / F.col("n_days")
+    rev = F.round("rev_dec", 2).cast("double")
+    return (
+        daily.join(F.broadcast(dow), F.weekday("d") == F.col("wd"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.weekday("d").cast("int").alias("weekday"),
+            rev.alias("revenue"),
+            F.round(mean, 4).alias("dow_mean"),
+            F.round(rev - mean, 4).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+# k-NN label agreement — the label-noise / cluster-purity audit over
+# the embedding corpus: for each vector, the fraction of its k nearest
+# (approximate, LSH-bucketed) neighbors sharing its label.  Low
+# agreement = mislabeled or boundary points; the relabel/filter signal
+# confident-learning pipelines use.  Pure composition: the bucketed
+# knn_graph (never all-pairs) + two broadcast label joins + one
+# integer-ratio aggregate.  The oracle replays the same deterministic
+# hyperplanes as knn_graph_embeddings.
+def _knn_label_agreement_oracle(n_planes: int = 6, n_tables: int = 4, k: int = 5) -> str:
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {_knn_buckets_sql(n_planes, n_tables)}
+    ),
+    scored AS (
+      SELECT DISTINCT a.vec_id AS src, z.vec_id AS dst,
+             round(list_dot_product(a.v, z.v), 6) AS score
+      FROM b a JOIN b z ON a.tbl = z.tbl AND a.bucket = z.bucket
+                        AND a.vec_id <> z.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY score DESC, dst) AS rank
+        FROM scored
+      ) WHERE rank <= {k}
+    )
+    SELECT g.src AS vec_id, la.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           round(CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS agreement
+    FROM knn g
+    JOIN embeddings la ON g.src = la.vec_id
+    JOIN embeddings lb ON g.dst = lb.vec_id
+    GROUP BY g.src, la.label
+    """
+
+
+@query("knn_label_agreement", _knn_label_agreement_oracle())
+def knn_label_agreement(spark, sf_dir):
+    from .operators.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    g = knn_graph(e, k=5, n_planes=6, n_tables=4).select("src", "dst")
+    lab = e.select("vec_id", "label")
+    joined = g.join(
+        F.broadcast(lab.withColumnRenamed("vec_id", "src").withColumnRenamed("label", "src_label")),
+        "src",
+    ).join(
+        F.broadcast(lab.withColumnRenamed("vec_id", "dst").withColumnRenamed("label", "dst_label")),
+        "dst",
+    )
+    same = (F.col("src_label") == F.col("dst_label")).cast("int")
+    return (
+        joined.groupBy("src", "src_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(same).cast("bigint").alias("n_same"),
+        )
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("src_label").alias("label"),
+            "n_neighbors",
+            "n_same",
+            F.round(
+                F.col("n_same").cast("double") / F.col("n_neighbors"), 6
+            ).alias("agreement"),
+        )
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -9309,6 +9581,10 @@ def diff_in_diff_events(spark, sf_dir):
 # ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "ks_drift_orders",
+    "fd_audit_orders",
+    "dow_seasonal_residuals_events",
+    "knn_label_agreement",
     "bigram_logprob_docs",
     "hazard_table_users",
     "diff_in_diff_events",
@@ -9361,10 +9637,6 @@ _PRIORITY_PREFIX = [
     "knn_graph_embeddings",
     "semantic_dedup_keep",
     "bpe_pair_counts_docs",
-    "select_token_budget_docs",
-    "corpus_report_by_source",
-    "interval_overlap_sessions",
-    "quantize_embeddings_int8",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -45,7 +45,12 @@ def global_cumsum(
             ),
         )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols)
+    # persist() pins ONE execution of the range exchange for both the
+    # local-cumsum branch and the offsets branch — repartitionByRange's
+    # sampled bounds differ between re-executions (RDD-id-seeded), which
+    # double/drops rows near partition bounds (found as an off-by-one in
+    # ks_drift_orders' ECDF; same hazard as rank.global_row_number).
+    parted = df.repartitionByRange(n, *order_cols).persist()
     pid = F.spark_partition_id()
     local = parted.withColumn("__pid", pid).withColumn(
         "__local_sum",

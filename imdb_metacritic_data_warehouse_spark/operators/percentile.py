@@ -52,6 +52,12 @@ def exact_percentiles_grouped(
         df.select(*keys, v.alias("__v"))
         .filter(F.col("__v").isNotNull())
         .repartitionByRange(n_parts, *[F.col(k) for k in keys], F.col("__v"))
+        # persist() pins ONE execution of the range exchange for every
+        # branch (local ranks, offsets, counts, ranked): the sampled
+        # range bounds are re-drawn per execution (RDD-id-seeded seed),
+        # so unshared re-executions can disagree about which partition a
+        # boundary row landed in — see rank.global_row_number
+        .persist()
     )
     pid = F.spark_partition_id()
     local = base.withColumn("__pid", pid).withColumn(

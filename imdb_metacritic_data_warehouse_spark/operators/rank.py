@@ -40,7 +40,15 @@ def global_row_number(
         return df.withColumn(out_col, F.row_number().over(Window.orderBy(*order_cols)))
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols)
+    # persist() is a CORRECTNESS requirement, not an optimization:
+    # repartitionByRange samples its range bounds with an RDD-id-derived
+    # seed, so if the local-rank branch and the offsets branch each
+    # re-executed the exchange they could see DIFFERENT partition
+    # boundaries (off-by-a-few ranks for rows near a bound).  The cached
+    # InMemoryRelation is planned once, so both branches share ONE
+    # shuffle execution; the range exchange stays visible in the plan
+    # (unlike localCheckpoint, which hides it behind an ExistingRDD).
+    parted = df.repartitionByRange(n, *order_cols).persist()
     pid = F.spark_partition_id()
     local = parted.withColumn("__pid", pid).withColumn(
         "__local_rn",

@@ -43,7 +43,10 @@ def strict_prefix_max(
     Two-phase: no single-task global window.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols)
+    # persist() pins one range-exchange execution for both branches
+    # (sampled bounds are otherwise re-drawn per execution — see
+    # rank.global_row_number for the full story)
+    parted = df.repartitionByRange(n, *order_cols).persist()
     pid = F.spark_partition_id()
     w = Window.partitionBy(pid).orderBy(*order_cols)
     local = parted.withColumn("__pid", pid).withColumn(

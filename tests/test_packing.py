@@ -218,3 +218,35 @@ def test_token_budget_selection_takes_best_first(spark):
     ).filter(F.col("cum") <= 25)
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 2]  # 0.9 and 0.8 fit; 0.7 would cross the budget
+
+
+def test_global_cumsum_total_is_exact_under_reexecution(spark):
+    """Regression: repartitionByRange samples its range bounds with an
+    RDD-id-derived seed, so when the local-cumsum branch and the
+    offsets branch each re-executed the exchange they could disagree
+    about which partition a boundary row landed in — the final prefix
+    sum came out off by a few (observed: 6801 of 6800 on the
+    ks_drift_orders ECDF at sf0.01).  The persist() in global_cumsum
+    pins ONE execution for both branches; this asserts the invariant
+    the bug broke: last prefix sum == exact total, even when the input
+    is itself an unmaterialized shuffled aggregate and the cumsum is
+    stacked twice.
+    """
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.packing import (
+        global_cumsum,
+    )
+
+    base = (
+        spark.range(20000)
+        .select((F.col("id") * 37 % 15013).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("a"), F.lit(1).alias("b"))
+    )
+    c = global_cumsum(base, [F.col("v").asc()], "a", out_col="ca")
+    c = global_cumsum(c, [F.col("v").asc()], "b", out_col="cb")
+    last = c.orderBy(F.desc("v")).limit(1).collect()[0]
+    totals = base.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb")).collect()[0]
+    assert last["ca"] == totals["ta"]
+    assert last["cb"] == totals["tb"]
