@@ -132,6 +132,10 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "bpe_encode_docs",
+    "cms_join_size_audit",
+    "bloom_prune_audit",
+    "mutual_information_events",
     "ks_drift_orders",
     "fd_audit_orders",
     "dow_seasonal_residuals_events",

@@ -682,6 +682,23 @@ def bpe_train_symbols(
     symbols appear with their corpus frequencies, which validates both
     the pair selection and the rewrite.
     """
+    sym = _bpe_merged_symbols(df, text_col, merges)
+    return sym.groupBy(F.col("sym").alias("symbol")).agg(
+        F.sum("c").alias("cnt")
+    )
+
+
+def bpe_word_token_counts(df, text_col: str = "text", merges: int = 2):
+    """Per-word token counts under the trained merges — the ENCODE half
+    of the tokenizer (train + apply on the same engine): after
+    ``merges`` rounds, each word's token count is its surviving symbol
+    count.  Vocabulary-sized output, built for a broadcast join back
+    onto the corpus (see bpe_encode_docs).  Returns (w, n_sym)."""
+    sym = _bpe_merged_symbols(df, text_col, merges)
+    return sym.groupBy("w").agg(F.count(F.lit(1)).alias("n_sym"))
+
+
+def _bpe_merged_symbols(df, text_col: str, merges: int):
     from pyspark.sql import Window
 
     words = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -736,6 +753,4 @@ def bpe_train_symbols(
             )
             .localCheckpoint(eager=True)
         )
-    return sym.groupBy(F.col("sym").alias("symbol")).agg(
-        F.sum("c").alias("cnt")
-    )
+    return sym

@@ -151,3 +151,56 @@ def test_hazard_table_invariants(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert sum(r["churned"] for r in rows) == n_users
+
+
+def test_bpe_encode_consistent_with_training(spark):
+    """Encode/train agreement: summing the per-word token counts over
+    the word-frequency table must equal the total symbol mass of the
+    trained inventory (both read the same merged symbol table)."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.text import (
+        bpe_train_symbols,
+        bpe_word_token_counts,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer lowest low")],
+        "doc_id long, text string",
+    )
+    inv_mass = (
+        bpe_train_symbols(docs, merges=2)
+        .agg(F.sum("cnt").alias("m")).collect()[0]["m"]
+    )
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    enc_mass = (
+        bpe_word_token_counts(docs, merges=2)
+        .join(wc, "w")
+        .agg(F.sum(F.col("n_sym") * F.col("c")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert enc_mass == inv_mass
+    # merges strictly compress: every word's token count <= its length
+    rows = bpe_word_token_counts(docs, merges=2).collect()
+    assert all(r["n_sym"] >= 1 for r in rows)
+
+
+def test_cms_join_size_never_underestimates(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    r = QUERIES["cms_join_size_audit"](spark, sf_dir).collect()[0]
+    assert r["overcount"] >= 0
+    assert r["cms_estimate"] >= r["exact_join_size"]
+
+
+def test_bloom_prune_no_false_negatives(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    r = QUERIES["bloom_prune_audit"](spark, sf_dir).collect()[0]
+    # every true match must be a candidate
+    assert r["n_candidates"] >= r["n_true"]
+    assert r["n_false_pos"] == r["n_candidates"] - r["n_true"]
