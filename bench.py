@@ -132,6 +132,8 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "ppr_parts_seeded",
+    "weighted_median_lineitem",
     "bpe_encode_docs",
     "cms_join_size_audit",
     "bloom_prune_audit",

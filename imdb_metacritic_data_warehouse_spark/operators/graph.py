@@ -218,3 +218,69 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Personalized PageRank — teleport mass returns to the SEED set
+    instead of spreading uniformly, turning global importance into
+    seed-relative relevance (related-products, who-influences-this-
+    account, seed-expansion labeling).
+
+    Same per-iteration shape as :func:`pagerank` (one edges⋈ranks join
+    + one node-keyed aggregate, checkpoint-bounded); the only deltas
+    are the reset vector ((1−d)/|S| on seeds, 0 elsewhere — a
+    broadcast left join per round, seeds are by definition small) and
+    the seed-mass initial distribution.  ``seeds``: one column
+    ``node``.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = deg.localCheckpoint(eager=True)
+
+    seed_nodes = seeds.select("node").distinct()
+    n_seeds = seed_nodes.count()  # scalar only
+    r0 = seed_nodes.withColumn("__r0", F.lit(1.0 / n_seeds))
+    teleport = F.lit(1.0) - F.lit(damping)
+
+    ranks = nodes.join(F.broadcast(r0), "node", "left").select(
+        "node", F.coalesce("__r0", F.lit(0.0)).alias("pr")
+    )
+    for _ in range(iters):
+        rd = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            deg["src"].alias("rsrc"),
+            (F.col("pr") / F.col("out_deg")).alias("c"),
+        )
+        r = F.broadcast(rd) if broadcast_ranks else rd
+        contrib = (
+            edges.join(r, edges["src"] == r["rsrc"])
+            .select(F.col("dst").alias("node"), "c")
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(r0), "node", "left")
+            .select(
+                "node",
+                (
+                    teleport * F.coalesce(F.col("__r0"), F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -132,3 +132,80 @@ def exact_percentiles_grouped(
         )
         aggs.append(interp.alias(name))
     return with_n.filter(needed).groupBy(*keys).agg(*aggs)
+
+
+def weighted_median_grouped(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Lower weighted median of ``value_col`` per group: the smallest
+    value whose cumulative weight reaches half the group total
+    (2·cumw ≥ W) — quantity-weighted price medians, token-weighted
+    quality cutoffs.
+
+    Same no-buffering two-phase shape as exact_percentiles_grouped,
+    with row counts replaced by weight sums: collapse to per-(key,
+    value) weights first (shrinks duplicates), range-partition on
+    (keys, value), per-(key, partition) local weight cumsum, broadcast
+    per-key prefix offsets, then one aggregate picks the crossing
+    value.  Weights must be non-negative integers (cast upstream).
+    Output: keys… + total_weight + weighted_median.
+    """
+    keys = list(keys)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    v = F.col(value_col).cast("double")
+    wt = (weight_col if not isinstance(weight_col, str) else F.col(weight_col)).cast(
+        "long"
+    )
+    base = (
+        df.select(*keys, v.alias("__v"), wt.alias("__wt"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*keys, "__v")
+        .agg(F.sum("__wt").alias("__wt"))
+        .repartitionByRange(n_parts, *[F.col(k) for k in keys], F.col("__v"))
+        # one pinned execution for every branch — see exact_percentiles
+        .persist()
+    )
+    pid = F.spark_partition_id()
+    local = base.withColumn("__pid", pid).withColumn(
+        "__lcw",
+        F.sum("__wt").over(
+            Window.partitionBy(pid, *keys)
+            .orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    offsets = (
+        local.groupBy("__pid", *keys)
+        .agg(F.sum("__wt").alias("__pw"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__pw").over(
+                    Window.partitionBy(*keys)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    totals = offsets.groupBy(*keys).agg(F.sum("__pw").alias("__W"))
+    joined = (
+        local.join(F.broadcast(offsets.select("__pid", *keys, "__off")), ["__pid", *keys])
+        .join(F.broadcast(totals), keys)
+        .withColumn("__cw", F.col("__lcw") + F.col("__off"))
+    )
+    return (
+        joined.filter(F.lit(2) * F.col("__cw") >= F.col("__W"))
+        .groupBy(*keys, "__W")
+        .agg(F.min("__v").alias("weighted_median"))
+        .select(
+            *keys,
+            F.col("__W").cast("bigint").alias("total_weight"),
+            "weighted_median",
+        )
+    )

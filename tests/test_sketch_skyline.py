@@ -204,3 +204,51 @@ def test_bloom_prune_no_false_negatives(spark, sf_dir):
     # every true match must be a candidate
     assert r["n_candidates"] >= r["n_true"]
     assert r["n_false_pos"] == r["n_candidates"] - r["n_true"]
+
+
+def test_weighted_median_hand_case(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.percentile import (
+        weighted_median_grouped,
+    )
+
+    rows = [
+        # group a: values 1(w1), 2(w1), 3(w10) -> half of 12 is 6,
+        # first value with cumw >= 6 is 3
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 10),
+        # group b: 5(w2), 7(w2) -> half of 4 is 2, crossing at 5
+        ("b", 5.0, 2), ("b", 7.0, 2),
+        # group c: single row
+        ("c", 9.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w int")
+    got = {
+        r["k"]: (r["total_weight"], r["weighted_median"])
+        for r in weighted_median_grouped(df, ["k"], "v", "w").collect()
+    }
+    assert got == {"a": (12, 3.0), "b": (4, 5.0), "c": (3, 9.0)}
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.graph import (
+        personalized_pagerank,
+        undirected_edges,
+    )
+
+    # two disconnected triangles; seed in the first -> second gets 0
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "pa long, pb long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ranks = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(
+            undirected_edges(pairs, "pa", "pb"), seeds, iters=3
+        ).collect()
+    }
+    assert all(ranks[n] == 0.0 for n in (10, 11, 12))
+    assert ranks[1] > ranks[2] > 0 and abs(ranks[2] - ranks[3]) < 1e-15
+    # mass conservation on the seed component
+    assert abs(sum(ranks[n] for n in (1, 2, 3)) - 1.0) < 1e-9
