@@ -132,6 +132,9 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "target_encode_loo_orders",
+    "recency_features_events",
+    "quantile_transform_docs",
     "ppr_parts_seeded",
     "weighted_median_lineitem",
     "bpe_encode_docs",

@@ -9963,6 +9963,110 @@ def weighted_median_lineitem(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+# Leave-one-out target encoding — the classic categorical-feature
+# encoder that excludes each row's own target from its category mean
+# (the train-time leakage guard next to leakage_safe_split's row-level
+# one).  Per-category sums are one broadcast aggregate; each row's
+# encoding is exact-decimal arithmetic ((S − t)/(n − 1)); singleton
+# categories yield NULL (no peers), identically on both engines.
+@query(
+    "target_encode_loo_orders",
+    """
+    WITH cat AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           CASE WHEN n > 1
+                THEN round(CAST(s - CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+                           / (n - 1), 6)
+           END AS loo_mean_price
+    FROM orders o JOIN cat ON o.o_orderpriority = cat.o_orderpriority
+    """,
+)
+def target_encode_loo_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cat = o.groupBy("o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return o.join(F.broadcast(cat), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("s") - _dec("o_totalprice")).cast("double")
+                / (F.col("n") - 1),
+                6,
+            ),
+        ).alias("loo_mean_price"),
+    )
+
+
+# Recency / frequency feature extraction — per event: microseconds
+# since the user's previous event of the same type and the running
+# occurrence count (the "time since last X" features every behavioral
+# model starts with).  One (user, type)-partitioned window pass —
+# partition-parallel, bounded by per-entity history length; exact
+# integer microseconds, no float time math.
+@query(
+    "recency_features_events",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS us_since_prev,
+           CAST(row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS BIGINT) AS nth_of_type
+    FROM events
+    """,
+)
+def recency_features_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        F.row_number().over(w).cast("bigint").alias("nth_of_type"),
+    )
+
+
+# Quantile transform — map a raw score onto its corpus percentile
+# ((rank − 0.5)/n, the rank-based uniformization feature scalers use).
+# The rank is the two-phase global_row_number (range partition →
+# local rank → broadcast offsets), so the transform never funnels the
+# corpus through one task; n rides a 1-row broadcast.
+@query(
+    "quantile_transform_docs",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round((CAST(rn AS DOUBLE) - 0.5) / n, 6) AS pct
+    FROM r
+    """,
+)
+def quantile_transform_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(
+        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], out_col="rn"
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_chars",
+        F.round((F.col("rn").cast("double") - 0.5) / F.col("n"), 6).alias("pct"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -9987,6 +10091,9 @@ def weighted_median_lineitem(spark, sf_dir):
 # ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "target_encode_loo_orders",
+    "recency_features_events",
+    "quantile_transform_docs",
     "ppr_parts_seeded",
     "weighted_median_lineitem",
     "bpe_encode_docs",
@@ -10040,9 +10147,6 @@ _PRIORITY_PREFIX = [
     "balanced_resample_docs",
     "embedding_centroid_outliers",
     "q9_product_type_profit",
-    "q17_small_quantity_revenue",
-    "funnel_conversion_events",
-    "cohort_retention_events",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

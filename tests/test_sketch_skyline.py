@@ -252,3 +252,44 @@ def test_personalized_pagerank_localizes_mass(spark):
     assert ranks[1] > ranks[2] > 0 and abs(ranks[2] - ranks[3]) < 1e-15
     # mass conservation on the seed component
     assert abs(sum(ranks[n] for n in (1, 2, 3)) - 1.0) < 1e-9
+
+
+def test_target_encode_loo_hand_case(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+    import os
+    import tempfile
+
+    # category x: targets 10, 20, 30 -> LOO means 25, 20, 15;
+    # category y: singleton -> NULL
+    rows = [
+        (1, 101, "O", 10.0, "2024-01-01", "x"),
+        (2, 102, "O", 20.0, "2024-01-02", "x"),
+        (3, 103, "O", 30.0, "2024-01-03", "x"),
+        (4, 104, "O", 99.0, "2024-01-04", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        got = {
+            r["o_orderkey"]: r["loo_mean_price"]
+            for r in QUERIES["target_encode_loo_orders"](spark, tmp).collect()
+        }
+    assert got == {1: 25.0, 2: 20.0, 3: 15.0, 4: None}
+
+
+def test_quantile_transform_is_two_phase_and_uniform(spark, sf_dir):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    df = QUERIES["quantile_transform_docs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()  # never a one-task rank
+    rows = df.collect()
+    pcts = sorted(r["pct"] for r in rows)
+    n = len(rows)
+    # exact uniform grid: (i - 0.5) / n for i = 1..n
+    assert pcts[0] == round(0.5 / n, 6) and pcts[-1] == round((n - 0.5) / n, 6)
+    assert len(set(pcts)) == n
