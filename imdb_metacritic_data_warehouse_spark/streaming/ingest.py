@@ -78,3 +78,61 @@ def corpus_ingest_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def merge_cms_batch(
+    table: VersionedParquetTable,
+    batch_df: DataFrame,
+    key,
+    depth: int = 3,
+    width: int = 64,
+) -> None:
+    """Fold one micro-batch into a committed count-min sketch — the
+    streaming face of ``operators/sketch.count_min_sketch``.  CMS cells
+    are sums, so the merge is cell-wise addition: sketch the batch,
+    FULL OUTER join the (≤ d·w-row) committed grid, add.  The grid is
+    the ONLY state (bounded, engine-portable), so heavy-hitter queries
+    over an unbounded stream never replay history, and a restart
+    resumes from the committed table exactly like the dedup ingest.
+    """
+    from ..operators.sketch import count_min_sketch
+
+    delta = count_min_sketch(batch_df, key, depth=depth, width=width)
+    if table.exists():
+        prev = table.read().withColumnRenamed("cnt", "__prev")
+        merged = (
+            delta.withColumnRenamed("cnt", "__new")
+            .join(prev, ["seed", "bucket"], "full_outer")
+            .select(
+                "seed",
+                "bucket",
+                (
+                    F.coalesce(F.col("__new"), F.lit(0))
+                    + F.coalesce(F.col("__prev"), F.lit(0))
+                ).alias("cnt"),
+            )
+        )
+        table.write(merged)
+    else:
+        table.write(delta)
+
+
+def cms_ingest_sink(
+    stream_df: DataFrame,
+    table: VersionedParquetTable,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+    checkpoint: str | None = None,
+):
+    """Attach the incremental sketch merge as a ``foreachBatch`` sink."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        merge_cms_batch(table, batch_df, F.col(key_col), depth, width)
+
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -438,3 +438,55 @@ def test_streaming_corpus_ingest_dedup_across_batches(spark, tmp_path):
     assert got2 == {1, 2, 10}
     # versions advanced: v1 (batch 1) then v2 (batch 2)
     assert table.current_version() == 2
+
+
+def test_streaming_cms_merge_across_batches(spark, tmp_path):
+    """Two micro-batches fold into one committed sketch whose estimates
+    equal a batch-built sketch over the union — cell-wise mergeability
+    is the whole point of the CMS grid — and never undercount."""
+    from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from imdb_metacritic_data_warehouse_spark.streaming.ingest import (
+        cms_ingest_sink,
+    )
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    table = VersionedParquetTable(spark, str(tmp_path / "sketch"), "cms")
+    schema = "user_id long"
+
+    b1 = [(i % 5,) for i in range(40)]
+    b2 = [(i % 3,) for i in range(30)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = cms_ingest_sink(
+        stream, table, "user_id", checkpoint=str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = cms_ingest_sink(
+        stream, table, "user_id", checkpoint=str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    union = spark.createDataFrame(b1 + b2, schema)
+    batch_sketch = count_min_sketch(union, F.col("user_id"))
+    streamed = table.read()
+    # identical grids: the merge IS addition
+    diff = (
+        streamed.withColumnRenamed("cnt", "a")
+        .join(batch_sketch.withColumnRenamed("cnt", "b"), ["seed", "bucket"], "full_outer")
+        .filter(
+            F.coalesce("a", F.lit(-1)) != F.coalesce("b", F.lit(-2))
+        )
+        .count()
+    )
+    assert diff == 0
+    # and estimates dominate exact counts
+    keys = union.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(streamed, keys, "user_id").collect()
+    assert all(r["est"] >= r["n"] for r in est)
