@@ -10067,6 +10067,86 @@ def quantile_transform_docs(spark, sf_dir):
     )
 
 
+# Spearman rank correlation between part price and size — the
+# monotone-dependence measure next to the OLS slope (linear) and MI
+# (categorical).  Tie-averaged ranks come from the two-phase global
+# row number (arbitrary within-tie order averages out exactly); all
+# sums are exact in doubles (half-integer ranks are exact binary,
+# magnitudes ≪ 2^53), so the only inexactness is the final
+# sqrt/division, identical shape both engines, round-6.
+@query(
+    "spearman_price_size_parts",
+    """
+    WITH rx AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rnx,
+             row_number() OVER (ORDER BY p_size, p_partkey) AS rny
+      FROM part
+    ),
+    ax AS (
+      SELECT p_retailprice, AVG(CAST(rnx AS DOUBLE)) AS rank_x
+      FROM rx GROUP BY p_retailprice
+    ),
+    ay AS (
+      SELECT p_size, AVG(CAST(rny AS DOUBLE)) AS rank_y
+      FROM rx GROUP BY p_size
+    ),
+    r AS (
+      SELECT rank_x, rank_y
+      FROM rx JOIN ax USING (p_retailprice) JOIN ay USING (p_size)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(rank_x) AS sx, SUM(rank_y) AS sy,
+             SUM(rank_x * rank_x) AS sxx, SUM(rank_y * rank_y) AS syy,
+             SUM(rank_x * rank_y) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_price_size_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    rnx = global_row_number(
+        p, [F.col("p_retailprice").asc(), F.col("p_partkey").asc()], out_col="rnx"
+    ).select("p_partkey", "p_retailprice", "rnx")
+    rny = global_row_number(
+        p, [F.col("p_size").asc(), F.col("p_partkey").asc()], out_col="rny"
+    ).select("p_partkey", "p_size", "rny")
+    ax = rnx.groupBy("p_retailprice").agg(
+        F.avg(F.col("rnx").cast("double")).alias("rank_x")
+    )
+    ay = rny.groupBy("p_size").agg(
+        F.avg(F.col("rny").cast("double")).alias("rank_y")
+    )
+    r = (
+        p.join(ax, "p_retailprice")
+        .join(F.broadcast(ay), "p_size")
+        .select("rank_x", "rank_y")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rank_x").alias("sx"),
+        F.sum("rank_y").alias("sy"),
+        F.sum(F.col("rank_x") * F.col("rank_x")).alias("sxx"),
+        F.sum(F.col("rank_y") * F.col("rank_y")).alias("syy"),
+        F.sum(F.col("rank_x") * F.col("rank_y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10078,19 +10158,22 @@ def quantile_transform_docs(spark, sf_dir):
 # query keeps its historical CORRECTNESS_r{N} row and stays covered by
 # the local differential (tools/check_oracle.py) at sf0.01+sf0.001.
 #
-# Round-4 prefix: the 16 queries new this round (incl. the sketch/
-# skyline/BFS/drift batch from the continuation session), the 5
-# changed-this-round queries never driver-checked, the 5 riskiest
-# rewrites of previously-green queries (new oracles / two-phase
-# percentile / threshold LSH / cached CC labels), then 24 of the
-# never-checked backlog from the round-3 continuation sessions.  The
-# remaining backlog entries (pagerank, markov, jaccard_prefix_join_*,
-# weighted_sample_pps, vocab_truncate, twap, sequence analytics,
-# experiment stats, curation composition, fuzzy/anomaly/DQ/gap-fill —
-# all locally oracle-green at sf0.001 + sf0.01, transcript in
-# ORACLE_LOCAL_r04.txt) lead the round-5 prefix.
+# Round-4 prefix: the 30 queries new this round (10 from the first
+# session + the 20 sketch/skyline/BFS/drift/survival/feature batches
+# from the continuation session), the 5 changed-this-round queries
+# never driver-checked, the 5 riskiest rewrites of previously-green
+# queries (new oracles / two-phase percentile / threshold LSH /
+# cached CC labels), then 10 of the never-checked backlog from the
+# round-3 continuation sessions.  The remaining backlog entries
+# (pagerank, markov, jaccard_prefix_join_*, weighted_sample_pps,
+# vocab_truncate, twap, sequence analytics, experiment stats,
+# curation composition, fuzzy/anomaly/DQ/gap-fill, knn_graph,
+# semantic_dedup, token-budget/report ops — all locally oracle-green
+# at sf0.001 + sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the
+# round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "spearman_price_size_parts",
     "target_encode_loo_orders",
     "recency_features_events",
     "quantile_transform_docs",
@@ -10146,7 +10229,6 @@ _PRIORITY_PREFIX = [
     "quality_logit_docs",
     "balanced_resample_docs",
     "embedding_centroid_outliers",
-    "q9_product_type_profit",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -38,6 +38,12 @@ CASES = [
     ("entity_clusters_parts", "Collapse-exact entity resolution: fuzzy join + components over distinct-name representatives; parts inherit labels via a broadcast map."),
     ("bpe_train_merges_docs", "Iterative BPE: corpus collapses to the word-frequency aggregate up front; each merge round is vocabulary-sized windows + a 1-row broadcast argmax; lineage checkpoint-bounded per round."),
     ("tfidf_topk_docs", "tf/df hash aggregates, vocabulary-sized idf BROADCAST back, one doc-partitioned rank window - no global window, no corpus-side re-scan."),
+    ("cms_heavy_hitters_events", "Count-min grid: the d-way fanout collapses in the map-side partial aggregate, so the exchange carries grid cells (<= d*w per task), never fact rows; point queries probe a BROADCAST grid."),
+    ("pareto_frontier_parts", "Sort-based skyline: tier collapse, then the strict-prefix running max range-exchanges the TIER table (pid-partitioned window + broadcast prefix maxes) - no NOT-EXISTS self-join, no single-task window."),
+    ("bfs_khop_parts", "Frontier BFS: each hop joins only the newly-reached node set against the edge list (ExistingRDD scans = checkpoint-bounded lineage); the visited union never re-joins."),
+    ("ks_drift_orders", "Exact KS: two STACKED two-phase cumsums over one persisted range exchange (InMemoryRelation pins a single execution for every branch); the argmax is an ordinary aggregate, no global sort."),
+    ("weighted_median_lineitem", "Weighted median with no per-group buffer: per-(key,value) weight collapse, persisted range exchange, pid-local weight cumsum + broadcast per-key offsets, crossing-value aggregate."),
+    ("ppr_parts_seeded", "Personalized PageRank: per-round edges join a BROADCAST rank/degree table and a BROADCAST seed reset vector; lineage checkpoint-bounded like pagerank."),
 ]
 
 
