@@ -214,3 +214,136 @@ def test_exact_percentiles_model_check(spark, rows, fracs):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_model_check(spark, rows):
+    """Property: the two-phase skyline equals the brute-force dominance
+    model (q dominates p iff q is ≤ cost, ≥ gain, strictly better in
+    one) on arbitrary small integer point sets — including duplicate
+    points, full ties, and single-row inputs."""
+    from imdb_metacritic_data_warehouse_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    pts = [(i, float(c), g) for i, (c, g) in enumerate(rows)]
+    df = spark.createDataFrame(pts, "id int, cost double, gain int")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "cost", "gain").collect())
+    want = sorted(
+        i
+        for i, c, g in pts
+        if not any(
+            (qc <= c and qg >= g) and (qc < c or qg > g)
+            for _, qc, qg in pts
+        )
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6), st.integers(1, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_median_model_check(spark, rows):
+    """Property: the two-phase weighted median equals the brute-force
+    'smallest value whose cumulative weight doubles past the total'
+    on arbitrary grouped weighted multisets."""
+    from collections import defaultdict
+
+    from imdb_metacritic_data_warehouse_spark.operators.percentile import (
+        weighted_median_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v), w) for k, v, w in rows], "k int, v double, w int"
+    )
+    got = {
+        r["k"]: (r["total_weight"], r["weighted_median"])
+        for r in weighted_median_grouped(df, ["k"], "v", "w").collect()
+    }
+    groups = defaultdict(list)
+    for k, v, w in rows:
+        groups[k].append((float(v), w))
+    want = {}
+    for k, vw in groups.items():
+        agg = defaultdict(int)
+        for v, w in vw:
+            agg[v] += w
+        total = sum(agg.values())
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if 2 * cum >= total:
+                want[k] = (total, v)
+                break
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    hops=st.integers(1, 3),
+)
+def test_bfs_model_check(spark, edges, hops):
+    """Property: frontier BFS distances equal a plain-Python BFS over
+    the same undirected graph, bounded at the same hop count."""
+    from collections import deque
+
+    from imdb_metacritic_data_warehouse_spark.operators.graph import (
+        bfs_distances,
+        undirected_edges,
+    )
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "pa long, pb long"
+    ).distinct()
+    seed = min(min(a, b) for a, b in edges)
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            undirected_edges(pairs, "pa", "pb"), seeds, max_hops=hops
+        ).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {seed: 0}
+    q = deque([(seed, 0)])
+    while q:
+        n, d = q.popleft()
+        if d == hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in want:
+                want[m] = d + 1
+                q.append((m, d + 1))
+    assert got == want
