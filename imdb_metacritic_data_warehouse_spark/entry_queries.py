@@ -10147,6 +10147,145 @@ def spearman_price_size_parts(spark, sf_dir):
     )
 
 
+# Z-order layout + file-skipping audit — the multi-dimension data-
+# skipping story (sources/zorder.py) made value-hash checkable: Morton-
+# interleave (custkey, order-day), assign rows to n_files equal-depth
+# "files" along the z-curve via the two-phase global rank (deterministic
+# ntile — the write path's repartitionByRange is sampling-based and
+# deliberately NOT differential-testable), then report each file's
+# min/max box on BOTH dimensions and whether a rectangle predicate
+# would keep it.  Cross-engine parity trap pinned here: Spark's
+# double→bigint CAST truncates while DuckDB's rounds, so the oracle
+# floors before casting (values are non-negative → floor ≡ truncate).
+def _z_sql(xcol: str, ycol: str, lo_x: str, hi_x: str, lo_y: str, hi_y: str,
+           bits: int = 8) -> str:
+    """DuckDB Morton-code expression mirroring zorder.z_value_scaled
+    (bit j of scaled x at 2j, of scaled y at 2j+1)."""
+    cap = (1 << bits) - 1
+
+    def scaled(col: str, lo: str, hi: str) -> str:
+        span = f"GREATEST(1, {hi} - {lo})"
+        return (
+            f"CAST(FLOOR(LEAST(GREATEST(CAST({col} AS BIGINT) - ({lo}), 0), {span})"
+            f" * CAST({cap} AS DOUBLE) / {span}) AS BIGINT)"
+        )
+
+    a, b = scaled(xcol, lo_x, hi_x), scaled(ycol, lo_y, hi_y)
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({a} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({b} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_N_FILES = 16
+_ZORDER_PRED = dict(x1=100, x2=300, y1="DATE '1997-01-01'", y2="DATE '1998-12-31'")
+
+
+def _zorder_audit_oracle() -> str:
+    z = _z_sql("x", "yday", "lo_x", "hi_x", "lo_y", "hi_y")
+    p = _ZORDER_PRED
+    nf = _ZORDER_N_FILES
+    return f"""
+    WITH base AS (
+      SELECT o_custkey AS x,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS yday,
+             o_orderkey
+      FROM orders
+    ),
+    st AS (
+      SELECT MIN(x) AS lo_x, MAX(x) AS hi_x,
+             MIN(yday) AS lo_y, MAX(yday) AS hi_y,
+             COUNT(*) AS n
+      FROM base
+    ),
+    zed AS (
+      SELECT x, yday, o_orderkey, {z} AS z, n
+      FROM base CROSS JOIN st
+    ),
+    filed AS (
+      SELECT x, yday,
+             CAST(FLOOR((row_number() OVER (ORDER BY z, o_orderkey) - 1)
+                        * {nf} / n) AS INTEGER) + 1 AS file_id
+      FROM zed
+    )
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           CAST(MIN(yday) AS INTEGER) AS min_y, CAST(MAX(yday) AS INTEGER) AS max_y,
+           CASE WHEN MIN(x) <= {p['x2']} AND MAX(x) >= {p['x1']}
+                 AND MIN(yday) <= CAST({p['y2']} - DATE '1970-01-01' AS INTEGER)
+                 AND MAX(yday) >= CAST({p['y1']} - DATE '1970-01-01' AS INTEGER)
+                THEN 1 ELSE 0 END AS kept
+    FROM filed GROUP BY file_id ORDER BY file_id
+    """
+
+
+@query("zorder_pruning_audit", _zorder_audit_oracle())
+def zorder_pruning_audit(spark, sf_dir):
+    from .operators.rank import global_row_number
+    from .sources.zorder import z_value_scaled
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "yday"
+        ),
+        "o_orderkey",
+    )
+    lo_x, hi_x, lo_y, hi_y = base.agg(
+        F.min("x"), F.max("x"), F.min("yday"), F.max("yday")
+    ).collect()[0]  # the write path's own tiny stats pass (4 scalars)
+    zed = base.withColumn(
+        "z",
+        z_value_scaled("x", int(lo_x), int(hi_x), "yday", int(lo_y), int(hi_y), bits=8),
+    )
+    ranked = global_row_number(
+        zed, [F.col("z").asc(), F.col("o_orderkey").asc()], out_col="rn"
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    nf = _ZORDER_N_FILES
+    filed = ranked.crossJoin(F.broadcast(n)).select(
+        "x",
+        "yday",
+        (F.floor((F.col("rn") - 1) * nf / F.col("n")).cast("int") + 1).alias(
+            "file_id"
+        ),
+    )
+    p = _ZORDER_PRED
+    import datetime as _dt
+
+    y1 = (_dt.date(1997, 1, 1) - _dt.date(1970, 1, 1)).days
+    y2 = (_dt.date(1998, 12, 31) - _dt.date(1970, 1, 1)).days
+    return (
+        filed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("yday").cast("int").alias("min_y"),
+            F.max("yday").cast("int").alias("max_y"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+            (
+                (F.col("min_x") <= p["x2"])
+                & (F.col("max_x") >= p["x1"])
+                & (F.col("min_y") <= y2)
+                & (F.col("max_y") >= y1)
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("file_id")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10173,6 +10312,7 @@ def spearman_price_size_parts(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "zorder_pruning_audit",
     "spearman_price_size_parts",
     "target_encode_loo_orders",
     "recency_features_events",
@@ -10228,7 +10368,6 @@ _PRIORITY_PREFIX = [
     "contamination_ngram_docs",
     "quality_logit_docs",
     "balanced_resample_docs",
-    "embedding_centroid_outliers",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
