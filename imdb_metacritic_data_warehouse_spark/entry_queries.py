@@ -10286,6 +10286,119 @@ def zorder_pruning_audit(spark, sf_dir):
     )
 
 
+# Linear multi-touch attribution — every click within the 7-day
+# lookback shares the purchase value equally (credit = value/k), the
+# fairness-motivated alternative to attribution_last_touch.  The
+# purchase×click pairing is NOT a θ-range-join: purchases explode into
+# their 8 candidate day buckets and equi-join clicks on (user, day) —
+# the interval_overlap chunk-join discipline, one hash shuffle.  FP
+# parity: per-(channel, k) cells aggregate EXACT decimal value sums
+# first; the only doubles are one division per cell and a ≤|channels|·
+# |k|-term final sum, absorbed by round-4.
+@query(
+    "attribution_linear_events",
+    """
+    WITH purch AS (
+      SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,4)) AS value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts,
+             CASE CAST(json_extract_string(props, '$.k')::BIGINT % 3 AS INT)
+               WHEN 0 THEN 'search' WHEN 1 THEN 'social' ELSE 'email' END AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.event_id, p.value, c.channel
+      FROM purch p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND CAST(c.click_ts AS DATE) BETWEEN CAST(p.ts AS DATE) - 7 AND CAST(p.ts AS DATE)
+      WHERE c.click_ts <= p.ts AND c.click_ts >= p.ts - INTERVAL 7 DAY
+    ),
+    sized AS (
+      SELECT event_id, value, channel,
+             COUNT(*) OVER (PARTITION BY event_id) AS k
+      FROM pairs
+    ),
+    cells AS (
+      SELECT channel, k, COUNT(*) AS n_touches, SUM(value) AS sv
+      FROM sized GROUP BY channel, k
+    ),
+    attributed AS (
+      SELECT channel,
+             CAST(SUM(n_touches) AS BIGINT) AS n_touches,
+             round(SUM(CAST(sv AS DOUBLE) / k), 4) AS credited_revenue
+      FROM cells GROUP BY channel
+    ),
+    unattr AS (
+      SELECT 'unattributed' AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(ROUND(SUM(value), 4) AS DOUBLE) AS credited_revenue
+      FROM purch p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.event_id = p.event_id)
+    )
+    SELECT * FROM attributed
+    UNION ALL SELECT * FROM unattr WHERE n_touches > 0
+    ORDER BY channel
+    """,
+)
+def attribution_linear_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _dec("value").alias("value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(
+            F.get_json_object("props", "$.k").cast("bigint") % 3 == 0, F.lit("search")
+        )
+        .when(F.get_json_object("props", "$.k").cast("bigint") % 3 == 1, F.lit("social"))
+        .otherwise(F.lit("email"))
+        .alias("channel"),
+    )
+    # chunk join: purchases fan out to their 8 candidate click days
+    pday = F.to_date("ts")
+    px = purch.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.explode(F.sequence(F.date_sub(pday, 7), pday)).alias("d"),
+    )
+    cx = clicks.withColumn("d", F.to_date("click_ts"))
+    pairs = (
+        px.join(cx, ["user_id", "d"])
+        .filter(
+            (F.col("click_ts") <= F.col("ts"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("event_id", "value", "channel")
+    )
+    sized = pairs.withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+    )
+    cells = sized.groupBy("channel", "k").agg(
+        F.count(F.lit(1)).alias("n_touches"), F.sum("value").alias("sv")
+    )
+    attributed = cells.groupBy("channel").agg(
+        F.sum("n_touches").cast("bigint").alias("n_touches"),
+        F.round(F.sum(F.col("sv").cast("double") / F.col("k")), 4).alias(
+            "credited_revenue"
+        ),
+    )
+    unattr = (
+        purch.join(pairs.select("event_id").distinct(), "event_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("value"), 4).cast("double").alias("credited_revenue"),
+        )
+        .select(F.lit("unattributed").alias("channel"), "n_touches", "credited_revenue")
+        .filter(F.col("n_touches") > 0)
+    )
+    return attributed.unionByName(unattr).orderBy("channel")
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10312,6 +10425,7 @@ def zorder_pruning_audit(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "attribution_linear_events",
     "zorder_pruning_audit",
     "spearman_price_size_parts",
     "target_encode_loo_orders",
@@ -10367,7 +10481,6 @@ _PRIORITY_PREFIX = [
     "dup_ngram_fraction_docs",
     "contamination_ngram_docs",
     "quality_logit_docs",
-    "balanced_resample_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
