@@ -132,6 +132,7 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "zipf_slope_terms",
     "gini_revenue_customers",
     "attribution_linear_events",
     "zorder_pruning_audit",

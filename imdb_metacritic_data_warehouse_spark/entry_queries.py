@@ -10366,20 +10366,29 @@ def attribution_linear_events(spark, sf_dir):
         "value",
         F.explode(F.sequence(F.date_sub(pday, 7), pday)).alias("d"),
     )
-    cx = clicks.withColumn("d", F.to_date("click_ts"))
+    # representative collapse (SCALE.md: pairwise semantics meet
+    # duplicates with a collapse — jaccard, knn, entity matching, now
+    # attribution): clicks identical in (user, ts, channel) fold into
+    # one weighted row BEFORE the pairwise join, so per-user click
+    # duplication multiplies pair count linearly, not quadratically.
+    # Credits are weight-scaled, so results are pair-identical.
+    cx = clicks.groupBy(
+        "user_id", "click_ts", "channel"
+    ).agg(F.count(F.lit(1)).alias("w")).withColumn("d", F.to_date("click_ts"))
     pairs = (
         px.join(cx, ["user_id", "d"])
         .filter(
             (F.col("click_ts") <= F.col("ts"))
             & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
         )
-        .select("event_id", "value", "channel")
+        .select("event_id", "value", "channel", "w")
     )
     sized = pairs.withColumn(
-        "k", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+        "k", F.sum("w").over(Window.partitionBy("event_id"))
     )
     cells = sized.groupBy("channel", "k").agg(
-        F.count(F.lit(1)).alias("n_touches"), F.sum("value").alias("sv")
+        F.sum("w").alias("n_touches"),
+        F.sum(F.col("value") * F.col("w")).alias("sv"),
     )
     attributed = cells.groupBy("channel").agg(
         F.sum("n_touches").cast("bigint").alias("n_touches"),
@@ -10456,6 +10465,69 @@ def gini_revenue_customers(spark, sf_dir):
     )
 
 
+# Zipf slope of the term-frequency distribution — the corpus-health
+# diagnostic (natural text ≈ −1; pipeline bugs, boilerplate floods, or
+# synthetic spam bend it).  OLS of ln(freq) on ln(rank) over the
+# vocabulary: ranks from the two-phase global rank (frequency DESC —
+# vocabulary-sized but unbounded in principle), logs under the round-6
+# input discipline, closed-form normal equations like
+# daily_revenue_trend.
+@query(
+    "zipf_slope_terms",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rnk FROM tf
+    ),
+    xy AS (
+      SELECT ln(round(CAST(rnk AS DOUBLE), 6)) AS x,
+             ln(round(CAST(f AS DOUBLE), 6)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope_terms(spark, sf_dir):
+    from .operators.rank import global_row_number
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tf = d.select(F.explode(tokens(F.col("text"))).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    ranked = global_row_number(
+        tf, [F.col("f").desc(), F.col("t").asc()], out_col="rnk"
+    )
+    xy = ranked.select(
+        F.log(F.round(F.col("rnk").cast("double"), 6)).alias("x"),
+        F.log(F.round(F.col("f").cast("double"), 6)).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10482,6 +10554,7 @@ def gini_revenue_customers(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "zipf_slope_terms",
     "gini_revenue_customers",
     "attribution_linear_events",
     "zorder_pruning_audit",
@@ -10537,7 +10610,6 @@ _PRIORITY_PREFIX = [
     "chunk_documents_sliding",
     "bm25_docs",
     "dup_ngram_fraction_docs",
-    "contamination_ngram_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
