@@ -10528,6 +10528,110 @@ def zipf_slope_terms(spark, sf_dir):
     )
 
 
+# Language-ID confusion matrix — the heuristic classifier
+# (operators/text.language_id) evaluated against the corpus's labeled
+# ``lang`` column, cell counts per (true, predicted).  The evaluation
+# loop every filter model needs before it gates data; one scan + one
+# tiny groupBy.  The oracle replays the same stopword-argmax with the
+# shared _lang_hits_sql/_LANG_CASE machinery text_analysis uses.
+@query(
+    "langid_confusion_docs",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_hits_sql(lang)} AS {_H[lang]}" for lang in sorted(STOPWORDS))}
+      FROM documents
+    )
+    SELECT lang AS lang_true, {_LANG_CASE} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hits GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def langid_confusion_docs(spark, sf_dir):
+    from .operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("lang_true"), language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+# Markov next-event prediction accuracy — evaluate the transition
+# matrix (markov_transitions_events) as a predictor: for each observed
+# transition, the argmax next-type given the previous type; accuracy
+# per previous type.  The transition counts are |types|² — the model
+# fit AND the argmax are bounded however large the event stream; the
+# evaluation re-joins the tiny predictor back onto the transitions.
+# Deterministic argmax tie-break: higher count, then lexicographic
+# next type.
+@query(
+    "markov_accuracy_events",
+    """
+    WITH seq AS (
+      SELECT event_type AS nxt,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, nxt, COUNT(*) AS n FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, nxt
+    ),
+    pred AS (
+      SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev ORDER BY n DESC, nxt) AS rn
+        FROM trans
+      ) WHERE rn = 1
+    )
+    SELECT t.prev AS prev_type, p.predicted AS predicted_next,
+           CAST(SUM(t.n) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN t.nxt = p.predicted THEN t.n ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(SUM(CASE WHEN t.nxt = p.predicted THEN t.n ELSE 0 END) AS DOUBLE)
+                 / SUM(t.n), 6) AS accuracy
+    FROM trans t JOIN pred p ON t.prev = p.prev
+    GROUP BY t.prev, p.predicted
+    ORDER BY prev_type
+    """,
+)
+def markov_accuracy_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("nxt"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        trans.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    correct = F.when(F.col("nxt") == F.col("predicted"), F.col("n")).otherwise(F.lit(0))
+    return (
+        trans.join(F.broadcast(pred), "prev")
+        .groupBy(F.col("prev").alias("prev_type"), F.col("predicted").alias("predicted_next"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_transitions"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10554,6 +10658,8 @@ def zipf_slope_terms(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "langid_confusion_docs",
+    "markov_accuracy_events",
     "zipf_slope_terms",
     "gini_revenue_customers",
     "attribution_linear_events",
@@ -10608,8 +10714,6 @@ _PRIORITY_PREFIX = [
     # --- never-driver-checked backlog (34 of the remaining 61;
     #     the rest rotate in next round) ---
     "chunk_documents_sliding",
-    "bm25_docs",
-    "dup_ngram_fraction_docs",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
