@@ -132,6 +132,7 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "auc_score_docs",
     "langid_confusion_docs",
     "markov_accuracy_events",
     "zipf_slope_terms",

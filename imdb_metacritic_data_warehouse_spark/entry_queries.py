@@ -10632,6 +10632,67 @@ def markov_accuracy_events(spark, sf_dir):
     )
 
 
+# ROC AUC via the Mann-Whitney rank-sum — the threshold-free score
+# audit every quality/filter model needs (here: does document length
+# separate English from the rest?).  AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) /
+# (n⁺·n⁻) over tie-AVERAGED global ranks — the same two-phase rank +
+# per-value rank averaging as Spearman; every sum is exact (integer
+# ranks, half-integer tie averages), doubles only at the final
+# division (round-6).
+@query(
+    "auc_score_docs",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    r AS (
+      SELECT y, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+      FROM scored
+    ),
+    avg_r AS (
+      SELECT n_chars, AVG(CAST(rn AS DOUBLE)) AS ar FROM r GROUP BY n_chars
+    ),
+    s AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN y = 1 THEN ar ELSE 0 END) AS rank_sum_pos
+      FROM r JOIN avg_r USING (n_chars)
+    )
+    SELECT n_pos, n_neg,
+           round((rank_sum_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM s
+    """,
+)
+def auc_score_docs(spark, sf_dir):
+    from .operators.rank import global_row_number
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    ranked = global_row_number(
+        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], out_col="rn"
+    )
+    avg_r = ranked.groupBy("n_chars").agg(
+        F.avg(F.col("rn").cast("double")).alias("ar")
+    )
+    s = ranked.join(F.broadcast(avg_r), "n_chars").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("ar")).otherwise(F.lit(0.0))).alias(
+            "rank_sum_pos"
+        ),
+    )
+    auc = (
+        F.col("rank_sum_pos")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    return s.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10658,6 +10719,7 @@ def markov_accuracy_events(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "auc_score_docs",
     "langid_confusion_docs",
     "markov_accuracy_events",
     "zipf_slope_terms",
@@ -10713,7 +10775,6 @@ _PRIORITY_PREFIX = [
     "neardup_clusters",
     # --- never-driver-checked backlog (34 of the remaining 61;
     #     the rest rotate in next round) ---
-    "chunk_documents_sliding",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
