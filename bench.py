@@ -132,6 +132,8 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "fk_orphan_audit",
+    "ewma_control_daily",
     "auc_score_docs",
     "langid_confusion_docs",
     "markov_accuracy_events",

@@ -10693,6 +10693,146 @@ def auc_score_docs(spark, sf_dir):
     return s.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
 
 
+# Referential-integrity audit — orphan counts across the fact/dim
+# foreign keys (the first DQ gate any warehouse load runs; the
+# reference's ELT assumes FK integrity silently, this makes it a
+# checked contract).  Each edge is one left-anti join on the key —
+# shuffle-partitioned by the FK, no broadcast assumptions about the
+# parent side.
+@query(
+    "fk_orphan_audit",
+    """
+    WITH e1 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e2 AS (
+      SELECT 'orders.o_custkey->customer' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    e3 AS (
+      SELECT 'customer.c_nationkey->nation' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    e4 AS (
+      SELECT 'lineitem.l_partkey->part' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT fk, n_child, n_orphans,
+           CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS intact
+    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+    ORDER BY fk
+    """,
+)
+def fk_orphan_audit(spark, sf_dir):
+    def edge(fk_name, child, ckey, parent, pkey):
+        joined = child.join(
+            parent.select(F.col(pkey).alias("__pk")),
+            child[ckey] == F.col("__pk"),
+            "left",
+        )
+        return joined.agg(
+            F.lit(fk_name).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.col("__pk").isNull().cast("int")).cast("bigint").alias("n_orphans"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    out = (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+            edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+        .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+    )
+    return out.select(
+        "fk",
+        "n_child",
+        "n_orphans",
+        F.when(F.col("n_orphans") == 0, 1).otherwise(0).alias("intact"),
+    ).orderBy("fk")
+
+
+# EWMA control chart over daily revenue with α = 1/2 — the smoothed
+# baseline + deviation monitor next to the CUSUM level-shift detector.
+# Float-parity by CONSTRUCTION: α = 1/2 makes every weight
+# (1/2)^(k+1) a FINITE-DECIMAL constant, so the whole 10-term window
+# sum stays in exact DECIMAL arithmetic end-to-end (daily totals are
+# DECIMAL, weights are DECIMAL literals), and the output is the exact
+# scale-12 decimal CAST to double (correctly rounded in both engines)
+# with NO explicit round at all: a double version hit a round-4
+# half-way tie (float-parity rule #4), and even decimal ROUND ties
+# split between Spark's HALF_UP and DuckDB's rule — the weights' 5-
+# tailed digits make .xxxx5 boundaries COMMON here, so the fix is to
+# never round, not to round more carefully.  Day series is
+# calendar-bounded.
+@query(
+    "ewma_control_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, y,
+             lag(y, 0) OVER (ORDER BY d) AS y0,\n             lag(y, 1) OVER (ORDER BY d) AS y1,\n             lag(y, 2) OVER (ORDER BY d) AS y2,\n             lag(y, 3) OVER (ORDER BY d) AS y3,\n             lag(y, 4) OVER (ORDER BY d) AS y4,\n             lag(y, 5) OVER (ORDER BY d) AS y5,\n             lag(y, 6) OVER (ORDER BY d) AS y6,\n             lag(y, 7) OVER (ORDER BY d) AS y7,\n             lag(y, 8) OVER (ORDER BY d) AS y8,\n             lag(y, 9) OVER (ORDER BY d) AS y9
+      FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS day, CAST(y AS DOUBLE) AS y,
+           CAST((COALESCE(y0, 0) * 0.5 + COALESCE(y1, 0) * 0.25 + COALESCE(y2, 0) * 0.125 + COALESCE(y3, 0) * 0.0625 + COALESCE(y4, 0) * 0.03125 + COALESCE(y5, 0) * 0.015625 + COALESCE(y6, 0) * 0.0078125 + COALESCE(y7, 0) * 0.00390625 + COALESCE(y8, 0) * 0.001953125 + COALESCE(y9, 0) * 0.0009765625) AS DOUBLE) AS ewma,
+           CAST((y - (COALESCE(y0, 0) * 0.5 + COALESCE(y1, 0) * 0.25 + COALESCE(y2, 0) * 0.125 + COALESCE(y3, 0) * 0.0625 + COALESCE(y4, 0) * 0.03125 + COALESCE(y5, 0) * 0.015625 + COALESCE(y6, 0) * 0.0078125 + COALESCE(y7, 0) * 0.00390625 + COALESCE(y8, 0) * 0.001953125 + COALESCE(y9, 0) * 0.0009765625)) AS DOUBLE) AS deviation
+    FROM lagged ORDER BY d
+    """,
+)
+def ewma_control_daily(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        # stays DECIMAL, and is cast DOWN to (18,2): the aggregate's
+        # inferred type is decimal(29,2), whose product with the
+        # (12,10) weights would overflow precision 38 and silently
+        # rescale to 10 fractional digits
+        F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("y")
+    )
+    w = Window.orderBy("d")
+    zero = F.lit(0).cast("decimal(18,2)")
+    terms = None
+    for k in range(10):
+        wt = F.lit(repr(0.5 ** (k + 1))).cast("decimal(12,10)")
+        # cap each product at decimal(28,12): the raw product type is
+        # decimal(31,12) and ten chained additions would push precision
+        # past Spark's 38 cap, which silently RESCALES the sum to
+        # scale 6 (allowPrecisionLoss) — the very drift this decimal
+        # pipeline exists to prevent; 28 digits hold any daily total
+        # this side of 10^16 exactly
+        t = (F.coalesce(F.lag("y", k).over(w), zero) * wt).cast("decimal(28,12)")
+        terms = t if terms is None else terms + t
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("y").cast("double").alias("y"),
+        terms.cast("double").alias("ewma"),
+        (F.col("y") - terms).cast("double").alias("deviation"),
+    ).orderBy("day")
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10719,6 +10859,8 @@ def auc_score_docs(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "fk_orphan_audit",
+    "ewma_control_daily",
     "auc_score_docs",
     "langid_confusion_docs",
     "markov_accuracy_events",
@@ -10762,9 +10904,7 @@ _PRIORITY_PREFIX = [
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
     "attribution_last_touch",
-    "version_diff_orders",
     "gdpr_erasure_cascade",
-    "neardup_labels_persisted",
     # --- changed this round (riskiest rewrites need re-validation;
     #     the scratch-isolation-only warehouse_* changes are locally
     #     verified and stay out to leave room for the backlog) ---
