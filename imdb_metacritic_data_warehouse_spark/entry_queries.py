@@ -10833,6 +10833,84 @@ def ewma_control_daily(spark, sf_dir):
     ).orderBy("day")
 
 
+# SCD Type 3 merge — "current + previous value" historization, the
+# third member of the family next to scd2_apply (full history) and
+# insert_only_merge (Type 1-ish).  One equi-join + null-safe change
+# predicate (the same `<=>` discipline as the SCD2 change detector,
+# operators/scd2.py): changed rows shift current→previous; unchanged
+# rows keep their slot; brand-new keys arrive with NULL previous.
+# The incoming batch is a deterministic mutation of the dim (every
+# 10th customer's balance +100, five new keys) so the differential
+# exercises all three branches.
+@query(
+    "scd3_merge_customers",
+    """
+    WITH dim AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS bal,
+             CAST(NULL AS DECIMAL(18,4)) AS prev_bal
+      FROM customer
+    ),
+    batch AS (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DECIMAL(18,4))
+               + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(c_acctbal AS DECIMAL(18,4))
+      FROM customer WHERE c_custkey <= 5
+    )
+    SELECT COALESCE(b.c_custkey, d.c_custkey) AS c_custkey,
+           CAST(COALESCE(b.bal, d.bal) AS DOUBLE) AS bal,
+           CAST(CASE WHEN b.c_custkey IS NOT NULL AND d.c_custkey IS NOT NULL
+                      AND b.bal IS DISTINCT FROM d.bal
+                     THEN d.bal ELSE d.prev_bal END AS DOUBLE) AS prev_bal,
+           CASE WHEN d.c_custkey IS NULL THEN 'insert'
+                WHEN b.bal IS DISTINCT FROM d.bal THEN 'update'
+                ELSE 'unchanged' END AS action
+    FROM dim d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def scd3_merge_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        _dec("c_acctbal").alias("bal"),
+        F.lit(None).cast("decimal(18,4)").alias("prev_bal"),
+    )
+    batch = c.select(
+        "c_custkey",
+        (
+            _dec("c_acctbal")
+            + F.when(F.col("c_custkey") % 10 == 0, 100).otherwise(0)
+        ).alias("bal"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") <= 5).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            _dec("c_acctbal").alias("bal"),
+        )
+    )
+    d, b = dim.alias("d"), batch.alias("b")
+    j = d.join(b, F.col("d.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    changed = (
+        F.col("b.c_custkey").isNotNull()
+        & F.col("d.c_custkey").isNotNull()
+        & ~F.col("b.bal").eqNullSafe(F.col("d.bal"))
+    )
+    return j.select(
+        F.coalesce(F.col("b.c_custkey"), F.col("d.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("b.bal"), F.col("d.bal")).cast("double").alias("bal"),
+        F.when(changed, F.col("d.bal"))
+        .otherwise(F.col("d.prev_bal"))
+        .cast("double")
+        .alias("prev_bal"),
+        F.when(F.col("d.c_custkey").isNull(), F.lit("insert"))
+        .when(~F.col("b.bal").eqNullSafe(F.col("d.bal")), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("action"),
+    ).orderBy("c_custkey")
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10859,6 +10937,7 @@ def ewma_control_daily(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "scd3_merge_customers",
     "fk_orphan_audit",
     "ewma_control_daily",
     "auc_score_docs",
@@ -10912,7 +10991,6 @@ _PRIORITY_PREFIX = [
     "approx_sketches",
     "exact_percentiles",
     "minhash_lsh_pairs",
-    "neardup_clusters",
     # --- never-driver-checked backlog (34 of the remaining 61;
     #     the rest rotate in next round) ---
 ]
