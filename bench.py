@@ -132,6 +132,7 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "encoding_advisor_lineitem",
     "scd3_merge_customers",
     "fk_orphan_audit",
     "ewma_control_daily",

@@ -10911,6 +10911,96 @@ def scd3_merge_customers(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+# Storage-encoding advisor — per-column run/cardinality stats under
+# the table's storage order, driving a DICT/RLE/PLAIN recommendation
+# (what a format optimizer or OPTIMIZE-advisor computes before
+# rewriting files).  The run count is the new two-phase primitive
+# ``operators/profile.run_length_stats``: ordered adjacency WITHOUT a
+# global window — pid-local change counts + a partitions-sized
+# boundary reconciliation (dense-sequenced so interior empty range
+# partitions cannot skip a boundary).  The recommendation compares
+# INTEGERS only (n ≥ 2·runs, distinct ≤ 1000) — no rounded-ratio
+# boundary for engines to split on.
+@query(
+    "encoding_advisor_lineitem",
+    """
+    WITH ordered AS (
+      SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_d,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ),
+    lagged AS (
+      SELECT l_returnflag, l_linestatus, ship_d,
+             lag(l_returnflag) OVER (ORDER BY rn) AS p1,
+             lag(l_linestatus) OVER (ORDER BY rn) AS p2,
+             lag(ship_d) OVER (ORDER BY rn) AS p3,
+             rn
+      FROM ordered
+    ),
+    stats AS (
+      SELECT 'l_returnflag' AS col_name, COUNT(*) AS n,
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+             CAST(1 + SUM(CASE WHEN rn > 1 AND l_returnflag IS DISTINCT FROM p1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM lagged
+      UNION ALL
+      SELECT 'l_linestatus', COUNT(*),
+             CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+             CAST(1 + SUM(CASE WHEN rn > 1 AND l_linestatus IS DISTINCT FROM p2
+                               THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lagged
+      UNION ALL
+      SELECT 'l_shipdate', COUNT(*),
+             CAST(COUNT(DISTINCT ship_d) AS BIGINT),
+             CAST(1 + SUM(CASE WHEN rn > 1 AND ship_d IS DISTINCT FROM p3
+                               THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lagged
+    )
+    SELECT col_name, n, n_distinct, runs,
+           round(CAST(n AS DOUBLE) / runs, 6) AS avg_run_len,
+           CASE WHEN n >= 2 * runs THEN 'RLE'
+                WHEN n_distinct <= 1000 THEN 'DICT'
+                ELSE 'PLAIN' END AS recommendation
+    FROM stats ORDER BY col_name
+    """,
+)
+def encoding_advisor_lineitem(spark, sf_dir):
+    from .operators.profile import run_length_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+
+    def col_stats(name, col_expr):
+        runs = run_length_stats(
+            li.select(
+                F.col("l_orderkey"), F.col("l_linenumber"), col_expr.alias("__c")
+            ),
+            order_cols,
+            "__c",
+        )
+        nd = li.agg(F.count_distinct(col_expr).cast("bigint").alias("n_distinct"))
+        return runs.crossJoin(F.broadcast(nd)).select(
+            F.lit(name).alias("col_name"), "n", "n_distinct", "runs"
+        )
+
+    out = (
+        col_stats("l_returnflag", F.col("l_returnflag"))
+        .unionByName(col_stats("l_linestatus", F.col("l_linestatus")))
+        .unionByName(col_stats("l_shipdate", F.to_date("l_shipdate")))
+    )
+    return out.select(
+        "col_name",
+        "n",
+        "n_distinct",
+        "runs",
+        F.round(F.col("n").cast("double") / F.col("runs"), 6).alias("avg_run_len"),
+        F.when(F.col("n") >= 2 * F.col("runs"), "RLE")
+        .when(F.col("n_distinct") <= 1000, "DICT")
+        .otherwise("PLAIN")
+        .alias("recommendation"),
+    ).orderBy("col_name")
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -10937,6 +11027,7 @@ def scd3_merge_customers(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "encoding_advisor_lineitem",
     "scd3_merge_customers",
     "fk_orphan_audit",
     "ewma_control_daily",
@@ -10990,7 +11081,6 @@ _PRIORITY_PREFIX = [
     "multimodal_features",
     "approx_sketches",
     "exact_percentiles",
-    "minhash_lsh_pairs",
     # --- never-driver-checked backlog (34 of the remaining 61;
     #     the rest rotate in next round) ---
 ]

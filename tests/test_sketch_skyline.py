@@ -293,3 +293,31 @@ def test_quantile_transform_is_two_phase_and_uniform(spark, sf_dir):
     # exact uniform grid: (i - 0.5) / n for i = 1..n
     assert pcts[0] == round(0.5 / n, 6) and pcts[-1] == round((n - 0.5) / n, 6)
     assert len(set(pcts)) == n
+
+
+def test_run_length_stats_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.profile import (
+        run_length_stats,
+    )
+
+    # order by i: values A A B B B A NULL NULL A -> runs = 5
+    vals = ["A", "A", "B", "B", "B", "A", None, None, "A"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v string"
+    )
+    r = run_length_stats(df, [F.col("i").asc()], "v", num_partitions=4).collect()[0]
+    assert (r["n"], r["runs"]) == (9, 5)
+
+    # single run across many partitions (boundaries must NOT split it)
+    df2 = spark.range(1000).select(F.col("id").alias("i"), F.lit("x").alias("v"))
+    r2 = run_length_stats(df2, [F.col("i").asc()], "v", num_partitions=8).collect()[0]
+    assert (r2["n"], r2["runs"]) == (1000, 1)
+
+    # alternating values: every row its own run
+    df3 = spark.range(100).select(
+        F.col("id").alias("i"), (F.col("id") % 2).cast("string").alias("v")
+    )
+    r3 = run_length_stats(df3, [F.col("i").asc()], "v", num_partitions=8).collect()[0]
+    assert (r3["n"], r3["runs"]) == (100, 100)
