@@ -676,3 +676,57 @@ def test_bfs_lineage_is_checkpoint_bounded(spark):
     plan = _plan(dists)
     # rounds consume materialized frontiers, not a 3x-unrolled join tree
     assert "ExistingRDD" in plan
+
+
+def test_zorder_audit_rank_is_two_phase(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["zorder_pruning_audit"](spark, SF_DIR))
+    # file assignment rides the two-phase rank's range exchange
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan
+
+
+def test_attribution_linear_collapses_clicks_before_join(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["attribution_linear_events"](spark, SF_DIR))
+    low = plan.lower()
+    # the click side must aggregate (user, ts, channel) BEFORE the
+    # pairwise join — a hash aggregate keyed on click_ts must exist
+    assert "hashaggregate" in low and "click_ts" in low
+    # and the pairing is an equi-join, never a nested-loop range join
+    assert "broadcastnestedloopjoin" not in low
+    assert "cartesianproduct" not in low
+
+
+def test_run_length_stats_no_global_window(spark):
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.profile import (
+        run_length_stats,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = run_length_stats(
+        li, [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()], "l_returnflag"
+    )
+    plan = _plan(df)
+    # data flows through the range exchange; the only unpartitioned
+    # window is over the partitions-sized per-pid table
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_weighted_median_no_buffering_aggregate(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.percentile import (
+        weighted_median_grouped,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(
+        weighted_median_grouped(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+    )
+    low = plan.lower()
+    assert "rangepartitioning" in low
+    # never the value-buffering percentile aggregate
+    assert "percentile" not in low

@@ -44,6 +44,8 @@ CASES = [
     ("ks_drift_orders", "Exact KS: two STACKED two-phase cumsums over one persisted range exchange (InMemoryRelation pins a single execution for every branch); the argmax is an ordinary aggregate, no global sort."),
     ("weighted_median_lineitem", "Weighted median with no per-group buffer: per-(key,value) weight collapse, persisted range exchange, pid-local weight cumsum + broadcast per-key offsets, crossing-value aggregate."),
     ("ppr_parts_seeded", "Personalized PageRank: per-round edges join a BROADCAST rank/degree table and a BROADCAST seed reset vector; lineage checkpoint-bounded like pagerank."),
+    ("attribution_linear_events", "Multi-touch pairing as a chunk equi-join (purchases exploded to candidate days) over PRE-COLLAPSED weighted clicks - no theta range join, duplicates fold before the pairwise step."),
+    ("encoding_advisor_lineitem", "Ordered run-length stats with NO global window: range exchange + pid-local change counts + a partitions-sized boundary reconciliation, x3 columns unioned."),
 ]
 
 
