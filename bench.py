@@ -132,6 +132,8 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "overdispersion_events",
+    "knn_recall_audit",
     "encoding_advisor_lineitem",
     "scd3_merge_customers",
     "fk_orphan_audit",

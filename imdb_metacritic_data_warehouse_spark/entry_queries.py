@@ -11001,6 +11001,165 @@ def encoding_advisor_lineitem(spark, sf_dir):
     ).orderBy("col_name")
 
 
+# Overdispersion (variance-to-mean ratio) of daily event counts per
+# type — the count-model diagnostic (Poisson ⇒ ratio ≈ 1; bursty or
+# clumped traffic pushes it up) that decides negative-binomial vs
+# Poisson alerting baselines.  Counts are integers; mean/variance come
+# from integer power sums with identical expression shape (never
+# var_samp — engines disagree in last ulps), round-6.
+@query(
+    "overdispersion_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, sc AS n_events,
+           round(CAST(sc AS DOUBLE) / n_days, 6) AS mean_daily,
+           round((scc - CAST(sc AS DOUBLE) * sc / n_days) / (n_days - 1), 6)
+             AS var_daily,
+           round(((scc - CAST(sc AS DOUBLE) * sc / n_days) / (n_days - 1))
+                 / (CAST(sc AS DOUBLE) / n_days), 6) AS dispersion
+    FROM s WHERE n_days > 1 ORDER BY event_type
+    """,
+)
+def overdispersion_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n_days")
+    var = (F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    return (
+        s.filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("sc").alias("n_events"),
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(var, 6).alias("var_daily"),
+            F.round(var / mean, 6).alias("dispersion"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ANN recall audit — the quality half of the LSH k-NN story: for a
+# deterministic hash-chosen query sample, exact brute-force top-5
+# neighbors vs the bucketed knn_graph's top-5, recall@5 per query.
+# The exact side is |sample|×N (bounded by the FIXED sample size, the
+# same contract as embedding_cosine_topk's broadcast query set); the
+# approximate side is the production bucket-bounded graph.  The
+# oracle replays BOTH (brute force + hyperplane buckets), so recall is
+# value-hash checked, not asserted.
+@query(
+    "knn_recall_audit",
+    f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, v FROM vecs WHERE vec_id % 50 = 0
+    ),
+    exact AS (
+      SELECT src, dst FROM (
+        SELECT q.vec_id AS src, z.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(list_dot_product(q.v, z.v), 6) DESC,
+                                           z.vec_id) AS rk
+        FROM q JOIN vecs z ON q.vec_id <> z.vec_id
+      ) WHERE rk <= 5
+    ),
+    b AS (
+      {{buckets}}
+    ),
+    scored AS (
+      SELECT DISTINCT a.vec_id AS src, z.vec_id AS dst,
+             round(list_dot_product(a.v, z.v), 6) AS score
+      FROM b a JOIN b z ON a.tbl = z.tbl AND a.bucket = z.bucket
+                        AND a.vec_id <> z.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM q)
+    ),
+    approx AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY score DESC, dst) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    )
+    SELECT e.src AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           round(CAST(SUM(CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall_at_5
+    FROM exact e LEFT JOIN approx a ON e.src = a.src AND e.dst = a.dst
+    GROUP BY e.src
+    ORDER BY vec_id
+    """.format(buckets=_knn_buckets_sql(6, 4)),
+)
+def knn_recall_audit(spark, sf_dir):
+    from .operators.similarity import _dot, knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    # deterministic engine-portable query sample (the sample RATE is
+    # the audit's cost knob; the exact side is |sample| x N)
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    exact = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("query_id").alias("src"), F.col("cand_id").alias("dst"))
+    )
+    approx = (
+        knn_graph(e, k=5, n_planes=6, n_tables=4)
+        .join(F.broadcast(q.select(F.col("query_id").alias("src"))), "src", "left_semi")
+        .select("src", "dst")
+    )
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "vec_id",
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("k"), 6).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -11027,6 +11186,8 @@ def encoding_advisor_lineitem(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "overdispersion_events",
+    "knn_recall_audit",
     "encoding_advisor_lineitem",
     "scd3_merge_customers",
     "fk_orphan_audit",
@@ -11073,13 +11234,11 @@ _PRIORITY_PREFIX = [
     "cusum_changepoint_daily",
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
-    "attribution_last_touch",
     "gdpr_erasure_cascade",
     # --- changed this round (riskiest rewrites need re-validation;
     #     the scratch-isolation-only warehouse_* changes are locally
     #     verified and stay out to leave room for the backlog) ---
     "multimodal_features",
-    "approx_sketches",
     "exact_percentiles",
     # --- never-driver-checked backlog (34 of the remaining 61;
     #     the rest rotate in next round) ---
