@@ -132,6 +132,8 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "crosscorr_clicks_purchases",
+    "cohort_ltv_events",
     "overdispersion_events",
     "knn_recall_audit",
     "encoding_advisor_lineitem",

@@ -11160,6 +11160,150 @@ def knn_recall_audit(spark, sf_dir):
     )
 
 
+# Lead-lag cross-correlation — Pearson correlation of daily click
+# counts against purchase counts shifted by k ∈ [−3, 3] days (does
+# click volume LEAD purchases?).  The series are calendar-bounded
+# day aggregates; each lag is one closed-form correlation over
+# integer count sums (the daily_revenue_trend normal-equation
+# discipline) — no window state, no per-lag re-scan of the fact
+# table (the day table is built once).
+@query(
+    "crosscorr_clicks_purchases",
+    """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag_days),
+    paired AS (
+      SELECT l.lag_days, a.clicks AS x, b.purchases AS y
+      FROM lags l
+      JOIN days a ON TRUE
+      JOIN days b ON b.d = a.d + CAST(l.lag_days AS INTEGER)
+    ),
+    s AS (
+      SELECT lag_days, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(x AS DOUBLE)) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+             SUM(CAST(x AS DOUBLE) * x) AS sxx, SUM(CAST(y AS DOUBLE) * y) AS syy,
+             SUM(CAST(x AS DOUBLE) * y) AS sxy
+      FROM paired GROUP BY lag_days
+    )
+    SELECT CAST(lag_days AS INTEGER) AS lag_days, CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS ccf
+    FROM s ORDER BY lag_days
+    """,
+)
+def crosscorr_clicks_purchases(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    days = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("bigint").alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("purchases"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag_days"))
+    a = days.select(F.col("d").alias("da"), F.col("clicks").alias("x"))
+    b = days.select(F.col("d").alias("db"), F.col("purchases").alias("y"))
+    paired = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("db") == F.expr("date_add(da, lag_days)"))
+        .select("lag_days", "x", "y")
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    s = paired.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("lag_days").cast("int").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("ccf"),
+    ).orderBy("lag_days")
+
+
+# Cohort LTV curve — cumulative revenue per signup cohort and
+# cohort-age day, normalized per user (the monetization twin of
+# cohort_retention_events' count matrix).  Revenue accumulates in
+# EXACT decimal along the age axis (decimal prefix sums are
+# order-free); cohort sizes are integers; the only double is the
+# final per-user division.  The (cohort × age) frame is calendar² —
+# bounded however large the event stream.
+@query(
+    "cohort_ltv_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d FROM events GROUP BY user_id
+    ),
+    sizes AS (SELECT cohort_d, COUNT(*) AS n_users FROM first_seen GROUP BY cohort_d),
+    rev AS (
+      SELECT f.cohort_d, CAST(CAST(e.ts AS DATE) - f.cohort_d AS INTEGER) AS age_d,
+             SUM(CAST(e.value AS DECIMAL(18,4))) AS r
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_d, age_d,
+             SUM(r) OVER (PARTITION BY cohort_d ORDER BY age_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+      FROM rev
+    )
+    SELECT CAST(c.cohort_d AS VARCHAR) AS cohort_day, c.age_d,
+           s.n_users,
+           CAST(ROUND(c.cum_r, 2) AS DOUBLE) AS cum_revenue,
+           round(CAST(c.cum_r AS DOUBLE) / s.n_users, 6) AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort_d = s.cohort_d
+    ORDER BY cohort_day, age_d
+    """,
+)
+def cohort_ltv_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
+    sizes = first_seen.groupBy("cohort_d").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_d",
+            F.datediff(F.to_date("ts"), F.col("cohort_d")).alias("age_d"),
+        )
+        .agg(F.sum(_dec("value")).alias("r"))
+    )
+    wc = (
+        Window.partitionBy("cohort_d")
+        .orderBy("age_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_r", F.sum("r").over(wc))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_d")
+        .select(
+            F.col("cohort_d").cast("string").alias("cohort_day"),
+            "age_d",
+            "n_users",
+            F.round("cum_r", 2).cast("double").alias("cum_revenue"),
+            F.round(F.col("cum_r").cast("double") / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_day", "age_d")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -11186,6 +11330,8 @@ def knn_recall_audit(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "crosscorr_clicks_purchases",
+    "cohort_ltv_events",
     "overdispersion_events",
     "knn_recall_audit",
     "encoding_advisor_lineitem",
@@ -11234,11 +11380,9 @@ _PRIORITY_PREFIX = [
     "cusum_changepoint_daily",
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
-    "gdpr_erasure_cascade",
     # --- changed this round (riskiest rewrites need re-validation;
     #     the scratch-isolation-only warehouse_* changes are locally
     #     verified and stay out to leave room for the backlog) ---
-    "multimodal_features",
     "exact_percentiles",
     # --- never-driver-checked backlog (34 of the remaining 61;
     #     the rest rotate in next round) ---
