@@ -10965,28 +10965,33 @@ def scd3_merge_customers(spark, sf_dir):
     """,
 )
 def encoding_advisor_lineitem(spark, sf_dir):
-    from .operators.profile import run_length_stats
+    from .operators.profile import run_length_stats_multi
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+    )
     order_cols = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
-
-    def col_stats(name, col_expr):
-        runs = run_length_stats(
-            li.select(
-                F.col("l_orderkey"), F.col("l_linenumber"), col_expr.alias("__c")
-            ),
-            order_cols,
-            "__c",
+    cols = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    # ONE range exchange audits all three columns (run_length_stats_multi);
+    # the distinct counts share one scan the same way (profile_numeric's
+    # no-cross-branch-CSE rule)
+    runs = run_length_stats_multi(li, order_cols, cols)
+    nd_wide = li.agg(
+        *[F.count_distinct(c).cast("bigint").alias(f"__nd_{c}") for c in cols]
+    )
+    nd = nd_wide.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"'{c}', __nd_{c}" for c in cols)
+            + ") AS (col_name, n_distinct)"
         )
-        nd = li.agg(F.count_distinct(col_expr).cast("bigint").alias("n_distinct"))
-        return runs.crossJoin(F.broadcast(nd)).select(
-            F.lit(name).alias("col_name"), "n", "n_distinct", "runs"
-        )
-
-    out = (
-        col_stats("l_returnflag", F.col("l_returnflag"))
-        .unionByName(col_stats("l_linestatus", F.col("l_linestatus")))
-        .unionByName(col_stats("l_shipdate", F.to_date("l_shipdate")))
+    )
+    out = runs.join(F.broadcast(nd), "col_name").select(
+        "col_name", "n", "n_distinct", "runs"
     )
     return out.select(
         "col_name",

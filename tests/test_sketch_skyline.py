@@ -321,3 +321,29 @@ def test_run_length_stats_hand_case(spark):
     )
     r3 = run_length_stats(df3, [F.col("i").asc()], "v", num_partitions=8).collect()[0]
     assert (r3["n"], r3["runs"]) == (100, 100)
+
+
+def test_run_length_stats_multi_matches_single(spark):
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.profile import (
+        run_length_stats,
+        run_length_stats_multi,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") / 100).cast("int").cast("string").alias("b"),
+    )
+    multi = {
+        r["col_name"]: (r["n"], r["runs"])
+        for r in run_length_stats_multi(
+            df, [F.col("i").asc()], ["a", "b"], num_partitions=6
+        ).collect()
+    }
+    for c in ["a", "b"]:
+        single = run_length_stats(
+            df, [F.col("i").asc()], c, num_partitions=6
+        ).collect()[0]
+        assert multi[c] == (single["n"], single["runs"]), c
