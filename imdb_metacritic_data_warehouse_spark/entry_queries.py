@@ -11309,6 +11309,56 @@ def cohort_ltv_events(spark, sf_dir):
     )
 
 
+# Per-dimension embedding health stats — collapsed/dead dimensions
+# (near-zero variance) and mean drift are the first signals of a bad
+# embedding export; 64 groups out however many vectors come in
+# (posexplode → dim-keyed aggregate with map-side partials).  Mean and
+# variance from power sums with identical expression shape (the
+# overdispersion discipline — never var_samp); float inputs are
+# upcast once and rounded at 6.
+@query(
+    "embedding_dim_stats",
+    """
+    WITH comp AS (
+      SELECT g.i - 1 AS dim, CAST(v[g.i] AS DOUBLE) AS x
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    ),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM comp GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           round(sx / n, 6) AS mean_v,
+           round((sxx - sx * sx / n) / (n - 1), 6) AS var_v
+    FROM s WHERE n > 1 ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    s = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return (
+        s.filter(F.col("n") > 1)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            F.round(mean, 6).alias("mean_v"),
+            F.round(var, 6).alias("var_v"),
+        )
+        .orderBy("dim")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -11335,6 +11385,7 @@ def cohort_ltv_events(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "embedding_dim_stats",
     "crosscorr_clicks_purchases",
     "cohort_ltv_events",
     "overdispersion_events",
