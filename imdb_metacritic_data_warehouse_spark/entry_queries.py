@@ -11436,12 +11436,6 @@ _PRIORITY_PREFIX = [
     "cusum_changepoint_daily",
     # --- changed this round AND never driver-checked ---
     "hybrid_search_rrf",
-    # --- changed this round (riskiest rewrites need re-validation;
-    #     the scratch-isolation-only warehouse_* changes are locally
-    #     verified and stay out to leave room for the backlog) ---
-    "exact_percentiles",
-    # --- never-driver-checked backlog (34 of the remaining 61;
-    #     the rest rotate in next round) ---
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
