@@ -132,6 +132,7 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "neardup_cluster_sizes",
     "embedding_dim_stats",
     "crosscorr_clicks_purchases",
     "cohort_ltv_events",

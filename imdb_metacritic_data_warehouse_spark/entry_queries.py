@@ -11359,6 +11359,65 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+# Near-dup cluster-size distribution — the dedup OUTPUT audit (how
+# much boilerplate is there, and how big do clusters get?) that decides
+# whether the similarity threshold is right before anything is
+# dropped.  Pure composition: the committed CC labels (content-keyed
+# cache shared with neardup_clusters) → per-cluster sizes → size
+# histogram + the largest cluster's canonical id.  Output is
+# histogram-sized however big the corpus; the oracle replays the full
+# LSH + recursive-CTE pipeline.
+@query(
+    "neardup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {{corpus}},
+    sig AS (
+      SELECT doc_id,
+        {{sig}} AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    labels AS (SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n),
+    sizes AS (SELECT cluster, COUNT(*) AS sz FROM labels GROUP BY cluster)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           MIN(cluster) AS example_cluster
+    FROM sizes GROUP BY sz ORDER BY cluster_size
+    """.format(corpus=_MINHASH_CORPUS_SQL, sig=_MINHASH_SIG_SQL),
+)
+def neardup_cluster_sizes(spark, sf_dir):
+    labels = _neardup_labels_cached(spark, sf_dir)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.min("cluster").alias("example_cluster"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -11385,6 +11444,7 @@ def embedding_dim_stats(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "neardup_cluster_sizes",
     "embedding_dim_stats",
     "crosscorr_clicks_purchases",
     "cohort_ltv_events",
@@ -11434,8 +11494,6 @@ _PRIORITY_PREFIX = [
     "incremental_agg_from_cdf",
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
-    # --- changed this round AND never driver-checked ---
-    "hybrid_search_rrf",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
