@@ -132,6 +132,8 @@ HEADLINE = [
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
     # round-4 continuation: sketch/skyline/BFS/drift/survival batch
+    "revenue_share_of_parent",
+    "source_histogram_overlap",
     "neardup_cluster_sizes",
     "embedding_dim_stats",
     "crosscorr_clicks_purchases",

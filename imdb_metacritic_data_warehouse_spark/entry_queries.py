@@ -11418,6 +11418,114 @@ def neardup_cluster_sizes(spark, sf_dir):
     )
 
 
+# Contribution analysis — each nation's share of ITS REGION's revenue
+# (share-of-parent, the drill-down companion to rollup_orders' grand
+# totals).  Two aggregates on the same joined frame + one broadcast
+# join back; shares are exact-decimal ratios rounded once.
+@query(
+    "revenue_share_of_parent",
+    """
+    WITH nrev AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    ),
+    rrev AS (SELECT region, SUM(rev) AS region_rev FROM nrev GROUP BY region)
+    SELECT n.region, n.nation,
+           CAST(ROUND(n.rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(n.rev AS DOUBLE) / CAST(r.region_rev AS DOUBLE), 6)
+             AS share_of_region
+    FROM nrev n JOIN rrev r ON n.region = r.region
+    ORDER BY n.region, n.nation
+    """,
+)
+def revenue_share_of_parent(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    nrev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("rev"))
+    )
+    rrev = nrev.groupBy("region").agg(F.sum("rev").alias("region_rev"))
+    return (
+        nrev.join(F.broadcast(rrev), "region")
+        .select(
+            "region",
+            "nation",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("region_rev").cast("double"), 6
+            ).alias("share_of_region"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# Distribution-level source similarity — pairwise histogram
+# intersection (Σ min(pᵢ, qᵢ)) of per-source document-length
+# histograms: catches a source that is a re-crawl/mirror of another
+# even when no individual document matches (the distributional
+# complement to the content-hash dedup stack).  Histograms are
+# |sources|×bins — the pairwise step is bounded by catalog size, never
+# corpus size; shares are integer-count ratios with identical shape.
+@query(
+    "source_histogram_overlap",
+    """
+    WITH b AS (
+      SELECT source, LEAST(9, CAST(FLOOR(n_chars / 100.0) AS INTEGER)) AS bin,
+             COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM b GROUP BY source),
+    sh AS (
+      SELECT b.source, b.bin, CAST(b.c AS DOUBLE) / t.n AS p
+      FROM b JOIN tot t ON b.source = t.source
+    )
+    SELECT a.source AS source_a, z.source AS source_b,
+           round(SUM(LEAST(a.p, z.p)), 6) AS overlap
+    FROM sh a JOIN sh z ON a.bin = z.bin AND a.source < z.source
+    GROUP BY a.source, z.source
+    ORDER BY source_a, source_b
+    """,
+)
+def source_histogram_overlap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    b = d.groupBy(
+        "source",
+        F.least(F.lit(9), F.floor(F.col("n_chars") / 100.0).cast("int")).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = b.groupBy("source").agg(F.sum("c").alias("n"))
+    sh = b.join(tot, "source").select(
+        "source", "bin", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a = sh.select(
+        F.col("source").alias("source_a"), F.col("bin").alias("bin"), F.col("p").alias("pa")
+    )
+    z = sh.select(
+        F.col("source").alias("source_b"), F.col("bin").alias("bin2"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(z, (F.col("bin") == F.col("bin2")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum(F.least("pa", "pb")), 6).alias("overlap"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -11444,6 +11552,8 @@ def neardup_cluster_sizes(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "revenue_share_of_parent",
+    "source_histogram_overlap",
     "neardup_cluster_sizes",
     "embedding_dim_stats",
     "crosscorr_clicks_purchases",
@@ -11484,13 +11594,11 @@ _PRIORITY_PREFIX = [
     "pareto_frontier_parts",
     "bfs_khop_parts",
     "psi_drift_orders",
-    "pipeline_movie_genre_link",
     "triangle_counts_parts",
     "minhash_estimate_audit",
     "entity_clusters_parts",
     "tfidf_topk_docs",
     "bpe_train_merges_docs",
-    "mad_outliers_lineitem",
     "incremental_agg_from_cdf",
     "leakage_safe_split_events",
     "cusum_changepoint_daily",
