@@ -11526,6 +11526,790 @@ def source_histogram_overlap(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data / unit-mixup
+# detector for financial facts: observed first-significant-digit shares
+# of l_extendedprice vs the Benford expectation log10(1+1/d), with the
+# per-digit chi-square contribution.  The digit comes from the DECIMAL
+# string (never log10 of a double: at exact powers of ten the log path
+# is one ulp from flipping the digit); ln(1+1/d)/ln(10) is irrational so
+# round-6 absorbs libm last-ulp differences (established ln-under-round-6
+# rule, NOTES parity rules).
+@query(
+    "benford_audit_lineitem",
+    """
+    WITH d AS (
+      SELECT regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                            '[1-9]', 0) AS digit
+      FROM lineitem
+      WHERE l_extendedprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT CAST(digit AS INTEGER) AS digit,
+           n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed_p,
+           round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS benford_p,
+           round(
+             (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+             / (CAST(total AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6)
+             AS chi2_cell
+    FROM c CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def benford_audit_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digit = F.regexp_extract(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+    ).alias("digit")
+    c = li.select(digit).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    nd = F.col("n").cast("double")
+    totd = F.col("total").cast("double")
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    expected = totd * benford
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n",
+            F.round(nd / totd, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round((nd - expected) * (nd - expected) / expected, 6).alias("chi2_cell"),
+        )
+        .orderBy("digit")
+    )
+
+
+# Exact higher moments (skewness / excess kurtosis) per group from raw
+# power sums — the distribution-shape profiler next to mean/stddev
+# (profile_lineitem_numeric) and MAD (mad_outliers).  Every power sum is
+# an exact DECIMAL (quantity fits (6,1); q⁴ products stay ≤ precision
+# 27+10 after the sum-widening — under the 38 cap, so no silent
+# precision-loss rescale, NOTES float-parity rule #5); central moments
+# are derived in doubles with an identical expression tree on both
+# engines, round-6 at the end.  Two-pass-free: one scan, map-side
+# partial aggregation, group-count-sized shuffle.
+@query(
+    "moments_quantity_lineitem",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(6,1))) AS s1,
+             SUM(CAST(l_quantity AS DECIMAL(6,1)) * CAST(l_quantity AS DECIMAL(6,1))) AS s2,
+             SUM((CAST(l_quantity AS DECIMAL(6,1)) * CAST(l_quantity AS DECIMAL(6,1)))
+                 * CAST(l_quantity AS DECIMAL(6,1))) AS s3,
+             SUM((CAST(l_quantity AS DECIMAL(6,1)) * CAST(l_quantity AS DECIMAL(6,1)))
+                 * (CAST(l_quantity AS DECIMAL(6,1)) * CAST(l_quantity AS DECIMAL(6,1)))) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    r AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s
+    ),
+    m AS (
+      SELECT l_returnflag, n, m1,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+      FROM r
+    )
+    SELECT l_returnflag, n,
+           round(m1, 6) AS mean_qty,
+           round(m2, 6) AS var_qty,
+           round(m3 / (sqrt(m2) * m2), 6) AS skewness_qty,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis_qty
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def moments_quantity_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(6,1)")
+    q2 = q * q
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q2).alias("s2"),
+        F.sum(q2 * q).alias("s3"),
+        F.sum(q2 * q2).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    r = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1").cast("double") / nd).alias("m1"),
+        (F.col("s2").cast("double") / nd).alias("r2"),
+        (F.col("s3").cast("double") / nd).alias("r3"),
+        (F.col("s4").cast("double") / nd).alias("r4"),
+    )
+    m1 = F.col("m1")
+    m = r.select(
+        "l_returnflag",
+        "n",
+        "m1",
+        (F.col("r2") - m1 * m1).alias("m2"),
+        (F.col("r3") - F.lit(3.0) * m1 * F.col("r2") + F.lit(2.0) * m1 * m1 * m1).alias(
+            "m3"
+        ),
+        (
+            F.col("r4")
+            - F.lit(4.0) * m1 * F.col("r3")
+            + F.lit(6.0) * m1 * m1 * F.col("r2")
+            - F.lit(3.0) * m1 * m1 * m1 * m1
+        ).alias("m4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round("m1", 6).alias("mean_qty"),
+        F.round("m2", 6).alias("var_qty"),
+        F.round(F.col("m3") / (F.sqrt(F.col("m2")) * F.col("m2")), 6).alias(
+            "skewness_qty"
+        ),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 6).alias(
+            "excess_kurtosis_qty"
+        ),
+    ).orderBy("l_returnflag")
+
+
+# Word-collocation mining — top PMI bigrams over the document corpus
+# (the lexical-association layer between bpe_pair_counts, which counts
+# symbol pairs, and mutual_information_events, which scores categorical
+# cells).  Token arrays are cleaned BEFORE adjacency (empty split
+# artifacts removed) so both engines see identical neighbor pairs; PMI's
+# ratio is assembled as one left-associated double product/quotient of
+# exact integer counts, then a single ln under round-6.  Corpus is
+# touched once; everything after the two token aggs is
+# vocabulary-sized.  The cutoff orders on the ROUNDED pmi (then w1, w2)
+# so the LIMIT boundary is ulp-stable across engines.
+@query(
+    "collocations_pmi_docs",
+    """
+    WITH arr AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tok AS (SELECT unnest(ws) AS word FROM arr),
+    uni AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    tuni AS (SELECT COUNT(*) AS t FROM tok),
+    pairs AS (
+      SELECT struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2
+      FROM (SELECT unnest(list_zip(ws, ws[2:])) AS p FROM arr)
+      WHERE struct_extract(p, 2) IS NOT NULL
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+    tbi AS (SELECT COUNT(*) AS tb FROM pairs)
+    SELECT b.w1, b.w2, b.cb,
+           round(ln(CAST(b.cb AS DOUBLE) * CAST(t.t AS DOUBLE) * CAST(t.t AS DOUBLE)
+                    / (CAST(tb.tb AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6)
+             AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.word
+    JOIN uni u2 ON b.w2 = u2.word
+    CROSS JOIN tuni t CROSS JOIN tbi tb
+    WHERE b.cb >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 100
+    """,
+)
+def collocations_pmi_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    ).alias("ws")
+    arr = d.select(ws)
+    tok = arr.select(F.explode("ws").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tuni = tok.agg(F.count(F.lit(1)).alias("t"))
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= 5)
+    )
+    tbi = pairs.agg(F.count(F.lit(1)).alias("tb"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    ratio = (
+        F.col("cb").cast("double") * F.col("t").cast("double") * F.col("t").cast("double")
+    ) / (
+        F.col("tb").cast("double") * F.col("c1").cast("double") * F.col("c2").cast("double")
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tuni))
+        .crossJoin(F.broadcast(tbi))
+        .select("w1", "w2", "cb", F.round(F.log(ratio), 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+# Per-nation OLS revenue trend — closed-form slope/intercept of monthly
+# revenue against a month index from exact decimal power sums (the
+# linear-dependence measure next to Spearman's rho and the EWMA control
+# chart).  The monthly y is cast DOWN to scale 4 before the second-level
+# sums — price(2fr)·(1−disc)(2fr) carries ≤4 fractional digits, so the
+# cast is EXACT while keeping x·y under precision 38 (rule-#5 headroom);
+# slope and intercept share one denominator, assembled identically on
+# both engines, round-6 on doubles at the end.
+@query(
+    "ols_trend_nation_monthly",
+    """
+    WITH m AS (
+      SELECT n_name AS nation,
+             CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(24,4)) AS y
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nation, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(10,0))) AS sx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0))) AS sxx
+      FROM m GROUP BY nation
+    )
+    SELECT nation, n AS n_months,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sxx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept
+    FROM s ORDER BY nation
+    """,
+)
+def ols_trend_nation_monthly(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    m = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(F.sum(rev).cast("decimal(24,4)").alias("y"))
+    )
+    xd = F.col("x").cast("decimal(10,0)")
+    s = m.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    den = nd * sxxd - sxd * sxd
+    return s.select(
+        "nation",
+        F.col("n").alias("n_months"),
+        F.round((nd * sxyd - sxd * syd) / den, 6).alias("slope"),
+        F.round((sxxd * syd - sxd * sxyd) / den, 6).alias("intercept"),
+    ).orderBy("nation")
+
+
+# Simpson's-paradox detector — per-stratum OLS slope of order value on
+# time vs the POOLED slope, flagging strata whose rounded trend sign
+# disagrees with the aggregate trend (the aggregation-bias audit that
+# belongs next to share_of_parent and the drift monitors; a pooled
+# "revenue is growing" can hide every priority class shrinking).  Same
+# exact-decimal power-sum discipline as ols_trend; the flip flag
+# compares signs of the ROUND-6 slopes so an ulp never flips a boolean.
+@query(
+    "simpson_paradox_orders",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority AS stratum,
+             CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT stratum, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(10,0))) AS sx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0))) AS sxx
+      FROM pts GROUP BY stratum
+    ),
+    p AS (
+      SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(10,0))) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0))) AS sxx
+      FROM pts
+    ),
+    sl AS (
+      SELECT stratum, s.n,
+             round((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                    - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                   / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                      - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)), 6) AS slope_stratum,
+             round((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                    - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                   / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                      - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)), 6) AS slope_pooled
+      FROM s CROSS JOIN p
+    )
+    SELECT stratum, n AS n_orders, slope_stratum, slope_pooled,
+           (slope_stratum > 0) <> (slope_pooled > 0) AS sign_flipped
+    FROM sl ORDER BY stratum
+    """,
+)
+def simpson_paradox_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        )
+        .cast("int")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(10,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    ]
+    s = pts.groupBy("stratum").agg(*aggs)
+
+    def slope(prefix=""):
+        nd = F.col(f"{prefix}n").cast("double")
+        sx = F.col(f"{prefix}sx").cast("double")
+        sy = F.col(f"{prefix}sy").cast("double")
+        sxy = F.col(f"{prefix}sxy").cast("double")
+        sxx = F.col(f"{prefix}sxx").cast("double")
+        return F.round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+
+    p = pts.agg(*aggs).select(
+        F.col("n").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+        F.col("sxy").alias("psxy"),
+        F.col("sxx").alias("psxx"),
+    )
+    sl = s.crossJoin(F.broadcast(p)).select(
+        "stratum",
+        F.col("n").alias("n_orders"),
+        slope().alias("slope_stratum"),
+        slope("p").alias("slope_pooled"),
+    )
+    return sl.select(
+        "stratum",
+        "n_orders",
+        "slope_stratum",
+        "slope_pooled",
+        ((F.col("slope_stratum") > 0) != (F.col("slope_pooled") > 0)).alias(
+            "sign_flipped"
+        ),
+    ).orderBy("stratum")
+
+
+# ORC round-trip — the columnar format the engine supports beyond
+# parquet/CSV/JSON (S9/S11 source-sink family): write a lineitem
+# projection as ORC, read it back with a pushed-down predicate, and
+# aggregate.  The oracle aggregates the same rows from the original
+# parquet — value-hash equality proves the ORC sink/source preserves
+# doubles, varchars, and timestamps bit-for-bit.  Scratch hygiene:
+# per-invocation mkdtemp + eager checkpoint + cleanup (_scratch_dir /
+# _finish_scratch), same as the warehouse disk queries.
+@query(
+    "orc_roundtrip_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip_lineitem(spark, sf_dir):
+    root = _scratch_dir("orc_rt", sf_dir)
+    path = os.path.join(root, "lineitem_orc")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("l_quantity") >= 25)
+    agg = (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.min("l_shipdate").cast("string").alias("min_shipdate"),
+            F.max("l_shipdate").cast("string").alias("max_shipdate"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return _finish_scratch(agg, root)
+
+
+# RFM segmentation — the classic customer-value warehouse mart:
+# recency / frequency / monetary quintile scores per customer, each
+# quintile assigned by the two-phase global rank (deterministic ntile —
+# customers at the same last-order date / order count break ties on
+# custkey, so both engines agree on every boundary row).  Score
+# arithmetic is INTEGER floor division ((rank−1)·5 div n): a double
+# division here would flip a score wherever (rank−1)·5 is an exact
+# multiple of n and the quotient lands one ulp under the integer.
+@query(
+    "rfm_segments_customers",
+    """
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    x AS (SELECT MAX(last_order) AS maxd, COUNT(*) AS n FROM m),
+    r AS (
+      SELECT m.custkey,
+             date_diff('day', m.last_order, x.maxd) AS recency_days,
+             m.freq, m.monetary, x.n,
+             row_number() OVER (ORDER BY m.last_order DESC, m.custkey) AS rr,
+             row_number() OVER (ORDER BY m.freq DESC, m.custkey) AS fr,
+             row_number() OVER (ORDER BY m.monetary DESC, m.custkey) AS mr
+      FROM m CROSS JOIN x
+    )
+    SELECT custkey, recency_days, freq AS frequency,
+           CAST(ROUND(monetary, 2) AS DOUBLE) AS monetary,
+           CAST(5 - ((rr - 1) * 5) // n AS INTEGER) AS r_score,
+           CAST(5 - ((fr - 1) * 5) // n AS INTEGER) AS f_score,
+           CAST(5 - ((mr - 1) * 5) // n AS INTEGER) AS m_score,
+           CONCAT(CAST(5 - ((rr - 1) * 5) // n AS VARCHAR),
+                  CAST(5 - ((fr - 1) * 5) // n AS VARCHAR),
+                  CAST(5 - ((mr - 1) * 5) // n AS VARCHAR)) AS rfm_segment
+    FROM r ORDER BY custkey
+    """,
+)
+def rfm_segments_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    x = m.agg(F.max("last_order").alias("maxd"), F.count(F.lit(1)).alias("n"))
+    rr = global_row_number(
+        m, [F.col("last_order").desc(), F.col("custkey").asc()], out_col="rr"
+    ).select("custkey", "rr")
+    fr = global_row_number(
+        m, [F.col("freq").desc(), F.col("custkey").asc()], out_col="fr"
+    ).select("custkey", "fr")
+    mr = global_row_number(
+        m, [F.col("monetary").desc(), F.col("custkey").asc()], out_col="mr"
+    ).select("custkey", "mr")
+    r = (
+        m.join(rr, "custkey")
+        .join(fr, "custkey")
+        .join(mr, "custkey")
+        .crossJoin(F.broadcast(x))
+    )
+
+    def score(rank_col: str):
+        return F.expr(f"CAST(5 - (CAST(({rank_col} - 1) * 5 AS BIGINT) div n) AS INT)")
+
+    return r.select(
+        "custkey",
+        F.datediff(F.col("maxd"), F.col("last_order")).alias("recency_days"),
+        F.col("freq").alias("frequency"),
+        F.round("monetary", 2).cast("double").alias("monetary"),
+        score("rr").alias("r_score"),
+        score("fr").alias("f_score"),
+        score("mr").alias("m_score"),
+        F.concat(
+            score("rr").cast("string"),
+            score("fr").cast("string"),
+            score("mr").cast("string"),
+        ).alias("rfm_segment"),
+    ).orderBy("custkey")
+
+
+# Seasonal-naïve forecast backtest — forecast(month) = actual(month−12),
+# scored with the absolute percentage error per month (the baseline
+# every fancier forecaster must beat; companion to yoy_growth and the
+# EWMA chart).  Monthly actuals are exact decimals; the division happens
+# once, in doubles, identical shape both engines, round-6.
+@query(
+    "seasonal_naive_mape_monthly",
+    """
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS y
+      FROM orders GROUP BY 1
+    )
+    SELECT a.x AS month_idx,
+           CAST(a.y AS DOUBLE) AS actual,
+           CAST(f.y AS DOUBLE) AS forecast,
+           round(abs(CAST(a.y AS DOUBLE) - CAST(f.y AS DOUBLE)) / CAST(a.y AS DOUBLE), 6)
+             AS ape
+    FROM m a JOIN m f ON a.x = f.x + 12
+    ORDER BY month_idx
+    """,
+)
+def seasonal_naive_mape_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    m = o.groupBy(x.alias("x")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("y")
+    )
+    a = m.select(F.col("x").alias("month_idx"), F.col("y").alias("ya"))
+    f_ = m.select((F.col("x") + 12).alias("month_idx"), F.col("y").alias("yf"))
+    actual = F.col("ya").cast("double")
+    forecast = F.col("yf").cast("double")
+    return (
+        a.join(f_, "month_idx")
+        .select(
+            "month_idx",
+            actual.alias("actual"),
+            forecast.alias("forecast"),
+            F.round(F.abs(actual - forecast) / actual, 6).alias("ape"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+# Sequential A/B test (SPRT) — Wald's log-likelihood-ratio random walk
+# per arm over the daily conversion stream, with the ln(19) decision
+# boundaries (α = β = 0.05): the early-stopping companion to the fixed-
+# horizon ab_test_lift.  The cumulative walk runs over the DAY-level
+# aggregate (calendar-sized, the documented small-table window
+# exemption); p0 comes from the pooled rate so both engines derive the
+# identical double, and every comparison happens on ROUND-6 values so a
+# boundary ulp never flips a decision.
+@query(
+    "sprt_ab_events",
+    """
+    WITH t AS (
+      SELECT CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 < 5000
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(ts AS DATE) AS d,
+             CAST(event_type = 'purchase' AS INTEGER) AS s
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    daily AS (
+      SELECT arm, d, COUNT(*) AS n, SUM(s) AS sct FROM t GROUP BY arm, d
+    ),
+    cum AS (
+      SELECT arm, d,
+             CAST(SUM(n) OVER (PARTITION BY arm ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+             CAST(SUM(sct) OVER (PARTITION BY arm ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_cum
+      FROM daily
+    ),
+    pooled AS (
+      SELECT CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p0 FROM t
+    ),
+    llr AS (
+      SELECT arm, CAST(d AS VARCHAR) AS day, n_cum, s_cum,
+             round(CAST(s_cum AS DOUBLE) * ln((p0 * 1.2) / p0)
+                   + CAST(n_cum - s_cum AS DOUBLE) * ln((1.0 - p0 * 1.2) / (1.0 - p0)), 6)
+               AS llr
+      FROM cum CROSS JOIN pooled
+    )
+    SELECT arm, day, n_cum, s_cum, llr,
+           CASE WHEN llr >= round(ln(19.0), 6) THEN 'reject_h0'
+                WHEN llr <= -round(ln(19.0), 6) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY arm, day
+    """,
+)
+def sprt_ab_events(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    e = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    t = e.select(
+        F.when(hash_bucket(F.col("user_id")) < 5000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.col("ts").cast("date").alias("d"),
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    daily = t.groupBy("arm", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s").alias("sct")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "arm", "d", F.sum("n").over(w).alias("n_cum"), F.sum("sct").over(w).alias("s_cum")
+    )
+    pooled = t.agg(
+        (F.sum("s").cast("double") / F.count(F.lit(1)).cast("double")).alias("p0")
+    )
+    p0 = F.col("p0")
+    llr = F.round(
+        F.col("s_cum").cast("double") * F.log((p0 * F.lit(1.2)) / p0)
+        + (F.col("n_cum") - F.col("s_cum")).cast("double")
+        * F.log((F.lit(1.0) - p0 * F.lit(1.2)) / (F.lit(1.0) - p0)),
+        6,
+    )
+    bound = F.round(F.log(F.lit(19.0)), 6)
+    out = cum.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        F.col("d").cast("string").alias("day"),
+        "n_cum",
+        "s_cum",
+        llr.alias("llr"),
+    )
+    return out.select(
+        "arm",
+        "day",
+        "n_cum",
+        "s_cum",
+        "llr",
+        F.when(F.col("llr") >= bound, F.lit("reject_h0"))
+        .when(F.col("llr") <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("arm", "day")
+
+
+# Dynamic partition overwrite — the lakehouse partial-rewrite contract:
+# write orders partitioned by order-month, then overwrite ONLY one
+# month's partition with restated amounts (partitionOverwriteMode=
+# dynamic), read back a window of months and prove the restatement
+# landed in exactly that partition (siblings keep their original
+# values).  Month arithmetic is the same exact-decimal shape as the
+# restatement oracle; the conf is saved/restored so no other query
+# inherits dynamic mode.  Scratch hygiene per _scratch_dir.
+@query(
+    "partitioned_overwrite_orders",
+    """
+    WITH o AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS ym,
+             CASE WHEN CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                            + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) = 48
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(22,3))
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,3))
+             END AS amount
+      FROM orders
+    )
+    SELECT ym, COUNT(*) AS n_orders,
+           CAST(SUM(amount) AS DOUBLE) AS total
+    FROM o WHERE ym BETWEEN 47 AND 49
+    GROUP BY ym ORDER BY ym
+    """,
+)
+def partitioned_overwrite_orders(spark, sf_dir):
+    root = _scratch_dir("dpo", sf_dir)
+    path = os.path.join(root, "orders_by_month")
+    ym = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    # amount carries the restatement-capable schema (22,3) from v1 so
+    # the restated partition's files agree with their siblings (a wider
+    # decimal in one partition would break the unified read schema);
+    # (18,2) → (22,3) and product → (22,3) are both EXACT casts.
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("decimal(22,3)")
+        .alias("amount"),
+        ym.alias("ym"),
+    )
+    o.write.partitionBy("ym").mode("overwrite").parquet(path)
+    restated = o.filter(F.col("ym") == 48).withColumn(
+        "amount",
+        (F.col("amount") * F.lit("1.1").cast("decimal(2,1)")).cast("decimal(22,3)"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.partitionBy("ym").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path).filter(F.col("ym").between(47, 49))
+    agg = (
+        back.groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("amount").cast("double").alias("total"),
+        )
+        .orderBy("ym")
+    )
+    return _finish_scratch(agg, root)
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -11552,6 +12336,16 @@ def source_histogram_overlap(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "rfm_segments_customers",
+    "seasonal_naive_mape_monthly",
+    "sprt_ab_events",
+    "partitioned_overwrite_orders",
+    "benford_audit_lineitem",
+    "moments_quantity_lineitem",
+    "collocations_pmi_docs",
+    "ols_trend_nation_monthly",
+    "simpson_paradox_orders",
+    "orc_roundtrip_lineitem",
     "revenue_share_of_parent",
     "source_histogram_overlap",
     "neardup_cluster_sizes",
@@ -11592,16 +12386,6 @@ _PRIORITY_PREFIX = [
     "yoy_growth_monthly",
     "cms_heavy_hitters_events",
     "pareto_frontier_parts",
-    "bfs_khop_parts",
-    "psi_drift_orders",
-    "triangle_counts_parts",
-    "minhash_estimate_audit",
-    "entity_clusters_parts",
-    "tfidf_topk_docs",
-    "bpe_train_merges_docs",
-    "incremental_agg_from_cdf",
-    "leakage_safe_split_events",
-    "cusum_changepoint_daily",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -40,3 +40,21 @@ def interval_join_streams(
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECOND"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming twin of the batch
+    broadcast dimension chain (q5-style fact ⋈ dim).
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (so a dim refreshed on disk is picked up without restarting the
+    query) and explicitly broadcast: the stream side never shuffles,
+    which is what keeps a 100 TB/day stream enrichable — state-free,
+    unlike stream-stream joins, so no watermark is required.
+    """
+    return stream.join(F.broadcast(dim), on=key, how=how)

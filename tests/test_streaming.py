@@ -490,3 +490,37 @@ def test_streaming_cms_merge_across_batches(spark, tmp_path):
     keys = union.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     est = cms_estimate(streamed, keys, "user_id").collect()
     assert all(r["est"] >= r["n"] for r in est)
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from imdb_metacritic_data_warehouse_spark.streaming.joins import (
+        enrich_stream_with_dim,
+    )
+
+    facts = [(1, 10, 5.0), (2, 20, 7.0), (3, 99, 1.0)]  # 99 has no dim row
+    fdf = spark.createDataFrame(facts, "event_id long, dim_id long, value double")
+    fdf.coalesce(1).write.parquet(str(tmp_path / "facts"))
+    dim = spark.createDataFrame(
+        [(10, "alpha"), (20, "beta")], "dim_id long, dim_name string"
+    )
+    fs = spark.readStream.schema("event_id long, dim_id long, value double").parquet(
+        str(tmp_path / "facts")
+    )
+    enriched = enrich_stream_with_dim(fs, dim, "dim_id").select(
+        "event_id", "dim_name"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.dim_name)
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    # left join: unmatched fact survives with NULL dim_name (state-free
+    # enrichment must never drop stream rows)
+    assert got == {(1, "alpha"), (2, "beta"), (3, None)}
