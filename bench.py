@@ -174,6 +174,19 @@ HEADLINE = [
     "pareto_frontier_parts",
     "bfs_khop_parts",
     "psi_drift_orders",
+    "benford_audit_lineitem",
+    "moments_quantity_lineitem",
+    "collocations_pmi_docs",
+    "ols_trend_nation_monthly",
+    "simpson_paradox_orders",
+    "orc_roundtrip_lineitem",
+    "rfm_segments_customers",
+    "seasonal_naive_mape_monthly",
+    "sprt_ab_events",
+    "partitioned_overwrite_orders",
+    "debounce_events",
+    "ipw_estimate_docs",
+    "conformal_interval_nation_monthly",
 ]
 
 

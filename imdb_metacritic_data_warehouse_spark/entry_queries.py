@@ -12310,6 +12310,255 @@ def partitioned_overwrite_orders(spark, sf_dir):
     return _finish_scratch(agg, root)
 
 
+# Debounce — collapse bursts of same-(user, type) events arriving
+# within 5 s of the PREVIOUS event into their first row (bot double-
+# fires, retry storms; the gap-run twin of sessionization, which uses a
+# 30 min gap to SPLIT instead).  Gap arithmetic is exact integer
+# microseconds (epoch_us both engines); the lag window is partitioned
+# by (user, type) — full key cardinality, no scale ceiling.  Ties on
+# (ts, event_id) so replicated timestamps order identically.
+@query(
+    "debounce_events",
+    """
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pt
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 5000000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS keep_ratio
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def debounce_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pt"),
+    )
+    kept = F.sum(
+        F.when(F.col("pt").isNull() | (F.col("t") - F.col("pt") > 5_000_000), 1)
+        .otherwise(0)
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            kept.alias("n_kept"),
+            F.round(kept.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "keep_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Horvitz-Thompson / inverse-propensity estimation — recover full-corpus
+# totals from the √-temperature stratified sample (balanced_resample's
+# keep rates), weighting each sampled row by the inverse of its
+# stratum's inclusion probability.  The audit emits estimate vs truth
+# per stratum: the relative error is what tells you whether a sampled
+# pipeline statistic is trustworthy before you spend a full-corpus
+# pass.  Membership is the engine-portable md5 bucket; weights are
+# integer-ratio doubles with identical shape.
+@query(
+    "ipw_estimate_docs",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS chars_true
+               FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (
+      SELECT lang, cnt, chars_true,
+             CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000) AS INTEGER) AS th
+      FROM c CROSS JOIN m
+    ),
+    s AS (
+      SELECT d.lang, COUNT(*) AS n_samp, SUM(d.n_chars) AS chars_samp
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000 < th
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.cnt AS n_true, s.n_samp,
+           round(CAST(s.n_samp AS DOUBLE) * 10000.0 / CAST(r.th AS DOUBLE), 2) AS n_est,
+           round((CAST(s.n_samp AS DOUBLE) * 10000.0 / CAST(r.th AS DOUBLE)
+                  - CAST(r.cnt AS DOUBLE)) / CAST(r.cnt AS DOUBLE), 6) AS n_rel_err,
+           round(CAST(s.chars_samp AS DOUBLE) * 10000.0 / CAST(r.th AS DOUBLE), 2) AS chars_est,
+           round((CAST(s.chars_samp AS DOUBLE) * 10000.0 / CAST(r.th AS DOUBLE)
+                  - CAST(r.chars_true AS DOUBLE)) / CAST(r.chars_true AS DOUBLE), 6)
+             AS chars_rel_err
+    FROM r JOIN s ON r.lang = s.lang
+    ORDER BY r.lang
+    """,
+)
+def ipw_estimate_docs(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("chars_true")
+    )
+    m = c.agg(F.min("cnt").alias("mn"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "cnt",
+        "chars_true",
+        F.floor(
+            F.sqrt(F.col("mn").cast("double") / F.col("cnt").cast("double")) * 10000
+        )
+        .cast("int")
+        .alias("th"),
+    )
+    s = (
+        d.join(F.broadcast(r.select("lang", "th")), "lang")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("th"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_samp"), F.sum("n_chars").alias("chars_samp"))
+    )
+    est_n = F.col("n_samp").cast("double") * F.lit(10000.0) / F.col("th").cast("double")
+    est_c = (
+        F.col("chars_samp").cast("double") * F.lit(10000.0) / F.col("th").cast("double")
+    )
+    return (
+        r.join(s, "lang")
+        .select(
+            "lang",
+            F.col("cnt").alias("n_true"),
+            "n_samp",
+            F.round(est_n, 2).alias("n_est"),
+            F.round((est_n - F.col("cnt").cast("double")) / F.col("cnt").cast("double"), 6).alias(
+                "n_rel_err"
+            ),
+            F.round(est_c, 2).alias("chars_est"),
+            F.round(
+                (est_c - F.col("chars_true").cast("double"))
+                / F.col("chars_true").cast("double"),
+                6,
+            ).alias("chars_rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Split-conformal forecast intervals — calibrate the 90th-percentile
+# absolute residual of the seasonal-naïve forecaster on months 48–89,
+# then audit empirical coverage on the held-out months 90+ (the
+# distribution-free uncertainty wrapper every production forecaster
+# needs; composes seasonal_naive with the exact-order-statistic rank).
+# Residuals are EXACT decimals (difference of exact monthly sums), so
+# the conformal quantile is an exact order statistic — both engines
+# pick the identical row (ties broken by month) — and only the final
+# coverage ratio is a rounded double.  Per-nation windows are
+# calendar-sized (documented small-table exemption).
+@query(
+    "conformal_interval_nation_monthly",
+    """
+    WITH m AS (
+      SELECT n_name AS nation,
+             CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT a.nation, a.x, abs(a.y - f.y) AS ar
+      FROM m a JOIN m f ON a.nation = f.nation AND a.x = f.x + 12
+    ),
+    cal AS (
+      SELECT nation, ar,
+             row_number() OVER (PARTITION BY nation ORDER BY ar, x) AS rk,
+             COUNT(*) OVER (PARTITION BY nation) AS n_cal
+      FROM res WHERE x BETWEEN 48 AND 89
+    ),
+    q AS (
+      SELECT nation, n_cal, ar AS q90
+      FROM cal
+      WHERE rk = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+    ),
+    test AS (
+      SELECT r.nation,
+             COUNT(*) AS n_test,
+             SUM(CASE WHEN r.ar <= q.q90 THEN 1 ELSE 0 END) AS covered
+      FROM res r JOIN q ON r.nation = q.nation
+      WHERE r.x >= 90
+      GROUP BY r.nation
+    )
+    SELECT q.nation, q.n_cal, CAST(q.q90 AS DOUBLE) AS q90,
+           t.n_test,
+           round(CAST(t.covered AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS coverage
+    FROM q JOIN test t ON q.nation = t.nation
+    ORDER BY q.nation
+    """,
+)
+def conformal_interval_nation_monthly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    m = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(24,2)")
+            .alias("y")
+        )
+    )
+    a = m.select("nation", "x", F.col("y").alias("ya"))
+    f_ = m.select("nation", (F.col("x") + 12).alias("x"), F.col("y").alias("yf"))
+    res = a.join(f_, ["nation", "x"]).select(
+        "nation", "x", F.abs(F.col("ya") - F.col("yf")).alias("ar")
+    )
+    cal = res.filter(F.col("x").between(48, 89))
+    wr = Window.partitionBy("nation").orderBy("ar", "x")
+    wc = Window.partitionBy("nation")
+    ranked = cal.select(
+        "nation",
+        "ar",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_cal"),
+    )
+    q = ranked.filter(
+        F.col("rk") == F.ceil((F.col("n_cal") + 1) * 0.9).cast("bigint")
+    ).select("nation", "n_cal", F.col("ar").alias("q90"))
+    test = (
+        res.filter(F.col("x") >= 90)
+        .join(F.broadcast(q), "nation")
+        .groupBy("nation", "n_cal", "q90")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("ar") <= F.col("q90"), 1).otherwise(0)).alias("covered"),
+        )
+    )
+    return test.select(
+        "nation",
+        "n_cal",
+        F.col("q90").cast("double").alias("q90"),
+        "n_test",
+        F.round(
+            F.col("covered").cast("double") / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+    ).orderBy("nation")
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -12336,6 +12585,9 @@ def partitioned_overwrite_orders(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "debounce_events",
+    "ipw_estimate_docs",
+    "conformal_interval_nation_monthly",
     "rfm_segments_customers",
     "seasonal_naive_mape_monthly",
     "sprt_ab_events",
@@ -12383,9 +12635,6 @@ _PRIORITY_PREFIX = [
     "hazard_table_users",
     "diff_in_diff_events",
     "gaps_islands_orders",
-    "yoy_growth_monthly",
-    "cms_heavy_hitters_events",
-    "pareto_frontier_parts",
 ]
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
