@@ -187,6 +187,10 @@ HEADLINE = [
     "debounce_events",
     "ipw_estimate_docs",
     "conformal_interval_nation_monthly",
+    "covariance_matrix_embeddings",
+    "duplicate_payment_audit_orders",
+    "totalprice_reconciliation_orders",
+    "yoy_waterfall_nation",
 ]
 
 

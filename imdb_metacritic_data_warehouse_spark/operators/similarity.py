@@ -665,3 +665,42 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def gram_upper_cells(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle second-moment grid Σᵣ vᵣ[i]·vᵣ[j] (1-based i ≤ j)
+    over an embedding column — the substrate for covariance / whitening
+    / PCA prep at corpus scale.
+
+    Scale shape: each Arrow batch is reduced to ONE dim×dim partial
+    Gram by a vectorized numpy matmul inside ``mapInPandas`` (the
+    sanctioned Python path — a posexplode² expansion would materialize
+    dim²·N rows through the shuffle; this materializes dim²·batches),
+    then the cell-level groupBy sums partials: shuffle volume is
+    O(dim² · partitions), independent of row count.  Float32 inputs are
+    widened to float64 BEFORE multiplication so products match engines
+    that compute in double.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            G = X.T @ X
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "sxy": G[iu]}
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, schema="i int, j int, sxy double")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"))
+    )

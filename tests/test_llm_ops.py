@@ -1036,3 +1036,26 @@ def test_bpe_train_two_merges_builds_on_first(spark):
     )
     got = {r.symbol: r.cnt for r in bpe_train_symbols(docs, merges=2).collect()}
     assert got == {"abc": 5, "ab": 2, "d": 2}
+
+
+def test_gram_upper_cells_matches_numpy(spark):
+    """Partial-Gram mapInPandas must equal the brute-force X^T X upper
+    triangle regardless of how rows are split across partitions."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        gram_upper_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(23, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    got = {(r.i, r.j): r.sxy for r in gram_upper_cells(df).collect()}
+    G = X.astype(np.float64).T @ X.astype(np.float64)
+    assert len(got) == 15
+    for i in range(5):
+        for j in range(i, 5):
+            assert abs(got[(i + 1, j + 1)] - G[i, j]) < 1e-9, (i, j)
