@@ -730,3 +730,59 @@ def test_weighted_median_no_buffering_aggregate(spark):
     assert "rangepartitioning" in low
     # never the value-buffering percentile aggregate
     assert "percentile" not in low
+
+
+def test_duplicate_payment_join_is_equi_not_bnlj(spark):
+    """The 1%-amount-band self-join must hash/sort-merge on the custkey
+    equi key with the band as a residual — a BroadcastNestedLoop over
+    orders² is the scale failure this query exists to avoid."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["duplicate_payment_audit_orders"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """A month-window filter over the partitioned layout must reach the
+    scan as PartitionFilters, not a post-scan filter over every file."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ym = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    path = str(tmp_path / "orders_by_month")
+    o.select("o_orderkey", ym.alias("ym")).write.partitionBy("ym").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("ym").between(47, 49))
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    assert "ym" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_collocations_join_sides_are_aggregated(spark):
+    """PMI assembly must join vocabulary-sized aggregates (bigram and
+    unigram counts) — the token/pair explosion feeds ONE aggregation
+    each, and the totals arrive as broadcast one-row frames, so no
+    corpus-sized nested-loop appears anywhere."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["collocations_pmi_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the two scalar totals (token count, bigram count) broadcast
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_gram_cells_shuffle_is_cell_sized(spark):
+    """The covariance grid's exchange must carry (i, j, sxy) cells only
+    — never the exploded dim²·N rows a posexplode² rewrite would."""
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        gram_upper_cells,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(gram_upper_cells(e))
+    # partial aggregation happens before the exchange: HashAggregate
+    # (partial) → Exchange → HashAggregate (final)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert "Generate" not in plan  # no explode path anywhere
