@@ -62,6 +62,41 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str = "*",
+    media_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Ingest a directory of raw media files through Spark's
+    ``binaryFile`` source into the media-frame shape the rest of the
+    multimodal stack consumes (``extract_features`` / ``frame_sample``).
+
+    This is the object-store ingestion path — each file becomes one row
+    (path, modificationTime, length, content) read in parallel across
+    executors; ``doc_id`` derives from the stable hash of the file path
+    so re-ingesting the same listing is idempotent.  Partition count
+    follows ``spark.sql.files.maxPartitionBytes`` like any file scan,
+    so a 100 TB media lake shards across the cluster with no driver
+    listing bottleneck beyond the initial file index."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("content"),
+        F.lit(media_type).alias("media_type"),
+        F.struct(
+            F.lit(-1).alias("width"),
+            F.lit(-1).alias("height"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+    )
+
+
 def decode_image(content: bytes):  # pragma: no cover - intentional stub
     """Real image decode — requires PIL/libvips, absent in this
     environment.  The Spark-side contract (binary in, array out) is

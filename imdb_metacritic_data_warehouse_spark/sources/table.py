@@ -102,6 +102,44 @@ class VersionedParquetTable:
         part = ["is_open"] if "is_open" in df.columns else None
         return self.write(df.coalesce(target_partitions), partition_by=part)
 
+    def vacuum(self, retain: int = 2, orphan_age_seconds: float = 3600.0) -> list[str]:
+        """Explicit maintenance sweep, the union of two cleanups ``_gc``
+        alone never does:
+
+        - version dirs OLDER than the retention window (same rule as
+          the per-write ``_gc``, re-applied in case retention policy
+          shrank after the fact);
+        - ORPHANED dirs from crashed writes: a ``v=N`` with N above the
+          committed pointer was written but never committed (the crash
+          window ``write`` survives by design) and would otherwise leak
+          a full table copy forever.  Orphans younger than
+          ``orphan_age_seconds`` are kept — they may be a concurrent
+          writer mid-flight (first-writer-wins discipline), so vacuum
+          is safe to run alongside writers by default.
+
+        Returns the removed paths (for the operator's audit log)."""
+        cur = self.current_version()
+        if cur is None or not os.path.isdir(self.path):
+            return []
+        import time as _time
+
+        removed: list[str] = []
+        cutoff = _time.time() - orphan_age_seconds
+        for entry in os.listdir(self.path):
+            if not entry.startswith("v="):
+                continue
+            try:
+                v = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            p = os.path.join(self.path, entry)
+            stale_old = v <= cur - retain
+            orphan = v > cur and os.path.getmtime(p) < cutoff
+            if stale_old or orphan:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed
+
     def _gc(self, keep: int, retain: int = 2) -> None:
         """Drop version dirs older than the last ``retain`` (time-travel
         window); never the committed one."""

@@ -1059,3 +1059,70 @@ def test_gram_upper_cells_matches_numpy(spark):
     for i in range(5):
         for j in range(i, 5):
             assert abs(got[(i + 1, j + 1)] - G[i, j]) < 1e-9, (i, j)
+
+
+def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
+    """Raw-file ingestion through the binaryFile source must feed the
+    same downstream contract as parquet-embedded media: stable hashed
+    doc_ids, exact byte payloads, and features from extract_features."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        extract_features,
+        read_media_dir,
+    )
+
+    rng = np.random.default_rng(3)
+    payloads = {}
+    for name in ["a.ppm", "b.ppm"]:
+        arr = rng.integers(0, 255, size=(4, 3, 3), dtype=np.uint8)
+        data = encode_ppm(arr)
+        (tmp_path / name).write_bytes(data)
+        payloads[name] = data
+    (tmp_path / "ignore.txt").write_bytes(b"not media")
+
+    media = read_media_dir(spark, str(tmp_path), glob="*.ppm", media_type="image/ppm")
+    rows = media.collect()
+    assert len(rows) == 2  # glob filtered the .txt out
+    by_name = {r.source_path.rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert bytes(by_name[name].content) == data
+        w, h, _ = decode_ppm(bytes(by_name[name].content))
+        assert (w, h) == (3, 4)
+    # ids are stable across re-ingestion (idempotent re-list)
+    again = {r.source_path: r.doc_id for r in read_media_dir(
+        spark, str(tmp_path), glob="*.ppm").collect()}
+    assert {r.source_path: r.doc_id for r in rows} == again
+    feats = extract_features(media.select("doc_id", "content", "media_type"))
+    assert feats.count() == 2
+    assert all(len(r.feature) == 4 for r in feats.collect())
+
+
+def test_vacuum_removes_stale_and_orphans(spark, tmp_path):
+    import os
+    import time
+
+    from imdb_metacritic_data_warehouse_spark.sources.table import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path), "t")
+    df = spark.range(5).withColumnRenamed("id", "pk")
+    for _ in range(4):
+        t.write(df)  # per-write _gc keeps last 2: v3, v4
+    assert t.current_version() == 4
+    # crashed write: orphan above the pointer, old enough to reap
+    orphan = os.path.join(str(tmp_path), "t", "v=9")
+    os.makedirs(orphan)
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    # fresh orphan: concurrent writer mid-flight — must survive
+    fresh = os.path.join(str(tmp_path), "t", "v=10")
+    os.makedirs(fresh)
+
+    removed = t.vacuum(retain=1)
+    names = {os.path.basename(p) for p in removed}
+    assert names == {"v=3", "v=9"}  # stale old + aged orphan
+    assert os.path.isdir(fresh)
+    assert t.read().count() == 5  # committed version untouched
