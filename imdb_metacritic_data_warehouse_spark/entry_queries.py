@@ -12835,6 +12835,736 @@ def yoy_waterfall_nation(spark, sf_dir):
         )
         .orderBy("nation")
     )
+# ---------------------------------------------------------------------------
+# Round-4 continuation, wave 8: dimensionality reduction, robust trends,
+# surface readability, graph mixing, head-of-distribution selection,
+# behavioral n-grams, corpus-divergence mixture diagnostics.
+
+
+# Johnson-Lindenstrauss projection + distortion audit — the cheap
+# dimension-reduction pre-pass (64→16) that narrows every downstream
+# ANN / k-NN / dedup scan 4×, with the audit that tells you whether the
+# compressed space is still faithful.  The projection is a zero-shuffle
+# per-row codegen map (operators/similarity.jl_project, ±1 md5-parity
+# plan literals — the LSH plane derivation); the audit is anchor-bounded
+# (|Q|·N, broadcast anchors) like embedding_cosine_topk.  Squared
+# distances use the dot-identity qq − 2qv + vv so every float op is a
+# left-associative dot both engines fold identically; ±1 weights and the
+# /16 normalizer are exact in binary, so the distortion ratio is
+# bit-stable under round-6.
+def _jl_oracle(out_dims: int = 16, dims: int = 64, seed: int = 7000) -> str:
+    from .operators.similarity import _plane_weights
+
+    planes = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(str(x) for x in _plane_weights(seed + j, dims))
+        + "])"
+        for j in range(out_dims)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, v, [{planes}] AS pv FROM vecs),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, pv AS qp FROM p
+      WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    d AS (
+      SELECT q.query_id, p.vec_id,
+             list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, p.v)
+               + list_dot_product(p.v, p.v) AS d2o,
+             list_dot_product(q.qp, q.qp) - 2 * list_dot_product(q.qp, p.pv)
+               + list_dot_product(p.pv, p.pv) AS d2p
+      FROM q JOIN p ON q.query_id < p.vec_id
+    )
+    SELECT query_id, vec_id, round(d2o, 6) AS d2_orig,
+           round(d2p / ({out_dims} * d2o), 6) AS distortion
+    FROM d WHERE d2o > 0
+    ORDER BY query_id, vec_id
+    """
+
+
+@query("jl_distortion_audit", _jl_oracle())
+def jl_distortion_audit(spark, sf_dir):
+    from .operators.similarity import dot_codegen, jl_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    p = jl_project(e, "embedding", "proj", out_dims=16)
+    q = p.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("proj").alias("qp"),
+    )
+    c = p.select("vec_id", F.col("embedding").alias("cv"), F.col("proj").alias("cp"))
+    d2o = (
+        dot_codegen("qv", "qv")
+        - F.lit(2) * dot_codegen("qv", "cv")
+        + dot_codegen("cv", "cv")
+    )
+    d2p = (
+        dot_codegen("qp", "qp", dims=16)
+        - F.lit(2) * dot_codegen("qp", "cp", dims=16)
+        + dot_codegen("cp", "cp", dims=16)
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") < F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            d2o.alias("d2o"),
+            d2p.alias("d2p"),
+        )
+        .filter(F.col("d2o") > 0)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("d2o", 6).alias("d2_orig"),
+            F.round(F.col("d2p") / (F.lit(16) * F.col("d2o")), 6).alias("distortion"),
+        )
+        .orderBy("query_id", "vec_id")
+    )
+
+
+# Theil-Sen robust slope — the outlier-immune twin of
+# ols_trend_nation_monthly: median of all pairwise slopes of the
+# monthly revenue series.  The pair expansion is quadratic ONLY in the
+# per-nation month count (calendar-bounded, ≤ ~84 whatever the fact
+# size — the cusum argument), partitioned by nation so no global
+# window.  Monthly revenue is exact-decimal → round-2 double FIRST, so
+# every slope is computed from identical doubles; the median picks the
+# two middle ranks explicitly and averages via (MIN+MAX)/2 of the
+# filtered rows — deterministic under slope ties because ranks select
+# VALUES, not rows.
+@query(
+    "theil_sen_nation_monthly",
+    """
+    WITH m AS (
+      SELECT n_name AS nation,
+             (year(CAST(o_orderdate AS DATE)) - 1992) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT a.nation, (b.rev - a.rev) / (b.mi - a.mi) AS slope
+      FROM m a JOIN m b ON a.nation = b.nation AND b.mi > a.mi
+    ),
+    r AS (
+      SELECT nation, slope,
+             ROW_NUMBER() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM sl
+    )
+    SELECT nation, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           round((MIN(slope) + MAX(slope)) / 2, 6) AS ts_slope
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY nation ORDER BY nation
+    """,
+)
+def theil_sen_nation_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    d = F.to_date("o_orderdate")
+    m = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            ((F.year(d) - 1992) * 12 + F.month(d) - 1).alias("mi"),
+        )
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("rev")
+        )
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    sl = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation")) & (F.col("b.mi") > F.col("a.mi")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.mi") - F.col("a.mi"))).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("nation").orderBy("slope")
+    r = sl.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+    )
+    lo = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    hi = F.floor(F.col("n") / 2 + 1).cast("bigint")
+    return (
+        r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("nation")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.round((F.min("slope") + F.max("slope")) / 2, 6).alias("ts_slope"),
+        )
+        .orderBy("nation")
+    )
+
+
+# Flesch reading-ease per source — the surface-statistics readability
+# tier of the quality stack (heuristic → logit → LM-perplexity), the
+# standard "too hard / too telegraphic" band filter for pretraining
+# mixes.  Pure codegen regexp_count arithmetic (operators/text.
+# readability_score): zero shuffle before the source-level agg, no
+# Python.  Per-doc scores are round-4 doubles summed as EXACT decimals
+# so the per-source mean is independent of partition order.
+@query(
+    "readability_docs",
+    r"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\S+')) AS w0,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents
+    ),
+    sc AS (
+      SELECT source,
+             206.835 - 1.015 * (CAST(GREATEST(w0, 1) AS DOUBLE) / CAST(s AS DOUBLE))
+               - 84.6 * (CAST(syl AS DOUBLE) / CAST(GREATEST(w0, 1) AS DOUBLE)) AS score
+      FROM d
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(score, 4) AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*), 4) AS DOUBLE) AS avg_flesch
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def readability_docs(spark, sf_dir):
+    from .operators.text import readability_score
+
+    d = _t(spark, sf_dir, "documents")
+    cols = readability_score("text")
+    sc = d.select("source", F.round(cols["score"], 4).cast("decimal(18,4)").alias("r4"))
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("r4").cast("double") / F.count(F.lit(1)), 4
+            ).cast("double").alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+# Degree assortativity of the co-purchase graph — one scalar that says
+# whether popular parts co-occur with other popular parts (assortative
+# basket structure) or anchor long-tail baskets (hub-and-spoke).  All
+# five sufficient statistics are exact integer sums folded map-side
+# (operators/graph.degree_assortativity); the float work is one 1-row
+# closed form.  Edge list comes from the committed co-purchase cache —
+# the third consumer (after PageRank and triangles) of one build.
+@query(
+    "assortativity_copurchase",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    xy AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e JOIN deg da ON e.src = da.src JOIN deg db ON e.dst = db.src
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT n_edges,
+           round((CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def assortativity_copurchase(spark, sf_dir):
+    from .operators.graph import degree_assortativity
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return degree_assortativity(pairs, "pa", "pb")
+
+
+# Pareto head selection — the minimal revenue-ranked prefix of the part
+# catalog covering 80% of revenue (assortment-planning / hot-set
+# pinning).  Revenue is exact integer CENTS; the running total is the
+# repo's two-phase global_cumsum (range exchange + broadcast offsets —
+# no single-partition window), and the 80% cut is the all-integer
+# predicate 5·cum_before < 4·total, so no float enters the decision.
+@query(
+    "pareto_head_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT part, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, part
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_selected,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(SUM(cents) AS BIGINT) AS covered_cents,
+           round(CAST(SUM(cents) AS DOUBLE) / MAX(total), 6) AS covered_share
+    FROM c WHERE 5 * (cum - cents) < 4 * total
+    """,
+)
+def pareto_head_parts(spark, sf_dir):
+    from .operators.packing import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        (
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 2
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    c = global_cumsum(
+        rev, [F.col("cents").desc(), F.col("part").asc()], "cents", "cum"
+    )
+    total = c.agg(F.sum("cents").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .filter(5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_selected"),
+            F.max("total").cast("bigint").alias("total_cents"),
+            F.sum("cents").cast("bigint").alias("covered_cents"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("total"), 6
+            ).alias("covered_share"),
+        )
+    )
+
+
+# Behavioral trigram mining — the order-3 sequential pattern table over
+# per-user event streams (the n-gram generalization of
+# markov_transitions_events; what a funnel designer reads before
+# declaring a canonical path).  Two LEADs inside a per-user window —
+# partition-bounded, no global sort; the count table is
+# |event_type|³-bounded however many users flow through.
+@query(
+    "event_trigrams_users",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      FROM events
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY cnt DESC, t1, t2, t3 LIMIT 20
+    """,
+)
+def event_trigrams_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        s.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+# Jensen-Shannon divergence between source unigram distributions — the
+# symmetric, bounded ([0, ln 2]) corpus-distance that drives mixture
+# reweighting and domain-shift detection (which sources are
+# near-duplicates of each other, which bring new text).  The corpus is
+# scanned ONCE into a (source, token) count table; everything after is
+# vocabulary-sized (Zipf-small) × source-pairs (tiny).  Per-token
+# contributions follow the psi_drift ln-under-round-6 discipline and
+# are summed as exact decimals so the total is partition-order-free.
+@query(
+    "js_divergence_sources",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+    pr AS (
+      SELECT a.source AS s1, b.source AS s2, a.tot AS t1, b.tot AS t2
+      FROM tt a JOIN tt b ON a.source < b.source
+    ),
+    u AS (
+      SELECT pr.s1, pr.s2, c.t FROM pr JOIN c ON c.source IN (pr.s1, pr.s2)
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT u.s1, u.s2, u.t,
+             COALESCE(ca.c, 0) AS c1, COALESCE(cb.c, 0) AS c2
+      FROM u
+      LEFT JOIN c ca ON ca.source = u.s1 AND ca.t = u.t
+      LEFT JOIN c cb ON cb.source = u.s2 AND cb.t = u.t
+    ),
+    terms AS (
+      SELECT j.s1, j.s2,
+             CAST(c1 AS DOUBLE) / pr.t1 AS pd,
+             CAST(c2 AS DOUBLE) / pr.t2 AS qd,
+             c1, c2
+      FROM j JOIN pr ON j.s1 = pr.s1 AND j.s2 = pr.s2
+    ),
+    contrib AS (
+      SELECT s1, s2,
+             round(0.5 * (CASE WHEN c1 > 0
+                               THEN pd * ln(round(pd / ((pd + qd) / 2), 6))
+                               ELSE 0.0 END
+                          + CASE WHEN c2 > 0
+                                 THEN qd * ln(round(qd / ((pd + qd) / 2), 6))
+                                 ELSE 0.0 END), 6) AS term
+      FROM terms
+    )
+    SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
+                AS DOUBLE) AS js
+    FROM contrib GROUP BY s1, s2 ORDER BY s1, s2
+    """,
+)
+def js_divergence_sources(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tt = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    a = tt.select(F.col("source").alias("s1"), F.col("tot").alias("t1"))
+    b = tt.select(F.col("source").alias("s2"), F.col("tot").alias("t2"))
+    pr = F.broadcast(a.join(b, F.col("s1") < F.col("s2")))
+    u = (
+        pr.join(c, (F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")))
+        .select("s1", "s2", "t")
+        .distinct()
+    )
+    ca = c.select(F.col("source").alias("sa"), F.col("t").alias("ta"), F.col("c").alias("c1"))
+    cb = c.select(F.col("source").alias("sb"), F.col("t").alias("tb"), F.col("c").alias("c2"))
+    j = (
+        u.join(ca, (F.col("sa") == F.col("s1")) & (F.col("ta") == F.col("t")), "left")
+        .join(cb, (F.col("sb") == F.col("s2")) & (F.col("tb") == F.col("t")), "left")
+        .select(
+            "s1", "s2", "t",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .join(pr, ["s1", "s2"])
+    )
+    pd_ = F.col("c1").cast("double") / F.col("t1")
+    qd = F.col("c2").cast("double") / F.col("t2")
+    m2 = (pd_ + qd) / 2
+    term = F.round(
+        0.5
+        * (
+            F.when(F.col("c1") > 0, pd_ * F.log(F.round(pd_ / m2, 6))).otherwise(0.0)
+            + F.when(F.col("c2") > 0, qd * F.log(F.round(qd / m2, 6))).otherwise(0.0)
+        ),
+        6,
+    )
+    return (
+        j.select("s1", "s2", term.alias("term"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 6)
+            .cast("double")
+            .alias("js"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation, wave 9: resampling inference, tokenizer health,
+# bitmap distinct machinery, PII exposure reporting.
+
+
+# Poisson bootstrap CI — the resampling method that actually works on a
+# cluster: instead of drawing N rows with replacement (a global
+# shuffle per replicate), every row independently contributes
+# Poisson(1) copies to each replicate, so all B=32 replicates fold in
+# ONE map-side pass and the shuffle carries 32 partial rows per
+# partition.  The Poisson draw is an EXACT integer inverse-CDF: a
+# 60-bit md5 hash of (replicate, row key) compared against precomputed
+# integer thresholds floor(CDF·2⁶⁰) — no float enters sampling, so
+# both engines draw identical weights.  Replicate means are exact
+# decimal / bigint; the interval picks order statistics 2 and 31 of
+# the 32 means (≈93.75% coverage) — rank selection over a
+# replicate-count-sized frame, never over data.
+_POIS1_T = [424136118829305344, 848272237658610688, 1060340297073263360,
+            1131029650211480960, 1148701988496035328, 1152236456152946176]
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "bootstrap_ci_lineitem",
+    f"""
+    WITH reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+    w AS (
+      SELECT b,
+             {_pois_case_sql("CAST(CONCAT('0x', substr(md5(CONCAT(CAST(b AS VARCHAR), ':', CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)")} AS wt,
+             CAST(l_quantity AS DECIMAL(18,4)) AS q
+      FROM lineitem CROSS JOIN reps
+    ),
+    means AS (
+      SELECT b, CAST(SUM(wt * q) AS DOUBLE) / SUM(wt) AS m
+      FROM w GROUP BY b
+    ),
+    r AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS pm
+      FROM lineitem
+    )
+    SELECT n_rows, round(pm, 6) AS point_mean,
+           round(MIN(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+           round(MIN(CASE WHEN rn = 31 THEN m END), 6) AS ci_hi,
+           CAST(32 AS BIGINT) AS n_replicates
+    FROM r CROSS JOIN pt GROUP BY n_rows, pm
+    """,
+)
+def bootstrap_ci_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = F.when(u < _POIS1_T[0], 0)
+    for k, t in enumerate(_POIS1_T[1:], start=1):
+        wt = wt.when(u < t, k)
+    wt = wt.otherwise(6)
+    w = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        _dec("l_quantity").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select("b", wt.alias("wt"), "q")
+    means = w.groupBy("b").agg(
+        (F.sum(F.col("wt") * F.col("q")).cast("double") / F.sum("wt")).alias("m")
+    )
+    r = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    pt = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("pm"),
+    )
+    return (
+        r.crossJoin(F.broadcast(pt))
+        .groupBy("n_rows", "pm")
+        .agg(
+            F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 6).alias("ci_lo"),
+            F.round(F.min(F.when(F.col("rn") == 31, F.col("m"))), 6).alias("ci_hi"),
+        )
+        .select(
+            "n_rows",
+            F.round("pm", 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(32).cast("bigint").alias("n_replicates"),
+        )
+    )
+
+
+# Tokenizer fertility by language — the multilingual-tokenizer health
+# table: BPE-ish tokens per whitespace word (fertility) and characters
+# per token.  High fertility on a language = the vocabulary is
+# under-serving it (its text costs more sequence length per word) —
+# the first thing checked when balancing a multilingual mix.  Pure
+# codegen counts folded map-side; one language-sized output.
+@query(
+    "tokenizer_fertility_lang",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks,
+             len(string_split(lower(text), ' ')) AS words,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           round(CAST(SUM(toks) AS DOUBLE) / SUM(words), 6) AS fertility,
+           round(CAST(SUM(chars) AS DOUBLE) / SUM(toks), 6) AS chars_per_token
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_lang(spark, sf_dir):
+    from .operators.text import token_count_bpe, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        token_count_bpe(F.col("text")).alias("toks"),
+        F.size(tokens(F.col("text"))).alias("words"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("words").cast("bigint").alias("n_words"),
+            F.round(F.sum("toks").cast("double") / F.sum("words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("chars").cast("double") / F.sum("toks"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# Bitmap-backed COUNT DISTINCT — Spark's bitmap aggregate family
+# (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_count) is the mergeable exact-distinct structure for 100 TB:
+# per-bucket fixed-size bitmaps fold map-side and re-merge across any
+# grouping, unlike a COUNT(DISTINCT) whose shuffle carries every key.
+# The audit pins the bitmap path's count to the exact expand-based
+# count per event_type; the oracle computes the same distinct count,
+# so a bitmap-position bug would surface as a value mismatch, not just
+# a failed self-check.
+@query(
+    "bitmap_distinct_audit",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_bitmap,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+           CAST(1 AS INTEGER) AS agree
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_distinct_audit(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    b = (
+        e.groupBy(
+            "event_type", F.bitmap_bucket_number("user_id").alias("bk")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct_bitmap"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_distinct_exact")
+    )
+    return (
+        b.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_bitmap",
+            "n_distinct_exact",
+            (F.col("n_distinct_bitmap") == F.col("n_distinct_exact"))
+            .cast("int")
+            .alias("agree"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# PII exposure report — occurrence counts of the scrubber's own
+# patterns (operators/text.scrub_text: EMAIL_REGEX / URL_REGEX) per
+# source, BEFORE redaction: the report a data-governance reviewer
+# reads to decide which sources need the scrub pass at all, and the
+# regression gate that the scrubber's patterns keep matching what the
+# corpus actually contains.  Zero-shuffle regexp_count folded into one
+# source-sized aggregate.
+@query(
+    "pii_summary_by_source",
+    r"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, 'https?://[^\s]+'))) AS BIGINT)
+             AS n_urls,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def pii_summary_by_source(spark, sf_dir):
+    from .operators.text import EMAIL_REGEX, URL_REGEX
+
+    d = _t(spark, sf_dir, "documents")
+    ne = F.regexp_count("text", F.lit(EMAIL_REGEX))
+    nu = F.regexp_count("text", F.lit(URL_REGEX))
+    per = d.select("source", ne.alias("ne"), nu.alias("nu"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ne").cast("bigint").alias("n_emails"),
+            F.sum("nu").cast("bigint").alias("n_urls"),
+            F.sum(((F.col("ne") > 0) | (F.col("nu") > 0)).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+
 
 
 # Rotation policy (round-2 ADVICE): the external driver's correctness
@@ -12863,6 +13593,17 @@ def yoy_waterfall_nation(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "bootstrap_ci_lineitem",
+    "tokenizer_fertility_lang",
+    "bitmap_distinct_audit",
+    "pii_summary_by_source",
+    "jl_distortion_audit",
+    "theil_sen_nation_monthly",
+    "readability_docs",
+    "assortativity_copurchase",
+    "pareto_head_parts",
+    "event_trigrams_users",
+    "js_divergence_sources",
     "covariance_matrix_embeddings",
     "duplicate_payment_audit_orders",
     "totalprice_reconciliation_orders",
@@ -12902,18 +13643,10 @@ _PRIORITY_PREFIX = [
     "spearman_price_size_parts",
     "target_encode_loo_orders",
     "recency_features_events",
-    "quantile_transform_docs",
-    "ppr_parts_seeded",
-    "weighted_median_lineitem",
-    "bpe_encode_docs",
-    "cms_join_size_audit",
-    "bloom_prune_audit",
-    "mutual_information_events",
-    "ks_drift_orders",
-    "fd_audit_orders",
-    "dow_seasonal_residuals_events",
-    "knn_label_agreement",
 ]
+# displaced to the round-5 rotation (locally oracle-green): bloom_prune_audit,
+# cms_join_size_audit, mutual_information_events, ks_drift_orders,
+# fd_audit_orders, dow_seasonal_residuals_events, knn_label_agreement
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 

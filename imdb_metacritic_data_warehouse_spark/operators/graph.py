@@ -284,3 +284,43 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def degree_assortativity(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
+    """Degree assortativity coefficient: Pearson correlation of
+    (deg(src), deg(dst)) over the symmetrized edge list — positive
+    when hubs link to hubs (social-graph shape), negative when hubs
+    link to leaves (star/catalog shape).
+
+    Every moment is an integer sum (degrees are counts), so the five
+    sufficient statistics are EXACT bigints aggregated map-side; the
+    only float work is the final closed-form ratio on a 1-row frame.
+    Degrees come from one groupBy of the edge list and join back onto
+    edges twice — both sides shuffled once on node id, no window, no
+    driver collect.  Scales as O(E) shuffle however large the graph."""
+    edges = undirected_edges(pairs, a, b)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        edges.join(deg.withColumnRenamed("src", "u").withColumnRenamed("d", "dx"),
+                   F.col("src") == F.col("u"))
+        .join(deg.withColumnRenamed("src", "v").withColumnRenamed("d", "dy"),
+              F.col("dst") == F.col("v"))
+        .select("dx", "dy")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "n_edges",
+        F.round(num / den, 6).alias("assortativity"),
+    )

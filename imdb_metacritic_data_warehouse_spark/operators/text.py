@@ -754,3 +754,28 @@ def _bpe_merged_symbols(df, text_col: str, merges: int):
             .localCheckpoint(eager=True)
         )
     return sym
+
+
+def readability_score(text_col: str = "text"):
+    """Flesch reading-ease over regexp surface counts — sentences are
+    terminal-punctuation runs, words are non-space runs, syllables are
+    approximated by vowel-group runs (the standard heuristic when no
+    dictionary is on the cluster).  Pure codegen ``regexp_count``
+    column arithmetic: zero shuffle, zero Python, identical regex
+    semantics across engines for these character-class patterns.
+    Returns (words, sentences, syllables, score) columns as a dict."""
+    words = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    sentences = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    w = F.greatest(words, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / w)
+    )
+    return {
+        "n_words": words.cast("bigint"),
+        "n_sentences": sentences.cast("bigint"),
+        "n_syllables": syllables.cast("bigint"),
+        "score": score,
+    }

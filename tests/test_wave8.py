@@ -1,0 +1,148 @@
+"""Unit tests for wave-8 operators: JL projection, degree
+assortativity, readability, Pareto head selection, Theil-Sen."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from imdb_metacritic_data_warehouse_spark.operators.graph import (
+    degree_assortativity,
+)
+from imdb_metacritic_data_warehouse_spark.operators.similarity import jl_project
+from imdb_metacritic_data_warehouse_spark.operators.text import readability_score
+
+
+def test_jl_project_shape_and_linearity(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [2.0] * 64), (3, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.proj for r in jl_project(df).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    # ±1 weights: projecting 2x scales every component exactly 2x,
+    # and the zero vector maps to the zero vector
+    assert all(b == 2 * a for a, b in zip(out[1], out[2]))
+    assert all(c == 0.0 for c in out[3])
+    # each component of proj(1-vector) is the weight-row sum: an even
+    # integer-valued double with |value| <= 64
+    assert all(abs(c) <= 64 and c == int(c) and int(c) % 2 == 0 for c in out[1])
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    # star graph: hub 0 to leaves 1..4 — perfectly disassortative
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "pa long, pb long"
+    )
+    row = degree_assortativity(pairs).collect()[0]
+    assert row.n_edges == 8
+    assert abs(row.assortativity - (-1.0)) < 1e-9
+
+
+def test_degree_assortativity_two_regular_components(spark):
+    # one triangle (degrees 2) + one edge pair (degrees 1): positive
+    # mixing — every edge connects equal degrees, r = +1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "pa long, pb long"
+    )
+    row = degree_assortativity(pairs).collect()[0]
+    assert abs(row.assortativity - 1.0) < 1e-9
+
+
+def test_readability_counts(spark):
+    df = spark.createDataFrame(
+        [("the cat sat. on a mat!",)], "text string"
+    )
+    cols = readability_score("text")
+    r = df.select(
+        cols["n_words"].alias("w"),
+        cols["n_sentences"].alias("s"),
+        cols["n_syllables"].alias("y"),
+        cols["score"].alias("score"),
+    ).collect()[0]
+    assert r.w == 6
+    assert r.s == 2
+    # vowel groups: e, a, a, o, a, a -> 6
+    assert r.y == 6
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r.score - expected) < 1e-9
+
+
+def test_pareto_head_minimal_cover(spark, monkeypatch, tmp_path):
+    # revenues 50, 30, 15, 5 cents: 80% of 100 = 80 -> parts 1+2 give
+    # exactly 80, but the strict predicate 5*(cum-rev) < 4*total keeps
+    # any part STARTING before the 80% point: cum_before for part 3 is
+    # 80 -> 5*80 = 400 = 4*100 not < -> excluded.  Selected = {1, 2}.
+    from imdb_metacritic_data_warehouse_spark.operators.packing import (
+        global_cumsum,
+    )
+
+    rev = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], "part long, cents long"
+    )
+    c = global_cumsum(rev, [F.col("cents").desc(), F.col("part").asc()], "cents", "cum")
+    total = c.agg(F.sum("cents").alias("total"))
+    sel = (
+        c.crossJoin(F.broadcast(total))
+        .filter(5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"))
+        .select("part")
+        .collect()
+    )
+    assert sorted(r.part for r in sel) == [1, 2]
+
+
+def test_theil_sen_resists_outlier(spark):
+    # y = 2x for months 0..5 except one wild outlier at month 3:
+    # the pairwise-slope median stays 2.0 while OLS would not
+    rows = [(0, 0.0), (1, 2.0), (2, 4.0), (3, 1000.0), (4, 8.0), (5, 10.0)]
+    m = spark.createDataFrame(rows, "mi int, rev double")
+    a, b = m.alias("a"), m.alias("b")
+    sl = a.join(b, F.col("b.mi") > F.col("a.mi")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.mi") - F.col("a.mi"))).alias(
+            "slope"
+        )
+    )
+    slopes = sorted(r.slope for r in sl.collect())
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2
+    assert abs(med - 2.0) < 1e-9
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    # the integer inverse-CDF must reproduce Poisson(1) frequencies:
+    # ~36.8% zeros, mean ~1.0 over many draws
+    from imdb_metacritic_data_warehouse_spark.entry_queries import _POIS1_T
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(F.col("id"))
+    u = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    wt = F.when(u < _POIS1_T[0], 0)
+    for k, t in enumerate(_POIS1_T[1:], start=1):
+        wt = wt.when(u < t, k)
+    wt = wt.otherwise(6)
+    stats = df.select(wt.alias("w")).agg(
+        F.avg("w").alias("mean"),
+        F.avg((F.col("w") == 0).cast("int")).alias("p0"),
+    ).collect()[0]
+    assert abs(stats.mean - 1.0) < 0.03
+    assert abs(stats.p0 - math.exp(-1)) < 0.02
+
+
+def test_bitmap_distinct_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(g, u) for g in ("a", "b") for u in (1, 2, 3, 100000, 2, 1)],
+        "g string, user_id long",
+    )
+    b = (
+        df.groupBy("g", F.bitmap_bucket_number("user_id").alias("bk"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .groupBy("g")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+    )
+    assert {r.g: r.n for r in b.collect()} == {"a": 4, "b": 4}
