@@ -191,6 +191,19 @@ HEADLINE = [
     "duplicate_payment_audit_orders",
     "totalprice_reconciliation_orders",
     "yoy_waterfall_nation",
+    "jl_distortion_audit",
+    "theil_sen_nation_monthly",
+    "readability_docs",
+    "assortativity_copurchase",
+    "pareto_head_parts",
+    "event_trigrams_users",
+    "js_divergence_sources",
+    "bootstrap_ci_lineitem",
+    "tokenizer_fertility_lang",
+    "bitmap_distinct_audit",
+    "pii_summary_by_source",
+    "kcore_parts_copurchase",
+    "funnel_deadline_events",
 ]
 
 

@@ -13563,6 +13563,143 @@ def pii_summary_by_source(spark, sf_dir):
         .orderBy("source")
     )
 
+# ---------------------------------------------------------------------------
+# Round-4 continuation, wave 10: bounded-round graph decomposition and
+# deadline-bounded conversion.
+
+
+# 3-core of the co-purchase graph — the density layer under the
+# triangle/PageRank stack: peel nodes with degree < 3 until the dense
+# backbone remains (catalog curation reads it as "parts that co-occur
+# in a mutually reinforcing set, not via one hub order").  Peeling is
+# run for a FIXED 6 rounds so the Spark loop and the unrolled SQL
+# oracle are deterministic twins; convergence is REPORTED (node count
+# of round 5 vs 6), never assumed — the honest contract for an
+# iterative operator under differential test.  Each round is one O(E)
+# degree agg + two semi-joins; lineage localCheckpoint-bounded (the CC
+# discipline, operators/graph.kcore_peel).
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    ctes = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT pa AS node FROM e{p} UNION ALL SELECT pb AS node FROM e{p}
+      ) GROUP BY node HAVING COUNT(*) >= {k}
+    )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT pa, pb FROM e{p}
+      WHERE pa IN (SELECT node FROM d{i}) AND pb IN (SELECT node FROM d{i})
+    )"""
+        )
+    last, prev = rounds, rounds - 1
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    nodes_cur AS (
+      SELECT node FROM (
+        SELECT pa AS node FROM e{last} UNION ALL SELECT pb AS node FROM e{last}
+      ) GROUP BY node
+    ),
+    nodes_prev AS (
+      SELECT node FROM (
+        SELECT pa AS node FROM e{prev} UNION ALL SELECT pb AS node FROM e{prev}
+      ) GROUP BY node
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes_cur) AS n_nodes,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e{last}) AS n_edges,
+      (SELECT CAST(COALESCE(SUM(node), 0) AS BIGINT) FROM nodes_cur) AS node_id_sum,
+      CAST(CASE WHEN (SELECT COUNT(*) FROM nodes_cur)
+                     = (SELECT COUNT(*) FROM nodes_prev)
+           THEN 1 ELSE 0 END AS INTEGER) AS converged
+    """
+    )
+
+
+@query("kcore_parts_copurchase", _kcore_oracle())
+def kcore_parts_copurchase(spark, sf_dir):
+    from .operators.graph import kcore_peel
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return kcore_peel(pairs, k=3, rounds=6)
+
+
+# Deadline-bounded funnel — conversion counted only when the first
+# purchase lands within 72h of the user's FIRST view (the SLA form of
+# funnel_conversion_events: marketing attribution windows, trial
+# deadlines).  Two per-user min-aggregates and one broadcastable
+# interval comparison — no window, no range join; timestamps stay
+# exact micros so the 72h boundary is the same instant in both
+# engines.
+@query(
+    "funnel_deadline_events",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    j AS (
+      SELECT v.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                       AND p.tp <= v.tv + INTERVAL 72 HOUR
+                  THEN 1 ELSE 0 END AS conv
+      FROM v LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(conv) AS BIGINT) AS n_converted_72h,
+           round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+    FROM j
+    """,
+)
+def funnel_deadline_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    j = v.join(p, "user_id", "left").select(
+        F.when(
+            F.col("tp").isNotNull()
+            & (F.col("tp") <= F.col("tv") + F.expr("INTERVAL 72 HOURS")),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+        F.sum("conv").cast("bigint").alias("n_converted_72h"),
+        F.round(F.sum("conv").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conv_rate"
+        ),
+    )
+
+
 
 
 
@@ -13593,6 +13730,8 @@ def pii_summary_by_source(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "kcore_parts_copurchase",
+    "funnel_deadline_events",
     "bootstrap_ci_lineitem",
     "tokenizer_fertility_lang",
     "bitmap_distinct_audit",
@@ -13641,8 +13780,6 @@ _PRIORITY_PREFIX = [
     "attribution_linear_events",
     "zorder_pruning_audit",
     "spearman_price_size_parts",
-    "target_encode_loo_orders",
-    "recency_features_events",
 ]
 # displaced to the round-5 rotation (locally oracle-green): bloom_prune_audit,
 # cms_join_size_audit, mutual_information_events, ks_drift_orders,

@@ -324,3 +324,75 @@ def degree_assortativity(pairs: DataFrame, a: str = "pa", b: str = "pb") -> Data
         "n_edges",
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    a: str = "pa",
+    b: str = "pb",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes with degree
+    < k and the edges touching them.  ``rounds`` is FIXED (not
+    run-to-convergence) so the operator is a deterministic twin of an
+    unrolled SQL oracle — convergence is *reported*, not assumed: the
+    caller reads ``n_nodes_prev == n_nodes`` from the summary.
+
+    Each round is one degree aggregate + one semi-join filter on the
+    current edge set — O(E) shuffle per round, lineage bounded by a
+    localCheckpoint every other round (the CC discipline).  Returns the
+    undirected pair list surviving round ``rounds`` with a column
+    ``__nodes_prev`` count from round ``rounds``−1 available via
+    ``kcore_summary``."""
+    edges = pairs.select(F.col(a).alias("pa"), F.col(b).alias("pb"))
+    prev_nodes = None
+    for r in range(rounds):
+        deg = (
+            undirected_edges(edges, "pa", "pb")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(deg.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(deg.withColumnRenamed("node", "pb"), "pb", "left_semi")
+        )
+        if r % 2 == 1 or r == rounds - 2:
+            # checkpoint BEFORE aliasing prev so the final round builds
+            # on materialized edges instead of re-executing the chain
+            edges = edges.localCheckpoint(eager=True)
+        if r == rounds - 2:
+            prev_nodes = edges
+    summary_edges = edges
+    prev = prev_nodes if prev_nodes is not None else edges
+    def node_stats(e):
+        n = (
+            e.select(F.col("pa").alias("node"))
+            .unionByName(e.select(F.col("pb").alias("node")))
+            .distinct()
+        )
+        return n.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("node_id_sum"),
+        )
+    cur = node_stats(summary_edges).withColumn("__k", F.lit(1))
+    pre = (
+        node_stats(prev)
+        .select(F.col("n_nodes").alias("n_nodes_prev"))
+        .withColumn("__k", F.lit(1))
+    )
+    ecnt = summary_edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).withColumn("__k", F.lit(1))
+    return (
+        cur.join(pre, "__k")
+        .join(ecnt, "__k")
+        .select(
+            "n_nodes",
+            "n_edges",
+            "node_id_sum",
+            (F.col("n_nodes") == F.col("n_nodes_prev")).cast("int").alias("converged"),
+        )
+    )

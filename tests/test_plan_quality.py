@@ -786,3 +786,56 @@ def test_gram_cells_shuffle_is_cell_sized(spark):
     # (partial) → Exchange → HashAggregate (final)
     assert plan.index("HashAggregate") < plan.index("Exchange")
     assert "Generate" not in plan  # no explode path anywhere
+
+
+def test_jl_projection_is_map_only_and_audit_broadcasts(spark):
+    """The JL projection must add NO exchange (pure per-row map), and
+    the distortion audit must broadcast the anchor set."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    proj_plan = _plan(jl_project(emb))
+    assert "Exchange" not in proj_plan
+    audit_plan = _plan(QUERIES["jl_distortion_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in audit_plan or "BroadcastNestedLoopJoin" in audit_plan
+
+def test_bootstrap_folds_replicates_map_side(spark):
+    """Poisson bootstrap: the only wide exchange over replicated data
+    is the 32-group hash aggregate, which must have a partial_ (map
+    side) phase so the shuffle carries B rows per partition, not B·N
+    rows."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["bootstrap_ci_lineitem"](spark, SF_DIR))
+    low = plan.lower()
+    assert "partial" in low  # map-side combine before the shuffle
+    # sampling is hash-derived, never a Sample/rand() operator
+    assert "sample" not in low
+    assert "rand(" not in low
+
+def test_pareto_head_cumsum_is_two_phase(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["pareto_head_parts"](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan
+
+def test_trigram_window_is_partitioned(spark):
+    """The trigram LEADs must run inside per-user window partitions —
+    no single-partition global window anywhere in the plan."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["event_trigrams_users"](spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        seg = m.group(0)
+        assert "user_id" in seg or "__pid" in seg
+
+def test_bitmap_distinct_aggregates_map_side(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["bitmap_distinct_audit"](spark, SF_DIR))
+    assert "bitmap_construct_agg" in plan
+    assert "partial" in plan.lower()

@@ -146,3 +146,30 @@ def test_bitmap_distinct_matches_exact(spark):
         .agg(F.sum(F.bitmap_count("bm")).alias("n"))
     )
     assert {r.g: r.n for r in b.collect()} == {"a": 4, "b": 4}
+
+
+def test_kcore_peel_known_graph(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.graph import kcore_peel
+
+    # K4 on {1,2,3,4} (a true 3-core) + a pendant chain 4-5-6 that
+    # must peel away entirely
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "pa long, pb long")
+    row = kcore_peel(pairs, k=3, rounds=6).collect()[0]
+    assert row.n_nodes == 4
+    assert row.n_edges == 6
+    assert row.node_id_sum == 10
+    assert row.converged == 1
+
+
+def test_kcore_peel_fully_dissolves(spark):
+    from imdb_metacritic_data_warehouse_spark.operators.graph import kcore_peel
+
+    # a tree has no 3-core: everything peels, counts go to zero
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 5), (2, 6)], "pa long, pb long"
+    )
+    row = kcore_peel(pairs, k=3, rounds=6).collect()[0]
+    assert row.n_nodes == 0
+    assert row.n_edges == 0
+    assert row.converged == 1
