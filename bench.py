@@ -204,6 +204,8 @@ HEADLINE = [
     "pii_summary_by_source",
     "kcore_parts_copurchase",
     "funnel_deadline_events",
+    "incremental_join_view_cdf",
+    "rollup_cascade_events",
 ]
 
 

@@ -13699,6 +13699,119 @@ def funnel_deadline_events(spark, sf_dir):
         ),
     )
 
+# ---------------------------------------------------------------------------
+# Round-4 continuation, wave 11: incremental view maintenance for joins
+# and the continuous-aggregate rollup cascade.
+
+
+# Incremental JOIN-view maintenance from CDF — the delta-maintenance
+# discipline for materialized fact⋈dim views: when the dimension
+# publishes v2, the maintained view deletes only the AFFECTED keys'
+# rows and re-joins only the delta, never re-shuffling the full fact
+# table.  The maintained result must be value-identical to a cold
+# recompute — that IS the oracle (which recomputes from v2 directly),
+# so any key missed by the delta path breaks the value hash.  Shuffle
+# volume at 100 TB: |Δdim| ⋈ fact (semi-join pruned) + an anti-join on
+# the old view — both bounded by the change set, not the table.
+@query(
+    "incremental_join_view_cdf",
+    """
+    WITH v2 AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_bal
+    FROM orders JOIN v2 ON o_custkey = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def incremental_join_view_cdf(spark, sf_dir):
+    from .sources.table import VersionedParquetTable, version_diff
+
+    root = _scratch_dir("cdf_join", sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    v1 = cust.filter(k % 11 != 0)
+    v2 = cust.filter(k % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(k % 7 == 0, F.col("c_acctbal") * 2).otherwise(F.col("c_acctbal")),
+    )
+    t = VersionedParquetTable(spark, root, "customer_cdf_join")
+    t.write(v1)
+    t.write(v2)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # the previously committed view (in a live pipeline this is read
+    # from the view's own versioned table, not recomputed)
+    view1 = orders.join(t.read(1), orders["o_custkey"] == F.col("c_custkey"))
+    feed = version_diff(t, "c_custkey", include_old=True)
+    affected = feed.select("c_custkey").distinct()
+    kept = view1.join(affected, "c_custkey", "left_anti")
+    delta_dim = t.read(2).join(affected, "c_custkey", "left_semi")
+    refreshed = orders.join(
+        delta_dim, orders["o_custkey"] == delta_dim["c_custkey"]
+    )
+    maintained = kept.unionByName(refreshed)
+    out = (
+        maintained.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias(
+                "total_price"
+            ),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+    return _finish_scratch(out, root)
+
+
+# Continuous-aggregate rollup cascade — minute → hour → day, each tier
+# aggregated FROM THE PREVIOUS tier (the timescale/druid downsampling
+# discipline): the raw stream is touched once, every coarser tier
+# re-aggregates a frame that is orders of magnitude smaller, and only
+# re-aggregable measures (counts, decimal sums — never averages) flow
+# between tiers.  The oracle computes the day tier directly from raw
+# events, so a non-re-aggregable measure smuggled into the cascade
+# breaks the value hash.
+@query(
+    "rollup_cascade_events",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def rollup_cascade_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("v"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "m").alias("h"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    day = hour.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return day.select(
+        F.col("d").cast("date").alias("day"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("v", 2).cast("double").alias("total"),
+    ).orderBy("day", "event_type")
+
+
 
 
 
@@ -13730,6 +13843,8 @@ def funnel_deadline_events(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r4): never checked anywhere ---
+    "incremental_join_view_cdf",
+    "rollup_cascade_events",
     "kcore_parts_copurchase",
     "funnel_deadline_events",
     "bootstrap_ci_lineitem",
@@ -13778,8 +13893,6 @@ _PRIORITY_PREFIX = [
     "zipf_slope_terms",
     "gini_revenue_customers",
     "attribution_linear_events",
-    "zorder_pruning_audit",
-    "spearman_price_size_parts",
 ]
 # displaced to the round-5 rotation (locally oracle-green): bloom_prune_audit,
 # cms_join_size_audit, mutual_information_events, ks_drift_orders,

@@ -173,3 +173,61 @@ def test_kcore_peel_fully_dissolves(spark):
     assert row.n_nodes == 0
     assert row.n_edges == 0
     assert row.converged == 1
+
+
+def test_incremental_join_view_handles_all_change_types(spark, tmp_path):
+    """Delta maintenance must equal cold recompute under insert +
+    update + delete in one version step."""
+    from imdb_metacritic_data_warehouse_spark.sources.table import (
+        VersionedParquetTable,
+        version_diff,
+    )
+
+    dim1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, g string, bal double",
+    )
+    dim2 = spark.createDataFrame(
+        # 1 updated, 2 deleted, 4 inserted, 3 unchanged
+        [(1, "a", 99.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "k long, g string, bal double",
+    )
+    fact = spark.createDataFrame(
+        [(i, k, float(i)) for i, k in enumerate([1, 1, 2, 3, 4, 4, 4])],
+        "fid long, k long, amt double",
+    )
+    t = VersionedParquetTable(spark, str(tmp_path), "dim")
+    t.write(dim1)
+    t.write(dim2)
+    view1 = fact.join(t.read(1), "k")
+    affected = version_diff(t, "k", include_old=True).select("k").distinct()
+    maintained = view1.join(affected, "k", "left_anti").unionByName(
+        fact.join(t.read(2).join(affected, "k", "left_semi"), "k")
+    )
+    recompute = fact.join(t.read(2), "k")
+    got = {(r.fid, r.k, r.bal) for r in maintained.collect()}
+    want = {(r.fid, r.k, r.bal) for r in recompute.collect()}
+    assert got == want
+
+
+def test_rollup_cascade_reaggregates_exactly(spark):
+    from datetime import datetime
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 0, 30), "a", 1.5),
+        (datetime(2024, 1, 1, 0, 59, 59), "a", 2.5),  # same hour
+        (datetime(2024, 1, 1, 23, 59, 59), "a", 4.0),  # same day, last hour
+        (datetime(2024, 1, 2, 0, 0, 0), "a", 8.0),  # next day boundary
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    minute = e.groupBy(F.date_trunc("minute", "ts").alias("m"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,4)")).alias("v")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "m").alias("h"), "event_type").agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    day = hour.groupBy(F.date_trunc("day", "h").alias("d"), "event_type").agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    got = {(str(r.d.date()), r.n, float(r.v)) for r in day.collect()}
+    assert got == {("2024-01-01", 3, 8.0), ("2024-01-02", 1, 8.0)}
