@@ -12563,33 +12563,42 @@ def conformal_interval_nation_monthly(spark, sf_dir):
 # embedding_dim_stats (per-dim mean/var → full dim×dim covariance):
 # whitening / PCA prep and the correlated-dimension detector.  The
 # distributed part is operators/similarity.gram_upper_cells: one
-# numpy partial Gram per Arrow batch, cell-level sum — shuffle volume
-# O(dim²·partitions), never O(dim²·rows) like a posexplode² would be.
-# Sums are order-sensitive doubles in the last ulps (numpy blocked
-# matmul vs DuckDB sequential) — absorbed by round-6, the same
-# tolerance embedding_dim_stats already pins.
+# numpy partial Gram per block inside mapInPandas, cell-level sum —
+# shuffle volume O(dim²·partitions), never O(dim²·rows) like a
+# posexplode² would be.  ORDER-FREE contract (round-4 verdict task
+# #1): components quantize to the fixed grid q(x)=floor(x·1e7+0.5)
+# (finer than the float32 inputs' own resolution), all sums run in
+# exact integer/decimal arithmetic, and the final cov is ONE
+# identically-shaped double expression over exact integers in both
+# engines — so the hash is invariant to partition layout, unlike the
+# double-summed version r4 caught flipping (1723/2080 cells).
 @query(
     "covariance_matrix_embeddings",
     """
     WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
     comp AS (
-      SELECT g.i AS i, v[g.i] AS x
+      SELECT g.i AS i,
+             CAST(floor(v[g.i] * 10000000.0 + 0.5) AS BIGINT) AS xq
       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
     ),
     mean AS (
-      SELECT c.i, SUM(c.x) / MAX(nn.n) AS m
+      SELECT c.i, CAST(SUM(c.xq) AS DOUBLE) / MAX(nn.n) / 10000000.0 AS m
       FROM comp c CROSS JOIN n nn GROUP BY c.i
     ),
     grid AS (
-      SELECT d1.i AS i, d2.j AS j, SUM(v[d1.i] * v[d2.j]) AS sxy
+      SELECT d1.i AS i, d2.j AS j,
+             SUM(CAST(floor(v[d1.i] * 10000000.0 + 0.5) AS BIGINT)
+                 * CAST(floor(v[d2.j] * 10000000.0 + 0.5) AS BIGINT)) AS sxy
       FROM e,
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) d1,
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) d2
       WHERE d2.j >= d1.i
       GROUP BY 1, 2
     )
-    SELECT g.i, g.j, round(g.sxy / nn.n - m1.m * m2.m, 6) AS cov
+    SELECT g.i, g.j,
+           round(CAST(g.sxy AS DOUBLE) / nn.n / 100000000000000.0
+                 - m1.m * m2.m, 6) AS cov
     FROM grid g
     JOIN mean m1 ON g.i = m1.i
     JOIN mean m2 ON g.j = m2.i
@@ -12598,18 +12607,25 @@ def conformal_interval_nation_monthly(spark, sf_dir):
     """,
 )
 def covariance_matrix_embeddings(spark, sf_dir):
-    from .operators.similarity import gram_upper_cells
+    from .operators.similarity import GRAM_SCALE, gram_upper_cells
 
+    scale = float(GRAM_SCALE)
     e = _t(spark, sf_dir, "embeddings")
     n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
     comp = e.select(F.posexplode(F.col("embedding")).alias("dim", "xf")).select(
-        (F.col("dim") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+        (F.col("dim") + 1).alias("i"),
+        F.floor(F.col("xf").cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
     )
     mean = (
         comp.groupBy("i")
-        .agg(F.sum("x").alias("sx"))
+        .agg(F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"))
         .crossJoin(F.broadcast(n))
-        .select("i", (F.col("sx") / F.col("n")).alias("m"))
+        .select(
+            "i",
+            (F.col("sx").cast("double") / F.col("n") / F.lit(scale)).alias("m"),
+        )
     )
     grid = gram_upper_cells(e, "embedding")
     m1 = mean.select(F.col("i"), F.col("m").alias("m1"))
@@ -12621,9 +12637,11 @@ def covariance_matrix_embeddings(spark, sf_dir):
         .select(
             "i",
             "j",
-            F.round(F.col("sxy") / F.col("n") - F.col("m1") * F.col("m2"), 6).alias(
-                "cov"
-            ),
+            F.round(
+                F.col("sxy").cast("double") / F.col("n") / F.lit(scale * scale)
+                - F.col("m1") * F.col("m2"),
+                6,
+            ).alias("cov"),
         )
         .orderBy("i", "j")
     )
@@ -13245,10 +13263,10 @@ def event_trigrams_users(spark, sf_dir):
     contrib AS (
       SELECT s1, s2,
              round(0.5 * (CASE WHEN c1 > 0
-                               THEN pd * ln(round(pd / ((pd + qd) / 2), 6))
+                               THEN pd * ln(greatest(round(pd / ((pd + qd) / 2), 6), 0.000001))
                                ELSE 0.0 END
                           + CASE WHEN c2 > 0
-                                 THEN qd * ln(round(qd / ((pd + qd) / 2), 6))
+                                 THEN qd * ln(greatest(round(qd / ((pd + qd) / 2), 6), 0.000001))
                                  ELSE 0.0 END), 6) AS term
       FROM terms
     )
@@ -13291,8 +13309,17 @@ def js_divergence_sources(spark, sf_dir):
     term = F.round(
         0.5
         * (
-            F.when(F.col("c1") > 0, pd_ * F.log(F.round(pd_ / m2, 6))).otherwise(0.0)
-            + F.when(F.col("c2") > 0, qd * F.log(F.round(qd / m2, 6))).otherwise(0.0)
+            # clamp: ratios >4e6× apart round to 0 — Spark ln(0)=NULL
+            # (term silently dropped) vs DuckDB ln(0)=-inf (sum
+            # poisoned).  The floor 1e-6 is identical in both engines.
+            F.when(
+                F.col("c1") > 0,
+                pd_ * F.log(F.greatest(F.round(pd_ / m2, 6), F.lit(0.000001))),
+            ).otherwise(0.0)
+            + F.when(
+                F.col("c2") > 0,
+                qd * F.log(F.greatest(F.round(qd / m2, 6), F.lit(0.000001))),
+            ).otherwise(0.0)
         ),
         6,
     )

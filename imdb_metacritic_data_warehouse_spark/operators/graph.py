@@ -341,10 +341,10 @@ def kcore_peel(
 
     Each round is one degree aggregate + one semi-join filter on the
     current edge set — O(E) shuffle per round, lineage bounded by a
-    localCheckpoint every other round (the CC discipline).  Returns the
-    undirected pair list surviving round ``rounds`` with a column
-    ``__nodes_prev`` count from round ``rounds``−1 available via
-    ``kcore_summary``."""
+    localCheckpoint every other round (the CC discipline).  Returns a
+    ONE-ROW summary ``(n_nodes, n_edges, node_id_sum, converged)``
+    where ``converged`` compares the node count after round ``rounds``
+    against round ``rounds``−1."""
     edges = pairs.select(F.col(a).alias("pa"), F.col(b).alias("pb"))
     prev_nodes = None
     for r in range(rounds):

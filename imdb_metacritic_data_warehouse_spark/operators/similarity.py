@@ -667,19 +667,34 @@ def lsh_bucketed_topk(
     )
 
 
-def gram_upper_cells(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Upper-triangle second-moment grid Σᵣ vᵣ[i]·vᵣ[j] (1-based i ≤ j)
-    over an embedding column — the substrate for covariance / whitening
-    / PCA prep at corpus scale.
+GRAM_SCALE = 10**7  # quantization: finer than float32 ulp at |x|≈1 (6e-8·x)
 
-    Scale shape: each Arrow batch is reduced to ONE dim×dim partial
-    Gram by a vectorized numpy matmul inside ``mapInPandas`` (the
-    sanctioned Python path — a posexplode² expansion would materialize
-    dim²·N rows through the shuffle; this materializes dim²·batches),
-    then the cell-level groupBy sums partials: shuffle volume is
-    O(dim² · partitions), independent of row count.  Float32 inputs are
-    widened to float64 BEFORE multiplication so products match engines
-    that compute in double.
+
+def gram_upper_cells(
+    df: DataFrame, vec_col: str = "embedding", scale: int = GRAM_SCALE
+) -> DataFrame:
+    """Upper-triangle second-moment grid Σᵣ q(vᵣ[i])·q(vᵣ[j]) (1-based
+    i ≤ j) over an embedding column, where q(x) = floor(x·scale + 0.5)
+    — the substrate for covariance / whitening / PCA prep at corpus
+    scale.  Consumers recover the real-valued Gram as sxy / scale².
+
+    Accumulation is ORDER-FREE BY CONSTRUCTION (round-4 verdict task
+    #1): components are quantized to int64 on a fixed grid, per-block
+    partial Grams are exact integer matmuls, and the cross-partition
+    sum runs in decimal(38,0) — associative/commutative exact
+    arithmetic, so any partition layout (1 partition or 1000 executors)
+    produces bit-identical cells.  The previous double-sum version
+    differed in 1723/2080 cells across layouts.  floor(x·scale + 0.5)
+    (not round()) is the shared quantizer because numpy rint is
+    half-even while SQL round is half-away — floor+0.5 is the one
+    expression all three engines (numpy / Spark / DuckDB) agree on.
+
+    Scale shape: each block is reduced to ONE dim×dim partial Gram by a
+    vectorized numpy integer matmul inside ``mapInPandas`` (a
+    posexplode² expansion would materialize dim²·N rows through the
+    shuffle; this materializes dim²·blocks).  Block size is bounded so
+    int64 cannot overflow: rows_per_block · max|q|² ≤ 2⁶² — checked
+    against the block's actual max, not an assumed input range.
     """
     import numpy as np
     import pandas as pd
@@ -692,17 +707,24 @@ def gram_upper_cells(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
                 dtype=np.float64,
             )
-            G = X.T @ X
-            iu = np.triu_indices(G.shape[0])
-            yield pd.DataFrame(
-                {"i": iu[0] + 1, "j": iu[1] + 1, "sxy": G[iu]}
-            )
+            Q = np.floor(X * scale + 0.5).astype(np.int64)
+            maxq = int(np.abs(Q).max()) or 1
+            block = max(1, min(len(Q), (2**62) // (maxq * maxq)))
+            iu = None
+            for s in range(0, len(Q), block):
+                B = Q[s : s + block]
+                G = B.T @ B
+                if iu is None:
+                    iu = np.triu_indices(G.shape[0])
+                yield pd.DataFrame(
+                    {"i": iu[0] + 1, "j": iu[1] + 1, "sxy": G[iu]}
+                )
 
     return (
         df.select(vec_col)
-        .mapInPandas(part, schema="i int, j int, sxy double")
+        .mapInPandas(part, schema="i int, j int, sxy long")
         .groupBy("i", "j")
-        .agg(F.sum("sxy").alias("sxy"))
+        .agg(F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"))
     )
 
 
