@@ -101,3 +101,67 @@ def test_asof_join_right_tiebreak_is_deterministic(spark):
         # at ts=5 three right rows tie — event_id 300 ('c') must win;
         # at ts=10 the latest right row is ts=9 ('z')
         assert out == {"p0": "c", "p1": "z"}
+
+
+def test_attribution_last_touch_with_planted_duplicate_ts_clicks(spark, tmp_path):
+    """Round-4 verdict task #3's done-gate: the attribution query must
+    be green against its DuckDB oracle on data that PLANTS duplicate
+    (user_id, ts) clicks — the case where engines' native ASOF tie
+    resolution diverges unless ties are deduped before the join.  Both
+    sides dedup to the max-event_id click per (user_id, ts), so the
+    planted ties (event_ids 11/12/13 at the same microsecond, distinct
+    props.k → distinct channels) must resolve to k=5 (event_id 13,
+    'email'), on every run and any partitioning."""
+    import datetime as dt
+
+    import duckdb
+
+    from imdb_metacritic_data_warehouse_spark.entry_queries import ORACLES, QUERIES
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # three clicks at the SAME instant for user 1 — k%3 = search/social/email
+        (11, t0, 1, "click", 1.0, '{"k": 3}'),
+        (12, t0, 1, "click", 1.0, '{"k": 4}'),
+        (13, t0, 1, "click", 1.0, '{"k": 5}'),
+        # a later purchase inside the 7-day lookback
+        (20, t0 + dt.timedelta(hours=2), 1, "purchase", 9.0, '{"k": 0}'),
+        # a purchase at EXACTLY the click ts (<= semantics: attributed)
+        (21, t0, 1, "purchase", 9.0, '{"k": 0}'),
+        # user 2: click outside the 7-day lookback → unattributed
+        (30, t0 - dt.timedelta(days=8), 2, "click", 1.0, '{"k": 1}'),
+        (31, t0, 2, "purchase", 9.0, '{"k": 0}'),
+        # user 3: purchase with no click at all
+        (40, t0, 3, "purchase", 9.0, '{"k": 0}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).repartition(8)
+    sf = str(tmp_path / "planted")
+    df.write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r.event_id, r.channel, r.click_age_us)
+        for r in QUERIES["attribution_last_touch"](spark, sf).collect()
+    }
+    assert got == {
+        (20, "email", 2 * 3600 * 10**6),  # k=5 wins the tie, 2h age
+        (21, "email", 0),                 # <= semantics at equal ts
+        (31, "unattributed", None),
+        (40, "unattributed", None),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    spark_full = {
+        (r.event_id, r.user_id, r.purchase_ts, r.channel, r.click_age_us)
+        for r in QUERIES["attribution_last_touch"](spark, sf).collect()
+    }
+    oracle_full = {
+        tuple(r) for r in con.execute(ORACLES["attribution_last_touch"]).fetchall()
+    }
+    assert spark_full == oracle_full

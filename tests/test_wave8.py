@@ -231,3 +231,50 @@ def test_rollup_cascade_reaggregates_exactly(spark):
     )
     got = {(str(r.d.date()), r.n, float(r.v)) for r in day.collect()}
     assert got == {("2024-01-01", 3, 8.0), ("2024-01-02", 1, 8.0)}
+
+
+def test_bootstrap_mix_draws_are_poisson_and_decorrelated(spark):
+    """Verdict r4 task #4's draw mechanics: ONE md5 per row split into
+    32 replicate variates via multiply-shift mixing must (a) keep
+    Poisson(1) marginal frequencies per replicate, (b) give draws that
+    actually differ across replicates (not 32 copies of one draw), and
+    (c) stay inside [0, 2^60) so the threshold compare is meaningful."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        _MIX,
+        _MIX_HALF,
+        _MIX_MOD,
+        _POIS1_T,
+    )
+
+    df = spark.range(20000)
+    u = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    base = df.select(u.alias("u"))
+
+    def wt(b):
+        a1, c1, d1, a2, c2, d2 = _MIX[b]
+        hi = F.expr(f"u div {_MIX_HALF}")
+        lo = F.col("u") % F.lit(_MIX_HALF)
+        v_hi = (F.lit(a1) * hi + F.lit(c1) * lo + F.lit(d1)) % F.lit(_MIX_HALF)
+        v_lo = (F.lit(a2) * lo + F.lit(c2) * hi + F.lit(d2)) % F.lit(_MIX_HALF)
+        v = v_hi * F.lit(_MIX_HALF) + v_lo
+        assert v is not None and _MIX_MOD == _MIX_HALF * _MIX_HALF
+        w = F.when(v < _POIS1_T[0], 0)
+        for k, t in enumerate(_POIS1_T[1:], start=1):
+            w = w.when(v < t, k)
+        return w.otherwise(6)
+
+    stats = base.agg(
+        *[F.avg(wt(b)).alias(f"m{b}") for b in (0, 7, 31)],
+        F.avg((wt(0) == wt(7)).cast("int")).alias("agree07"),
+        F.avg((wt(0) == 0).cast("int")).alias("p0"),
+    ).collect()[0]
+    for b in (0, 7, 31):
+        assert abs(stats[f"m{b}"] - 1.0) < 0.05
+    assert abs(stats.p0 - math.exp(-1)) < 0.02
+    # independent Poisson(1) pairs agree with prob Σp_k² ≈ 0.31; 32
+    # identical copies would agree with prob 1
+    assert stats.agree07 < 0.45
