@@ -2719,12 +2719,94 @@ def multimodal_features(spark, sf_dir):
 
 # IVF ANN — k-means cell pruning (the other scale path next to LSH);
 # engine-internal index → rows-only check.
-@query("ann_ivf")
+# k-means IVF ANN, audited with banded verdicts (round-4 verdict task
+# #7 — the approx_sketches discipline): the index's VALUES aren't
+# cross-engine checkable (k-means centroids are float-iteration
+# artifacts), but its CONTRACT is — per query: results bounded by k,
+# ranks contiguous from 1, scores non-increasing in rank, every cell
+# assignment accounted for (Σ cell sizes = corpus), and recall@10 vs
+# the brute-force cosine twin at or above a generous floor (n_probe=4
+# of 16 cells; floor 0.2 — measured ≥0.4 across sf0.001/0.01/0.1, the
+# slack absorbs k-means landing differently across partition layouts).
+# The oracle emits the exact corpus anchor + TRUE literals, so the
+# k-means path gets a hashable gate instead of a rows-only check.
+@query(
+    "ann_ivf",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+    SELECT q.query_id, n.n_corpus,
+           TRUE AS results_bounded_by_k,
+           TRUE AS ranks_contiguous,
+           TRUE AS scores_sorted,
+           TRUE AS assignment_covers_corpus,
+           TRUE AS recall_ge_floor
+    FROM (SELECT unnest([0, 1, 2, 3, 4]) AS query_id) q CROSS JOIN n
+    ORDER BY q.query_id
+    """,
+)
 def ann_ivf(spark, sf_dir):
-    from .operators.similarity import ivf_topk
+    from .operators.similarity import cosine_topk, ivf_index, ivf_topk
 
+    qids = [0, 1, 2, 3, 4]
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, [0, 1, 2, 3, 4], k=10)
+    index = ivf_index(e, n_lists=16)
+    assigned, _ = index
+    ivf = ivf_topk(e, qids, k=10, n_probe=4, index=index)
+    bf = cosine_topk(e, qids, k=10)
+
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    covered = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum("c").cast("bigint").alias("n_assigned")
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    per_q = (
+        ivf.withColumn("__prev_score", F.lag("score").over(w))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_res"),
+            F.max("rank").alias("max_rank"),
+            F.count_distinct("rank").alias("n_ranks"),
+            F.min(
+                F.when(F.col("__prev_score").isNull(), True).otherwise(
+                    F.col("score") <= F.col("__prev_score")
+                ).cast("int")
+            ).alias("sorted_ok"),
+        )
+    )
+    hits = (
+        bf.select("query_id", "vec_id")
+        .join(ivf.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    bfn = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_bf"))
+    qframe = spark.range(len(qids)).select(F.col("id").cast("bigint").alias("query_id"))
+    return (
+        qframe.join(per_q, "query_id", "left")
+        .join(bfn, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(covered))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "n_corpus",
+            (F.coalesce("n_res", F.lit(0)) <= 10).alias("results_bounded_by_k"),
+            (
+                (F.col("max_rank") == F.col("n_res"))
+                & (F.col("n_ranks") == F.col("n_res"))
+            ).alias("ranks_contiguous"),
+            (F.col("sorted_ok") == 1).alias("scores_sorted"),
+            (F.col("n_assigned") == F.col("n_corpus")).alias(
+                "assignment_covers_corpus"
+            ),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_bf")
+                >= F.lit(0.2)
+            ).alias("recall_ge_floor"),
+        )
+        .orderBy("query_id")
+    )
 
 
 # PII/noise scrubbing over synthesized dirty text (emails + urls

@@ -117,29 +117,20 @@ def lsh_bucket(vec, table: int, n_planes: int = N_PLANES) -> F.Column:
     )
 
 
-def ivf_topk(
+def ivf_index(
     embeddings: DataFrame,
-    query_ids: list[int],
-    k: int = 10,
     n_lists: int = 16,
-    n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) ANN — the cluster-pruned scale path.
-
-    Index build: a seeded k-means coarse quantizer (``pyspark.ml``)
-    partitions the corpus into ``n_lists`` cells (at 100 TB the model
-    is fit once on a sample and persisted; here it is fit inline).
-    Query: each query vector is scored only against vectors in its
-    ``n_probe`` nearest cells — candidate set ~ n_probe/n_lists of the
-    corpus instead of all of it.  Cell routing is declarative: the
-    (tiny) centroid table is broadcast and rank-filtered, no driver
-    loop.  Output contract matches ``cosine_topk``: (query_id, vec_id,
-    score, rank); recall < 1 by construction (neighbors in unprobed
-    cells are missed) — rows-only driver check, like every
-    engine-internal ANN index."""
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: a seeded k-means coarse quantizer
+    (``pyspark.ml``) partitions the corpus into ``n_lists`` cells (at
+    100 TB the model is fit once on a sample and persisted; here it is
+    fit inline).  Returns ``(assigned, centroids)`` — the per-vector
+    cell assignment and the (tiny, broadcastable) centroid table — so
+    query paths AND audit paths share ONE fit instead of re-running
+    k-means per consumer."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -158,6 +149,34 @@ def ivf_topk(
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cv array<double>",
+    )
+    return assigned, cdf
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the cluster-pruned scale path.
+
+    Query: each query vector is scored only against vectors in its
+    ``n_probe`` nearest cells — candidate set ~ n_probe/n_lists of the
+    corpus instead of all of it.  Cell routing is declarative: the
+    (tiny) centroid table is broadcast and rank-filtered, no driver
+    loop.  Output contract matches ``cosine_topk``: (query_id, vec_id,
+    score, rank); recall < 1 by construction (neighbors in unprobed
+    cells are missed) — the ``ann_ivf`` entry audits this with banded
+    verdicts (recall@k floor vs the brute-force twin + structural
+    invariants), so the k-means path has a hashable contract."""
+    assigned, cdf = index if index is not None else ivf_index(
+        embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
     )
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
