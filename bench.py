@@ -15,6 +15,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The PINNED round-2 comparison set (the 45 queries BENCH_r02 measured):
+# reported as its own `headline_fixed_total` every round so round-over-
+# round comparability doesn't depend on recomputing common-set sums as
+# the headline surface grows (verdict r4 task #9).  Do not add to or
+# remove from this list — it is a frozen yardstick, not coverage.
+HEADLINE_FIXED45 = [
+    "q1_pricing_summary", "q5_revenue_per_nation", "hash_key_generation",
+    "union_distinct", "full_outer_snapshots", "argmax_per_group",
+    "global_rank_leaderboard", "scd2_merge_orders",
+    "insert_only_merge_customers", "text_analysis", "dedup_exact_docs",
+    "minhash_lsh_pairs", "simhash_signatures", "embedding_cosine_topk",
+    "ann_lsh_bucketed", "tumbling_window_events", "session_window_events",
+    "asof_join_events", "pipeline_genre_metrics", "pipeline_rating_slide",
+    "rollup_orders", "scalar_parsing", "exists_semi_join",
+    "salted_groupby_events", "window_frame_functions",
+    "embedding_neardup_pairs", "correlated_agg_threshold",
+    "exact_percentiles", "deterministic_sample_split", "scrub_documents",
+    "rolling_fingerprint_docs", "neardup_clusters", "q3_shipping_priority",
+    "q6_forecast_revenue", "q18_large_orders", "doc_frequency_terms",
+    "grouping_sets_orders", "ann_ivf_sampled", "quality_quantile_filter",
+    "profile_lineitem_numeric", "histogram_extendedprice",
+    "q21_waiting_suppliers", "q16_supplier_count_distinct",
+    "q2_cheapest_supplier", "incremental_mart_merge",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q5_revenue_per_nation",
@@ -268,6 +293,10 @@ def main():
         timings[name] = round(best, 3)
         total += timings[name]
 
+    fixed_total = round(
+        sum(timings[n] for n in HEADLINE_FIXED45 if n in timings), 3
+    )
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full record (timings + plan fingerprints) goes to BENCH_LOCAL.json
     # in-repo: the driver keeps only the last ~2000 chars of stdout, and
@@ -277,6 +306,7 @@ def main():
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
+                "headline_fixed_total": fixed_total,
                 "unit": "sec",
                 "queries": timings,
                 "plan_fingerprints": plans,
@@ -298,6 +328,7 @@ def main():
                 "n_queries": len(timings),
                 "queries": timings,
                 "slowest10": slowest,
+                "headline_fixed_total": fixed_total,
                 "value": round(total, 3),
             }
         )

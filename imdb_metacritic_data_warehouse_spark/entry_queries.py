@@ -14051,61 +14051,66 @@ def rollup_cascade_events(spark, sf_dir):
 # at sf0.001 + sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the
 # round-5 prefix.
 _PRIORITY_PREFIX = [
-    # --- new this round (r4): never checked anywhere ---
-    "incremental_join_view_cdf",
-    "rollup_cascade_events",
-    "kcore_parts_copurchase",
-    "funnel_deadline_events",
-    "bootstrap_ci_lineitem",
-    "tokenizer_fertility_lang",
-    "bitmap_distinct_audit",
-    "pii_summary_by_source",
-    "jl_distortion_audit",
-    "theil_sen_nation_monthly",
-    "readability_docs",
-    "assortativity_copurchase",
-    "pareto_head_parts",
-    "event_trigrams_users",
-    "js_divergence_sources",
+    # --- changed this round (r5): re-verify under the driver ---
     "covariance_matrix_embeddings",
-    "duplicate_payment_audit_orders",
-    "totalprice_reconciliation_orders",
-    "yoy_waterfall_nation",
-    "debounce_events",
-    "ipw_estimate_docs",
-    "conformal_interval_nation_monthly",
-    "rfm_segments_customers",
-    "seasonal_naive_mape_monthly",
-    "sprt_ab_events",
-    "partitioned_overwrite_orders",
-    "benford_audit_lineitem",
-    "moments_quantity_lineitem",
-    "collocations_pmi_docs",
-    "ols_trend_nation_monthly",
-    "simpson_paradox_orders",
-    "orc_roundtrip_lineitem",
-    "revenue_share_of_parent",
-    "source_histogram_overlap",
-    "neardup_cluster_sizes",
-    "embedding_dim_stats",
-    "crosscorr_clicks_purchases",
-    "cohort_ltv_events",
-    "overdispersion_events",
-    "knn_recall_audit",
-    "encoding_advisor_lineitem",
-    "scd3_merge_customers",
-    "fk_orphan_audit",
-    "ewma_control_daily",
-    "auc_score_docs",
-    "langid_confusion_docs",
-    "markov_accuracy_events",
-    "zipf_slope_terms",
-    "gini_revenue_customers",
-    "attribution_linear_events",
+    "bootstrap_ci_lineitem",
+    "js_divergence_sources",
+    "ann_ivf",
+    "attribution_last_touch",
+    # --- the round-4 displaced batch (verdict r4 task #8) ---
+    "quantile_transform_docs",
+    "ppr_parts_seeded",
+    "weighted_median_lineitem",
+    "bpe_encode_docs",
+    "target_encode_loo_orders",
+    "recency_features_events",
+    "bloom_prune_audit",
+    "cms_join_size_audit",
+    "mutual_information_events",
+    "ks_drift_orders",
+    "fd_audit_orders",
+    "dow_seasonal_residuals_events",
+    "knn_label_agreement",
+    # --- longest-unsampled-by-driver (never in CORRECTNESS_r01..r04) ---
+    "minhash_estimate_audit",
+    "pipeline_movie_genre_link",
+    "chunk_documents_sliding",
+    "bm25_docs",
+    "dup_ngram_fraction_docs",
+    "contamination_ngram_docs",
+    "quality_logit_docs",
+    "balanced_resample_docs",
+    "embedding_centroid_outliers",
+    "q9_product_type_profit",
+    "q17_small_quantity_revenue",
+    "funnel_conversion_events",
+    "cohort_retention_events",
+    "compaction_plan_orders",
+    "ngram_containment_pairs",
+    "stratified_topk_docs",
+    "knn_graph_embeddings",
+    "semantic_dedup_keep",
+    "bpe_pair_counts_docs",
+    "bpe_train_merges_docs",
+    "leakage_safe_split_events",
+    "tfidf_topk_docs",
+    "select_token_budget_docs",
+    "corpus_report_by_source",
+    "interval_overlap_sessions",
+    "quantize_embeddings_int8",
+    "mixture_sample_domains",
+    "neardup_labels_persisted",
+    "vocab_coverage_docs",
+    "pq_codes_embeddings",
+    "quality_calibrated_filter",
+    "fuzzy_match_part_names",
 ]
-# displaced to the round-5 rotation (locally oracle-green): bloom_prune_audit,
-# cms_join_size_audit, mutual_information_events, ks_drift_orders,
-# fd_audit_orders, dow_seasonal_residuals_events, knn_label_agreement
+# still never-driver-sampled after this rotation (locally oracle-green;
+# round-6 rotation candidates): entity_clusters_parts,
+# trailing_window_anomalies, version_diff_orders, incremental_agg_from_cdf,
+# dq_report_orders, gap_fill_user_hours, incremental_neardup_ingest,
+# hybrid_search_rrf, markov_transitions_events, twap_events, and the rest
+# of the 100-query never-sampled list computed from CORRECTNESS_r01..r04
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 
