@@ -14026,6 +14026,780 @@ def rollup_cascade_events(spark, sf_dir):
 
 
 
+# ===========================================================================
+# Round-5 wave 11a: own-implementation HLL (exact cross-engine sketch),
+# rank-based inference, autocorrelation, per-node graph structure.
+
+
+# HyperLogLog distinct-count audit — the repo's OWN HLL (Flajolet 2007)
+# built on the engine-portable md5 hash family, unlike
+# approx_count_distinct whose HLL++ registers are Spark-private.
+# Because bucket (top-8 hash bits) and rank (exact integer bit-length,
+# never float log2) are pure integer functions of md5, the REGISTER
+# TABLE and hence the ESTIMATE are bit-identical cross-engine: the
+# driver hash-checks the estimate itself, not a band.  The rescaled
+# harmonic sum Σ2^(53−M_j) stays an exact bigint (≤2^61) so no float
+# summation order exists; exactly ONE shared double expression
+# produces the estimate.  Both HLL branches are exercised across SFs
+# (sf0.001 lands in linear counting, sf0.01+ in the raw estimator).
+# Accuracy is ALSO banded vs the exact distinct (σ≈1.04/√256=6.5%;
+# 20% band).  Scale: groupBy(grp, bucket) MAX collapses map-side to
+# ≤ groups·256 rows per task — the mergeable-register property that
+# makes HLL the standard 100 TB distinct sketch.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)
+
+
+@query(
+    "hll_distinct_audit",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp,
+             CAST(CONCAT('0x', substr(md5('4242:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, u // 4503599627370496 AS bucket,
+             MAX(CASE WHEN u % 4503599627370496 = 0 THEN 53
+                      ELSE 53 - length(bin(u % 4503599627370496)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT grp,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s_used,
+             CAST(COUNT(*) AS BIGINT) AS n_used
+      FROM r GROUP BY grp
+    ),
+    est AS (
+      SELECT grp, n_used,
+             s_used + (256 - n_used) * CAST(9007199254740992 AS BIGINT) AS s_total
+      FROM s
+    ),
+    e2 AS (
+      SELECT grp,
+             CASE WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                        / CAST(s_total AS DOUBLE)) <= 640.0
+                       AND (256 - n_used) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE))
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                       / CAST(s_total AS DOUBLE)
+             END AS raw_est
+      FROM est
+    ),
+    x AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT x.grp, x.exact_distinct, round(e2.raw_est, 4) AS hll_estimate,
+           TRUE AS within_20pct
+    FROM x JOIN e2 ON x.grp = e2.grp
+    ORDER BY x.grp
+    """,
+)
+def hll_distinct_audit(spark, sf_dir):
+    from .operators.sketch import hll_estimate, hll_register_maxes
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_partkey"
+    )
+    regs = hll_register_maxes(li, ["grp"], "l_partkey", p=8, seed=4242)
+    est = hll_estimate(regs, ["grp"], p=8)
+    exact = li.groupBy("grp").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "grp")
+        .select(
+            "grp",
+            "exact_distinct",
+            "hll_estimate",
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                <= F.lit(0.20) * F.col("exact_distinct")
+            ).alias("within_20pct"),
+        )
+        .orderBy("grp")
+    )
+
+
+# Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+# location test: do open ('O') line items carry different quantities
+# than finalized ('F'/'R' excluded; we compare 'O' vs 'F')?  Rank
+# arithmetic is EXACT: with t tied rows below and c in a tie group,
+# each tied row's midrank is cum_before + (c+1)/2 — kept as the
+# integer 2·rank to avoid halves; U and the rank-sum are exact bigint
+# until the single shared z-score expression (normal approximation
+# with the standard tie correction).  The value-level frame is
+# ~50 distinct quantities — the window runs over the AGGREGATE, never
+# the fact rows, so the shape is flat at 100 TB (two scans: one
+# value-level count agg, one broadcast-joined weighted sum).
+@query(
+    "mannwhitney_u_lineitem",
+    """
+    WITH f AS (
+      SELECT l_linestatus AS g, CAST(l_quantity AS DECIMAL(18,4)) AS q
+      FROM lineitem WHERE l_linestatus IN ('O', 'F')
+    ),
+    v AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM f GROUP BY q
+    ),
+    w AS (
+      SELECT q, c, c1,
+             COALESCE(SUM(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM w
+    )
+    SELECT n1, n2,
+           round((CAST(r1x2 AS DOUBLE) / 2.0)
+                 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 4) AS u1,
+           round(((CAST(r1x2 AS DOUBLE) / 2.0)
+                  - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def mannwhitney_u_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_linestatus").isin("O", "F")).select(
+        F.col("l_linestatus").alias("g"), _dec("l_quantity").alias("q")
+    )
+    v = f.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum((F.col("g") == "O").cast("int")).cast("bigint").alias("c1"),
+    )
+    wspec = (
+        Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = v.withColumn("cb", F.coalesce(F.sum("c").over(wspec), F.lit(0)))
+    agg = w.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("cb") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r1 = F.col("r1x2").cast("double") / F.lit(2.0)
+    u1 = r1 - n1d * (F.col("n1") + 1) / F.lit(2.0)
+    mu = n1d * F.col("n2") / F.lit(2.0)
+    nn = F.col("n1") + F.col("n2")
+    sig2 = (n1d * F.col("n2") / F.lit(12.0)) * (
+        (nn + 1).cast("double")
+        - F.col("tie3").cast("double") / (nn.cast("double") * (nn - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("z"),
+    )
+
+
+# Autocorrelation function — lags 1..14 of the daily purchase-revenue
+# series: the seasonality detector that sizes windows for forecasting
+# and anomaly models downstream.  Exactness: daily revenue in integer
+# cents; the centered cross-products (n·x_t − S)(n·x_{t+k} − S) are
+# exact DECIMAL(38,0) products of bigints (never a float mean
+# subtraction), so numerator and denominator are partition-order-free
+# and ONE shared double division produces r_k.  Scale: the series is
+# calendar-bounded (one row per day) — the self-join and windows run
+# over ~366 rows regardless of fact size; only the daily rollup
+# touches the corpus.
+@query(
+    "acf_daily_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM d
+    ),
+    idx AS (
+      SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+    ),
+    den AS (
+      SELECT SUM(CAST(st.n * idx.cents - st.s AS DECIMAL(19,0))
+                 * CAST(st.n * idx.cents - st.s AS DECIMAL(19,0))) AS den
+      FROM idx CROSS JOIN st
+    ),
+    lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+    num AS (
+      SELECT l.lag,
+             SUM(CAST(st.n * a.cents - st.s AS DECIMAL(19,0))
+                 * CAST(st.n * b.cents - st.s AS DECIMAL(19,0))) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lags l
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.i = a.i + l.lag
+      CROSS JOIN st
+      GROUP BY l.lag
+    )
+    SELECT num.lag, num.n_pairs,
+           round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+    FROM num CROSS JOIN den
+    ORDER BY num.lag
+    """,
+)
+def acf_daily_revenue(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    d = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    idx = d.withColumn("i", F.row_number().over(Window.orderBy("day")))
+    dev = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(19,0)")
+    den = (
+        idx.crossJoin(F.broadcast(st))
+        .select((dev * dev).alias("dd"))
+        .agg(F.sum("dd").alias("den"))
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("cents").alias("ca"))
+    b = idx.select(F.col("i").alias("ib"), F.col("cents").alias("cb_"))
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    deva = (F.col("n") * F.col("ca") - F.col("s")).cast("decimal(19,0)")
+    devb = (F.col("n") * F.col("cb_") - F.col("s")).cast("decimal(19,0)")
+    num = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .crossJoin(F.broadcast(st))
+        .groupBy("lag")
+        .agg(
+            F.sum(deva * devb).alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ===========================================================================
+# Round-5 wave 11b: community detection, variance-reduced experiment
+# readout, exponential-smoothing forecast, classical seasonal
+# decomposition, link prediction.
+
+
+# Label-propagation communities — iterated neighbor-majority voting
+# over the co-purchase graph (operators/graph.label_propagation), the
+# linear-time community detector.  Deterministic twin discipline:
+# FIXED 3 rounds, ties broken by smallest label, and the DuckDB oracle
+# unrolls the same three rounds with AS MATERIALIZED CTEs (the kcore
+# lesson: default CTE inlining re-expands each round's base scan
+# exponentially).  Output is community-sized (top 20 by size), never
+# node-sized.
+@query(
+    "label_propagation_parts",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, src AS label FROM und
+    ),
+    l1 AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT e.dst AS v, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM und e JOIN l0 l ON l.v = e.src GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    ),
+    l2 AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT e.dst AS v, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM und e JOIN l1 l ON l.v = e.src GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    ),
+    l3 AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT e.dst AS v, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM und e JOIN l2 l ON l.v = e.src GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(SUM(v) AS BIGINT) AS member_checksum
+    FROM l3 GROUP BY label
+    ORDER BY size DESC, community LIMIT 20
+    """,
+)
+def label_propagation_parts(spark, sf_dir):
+    from .operators.graph import label_propagation
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    lab = label_propagation(pairs, rounds=3)
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.sum("v").cast("bigint").alias("member_checksum"),
+        )
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )
+
+
+# CUPED variance reduction — the standard pre-experiment-covariate
+# adjustment (Deng et al. 2013): Y_adj = Y − θ(X − X̄) with
+# θ = cov(X,Y)/var(X) estimated POOLED across arms, X = pre-period
+# (H1) click count, Y = post-period (H2) purchase revenue.  Arms are
+# the deterministic user_id parity split.  Every moment is an exact
+# integer/decimal sufficient statistic (counts × revenue cents); θ,
+# the adjusted means, and the variance-reduction ratio are each ONE
+# shared double expression — partition-order-free by construction.
+# Scale: two per-user aggregates + arm-level rollups; nothing is
+# user-count-sized downstream of the first groupBy.
+@query(
+    "cuped_adjusted_lift_events",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           AND EXTRACT(month FROM ts) <= 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND EXTRACT(month FROM ts) >= 7
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM u
+    ),
+    arm AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(SUM(x) AS BIGINT) AS sx_a, CAST(SUM(y) AS BIGINT) AS sy_a
+      FROM u GROUP BY 1
+    )
+    SELECT a.arm, a.n_a AS n_users,
+           round(CAST(a.sy_a AS DOUBLE) / a.n_a / 100.0, 6) AS mean_rev,
+           round((CAST(a.sy_a AS DOUBLE)
+                  - ((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                      - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                     / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                        - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)))
+                    * (CAST(a.sx_a AS DOUBLE)
+                       - CAST(a.n_a AS DOUBLE) * CAST(p.sx AS DOUBLE) / p.n))
+                 / a.n_a / 100.0, 6) AS mean_rev_cuped,
+           round((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                  - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                 / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                    - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)) / 100.0,
+                 6) AS theta_dollars_per_click
+    FROM arm a CROSS JOIN pooled p
+    ORDER BY a.arm
+    """,
+)
+def cuped_adjusted_lift_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            (
+                (F.col("event_type") == "click") & (F.month("ts") <= 6)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.month("ts") >= 7),
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+    )
+    arm = u.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").cast("bigint").alias("sx_a"),
+        F.sum("y").cast("bigint").alias("sy_a"),
+    )
+    nd = F.col("n").cast("double")
+    theta = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    adj = (
+        F.col("sy_a").cast("double")
+        - theta
+        * (
+            F.col("sx_a").cast("double")
+            - F.col("n_a").cast("double") * F.col("sx").cast("double") / F.col("n")
+        )
+    ) / F.col("n_a") / F.lit(100.0)
+    return (
+        arm.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n_a").alias("n_users"),
+            F.round(
+                F.col("sy_a").cast("double") / F.col("n_a") / F.lit(100.0), 6
+            ).alias("mean_rev"),
+            F.round(adj, 6).alias("mean_rev_cuped"),
+            F.round(theta / F.lit(100.0), 6).alias("theta_dollars_per_click"),
+        )
+        .orderBy("arm")
+    )
+
+
+# Holt linear-trend exponential smoothing — per-nation one-step revenue
+# forecast.  The recursion s_t = αy_t + (1−α)(s+b), b_t = β(s_t−s_prev)
+# + (1−β)b is inherently sequential, so it runs as a LEFT FOLD over the
+# month-sorted per-nation series: Spark `aggregate` and DuckDB
+# `list_reduce` execute the IDENTICAL fold expression (state packed as
+# a 2-element double list — list_reduce needs acc/element type parity,
+# so elements are singleton lists), making every intermediate double
+# bit-equal across engines.  Series are calendar-bounded (≤ ~85 months
+# per nation) — the fold is a per-group scalar op, never data-sized;
+# only the monthly rollup touches the fact table.
+@query(
+    "holt_forecast_nation_monthly",
+    """
+    WITH m AS (
+      SELECT n_name AS nation,
+             CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT nation, list(CAST(cents AS DOUBLE) ORDER BY x) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM m GROUP BY nation
+    ),
+    fit AS (
+      SELECT nation, n_months,
+             list_reduce(
+               list_prepend([ys[2], ys[2] - ys[1]],
+                            list_transform(ys[3:], y -> [y])),
+               (acc, x) -> [
+                 0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                 0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                   + 0.7 * acc[2]
+               ]) AS st
+      FROM ser WHERE n_months >= 3
+    )
+    SELECT nation, n_months,
+           round(st[1] / 100.0, 4) AS level,
+           round(st[2] / 100.0, 4) AS trend,
+           round((st[1] + st[2]) / 100.0, 4) AS forecast_next
+    FROM fit ORDER BY nation
+    """,
+)
+def holt_forecast_nation_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ser = m.groupBy("nation").agg(
+        F.expr("transform(array_sort(collect_list(struct(x, cents))), "
+               "s -> CAST(s.cents AS DOUBLE))").alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(slice(ys, 3, size(ys) - 2), y -> array(y)),
+          array(element_at(ys, 2), element_at(ys, 2) - element_at(ys, 1)),
+          (acc, x) -> array(
+            0.5D * element_at(x, 1)
+              + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            0.3D * ((0.5D * element_at(x, 1)
+                     + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))
+                    - element_at(acc, 1))
+              + 0.7D * element_at(acc, 2)
+          )
+        )
+        """
+    )
+    return (
+        ser.filter(F.col("n_months") >= 3)
+        .select("nation", "n_months", fold.alias("st"))
+        .select(
+            "nation",
+            "n_months",
+            F.round(F.element_at("st", 1) / F.lit(100.0), 4).alias("level"),
+            F.round(F.element_at("st", 2) / F.lit(100.0), 4).alias("trend"),
+            F.round(
+                (F.element_at("st", 1) + F.element_at("st", 2)) / F.lit(100.0), 4
+            ).alias("forecast_next"),
+        )
+        .orderBy("nation")
+    )
+
+
+# Classical seasonal decomposition (trend = centered 2×12 moving
+# average, seasonal = per-calendar-month mean deviation, remainder)
+# over the global monthly revenue series — the additive decomposition
+# behind every "is this drop seasonal or real?" question.  Exactness:
+# the 2×12 MA keeps half-weights integral by scaling ×24
+# (trend_x24 = y₋₆ + 2Σy₋₅..₊₅ + y₊₆ in cents), deviations stay ×24
+# bigints, and OUTPUTS STAY IN THE ×24-CENTS SPACE: dividing by 2400
+# lands exact rationals on 4th-decimal halves where the two engines
+# round differently (caught at sf0.001), while S/C at 6dp is tie-free
+# because 10⁶ carries more factors of 2 than any year-count C.  The
+# series is calendar-bounded — every window/aggregate after the
+# monthly rollup runs over ~84 rows.
+@query(
+    "seasonal_decompose_monthly",
+    """
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS moy,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT a.x, a.moy, a.cents,
+             CAST(SUM(CASE WHEN abs(b.x - a.x) = 6 THEN b.cents
+                           ELSE 2 * b.cents END) AS BIGINT) AS trend_x24,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM m a JOIN m b ON b.x BETWEEN a.x - 6 AND a.x + 6
+      GROUP BY a.x, a.moy, a.cents
+    ),
+    full_tr AS (
+      SELECT x, moy, cents, trend_x24,
+             24 * cents - trend_x24 AS dev_x24
+      FROM tr WHERE n_terms = 13
+    ),
+    seas AS (
+      SELECT moy,
+             CAST(SUM(dev_x24) AS DOUBLE) / COUNT(*) AS seasonal_x24
+      FROM full_tr GROUP BY moy
+    )
+    SELECT f.x AS month_idx, f.cents, f.trend_x24,
+           round(s.seasonal_x24, 6) AS seasonal_x24,
+           round(CAST(f.dev_x24 AS DOUBLE) - s.seasonal_x24, 6) AS remainder_x24
+    FROM full_tr f JOIN seas s ON f.moy = s.moy
+    ORDER BY f.x
+    """,
+)
+def seasonal_decompose_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    m = o.groupBy(
+        x.alias("x"), F.month("o_orderdate").cast("int").alias("moy")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = m.select(
+        F.col("x").alias("xa"), F.col("moy"), F.col("cents").alias("ca")
+    )
+    b = m.select(F.col("x").alias("xb"), F.col("cents").alias("cb_"))
+    tr = (
+        a.join(
+            F.broadcast(b),
+            (F.col("xb") >= F.col("xa") - 6) & (F.col("xb") <= F.col("xa") + 6),
+        )
+        .groupBy("xa", "moy", "ca")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("xb") - F.col("xa")) == 6, F.col("cb_")
+                ).otherwise(F.lit(2) * F.col("cb_"))
+            )
+            .cast("bigint")
+            .alias("trend_x24"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    full_tr = tr.filter(F.col("n_terms") == 13).select(
+        F.col("xa").alias("x"),
+        "moy",
+        F.col("ca").alias("cents"),
+        "trend_x24",
+        (F.lit(24) * F.col("ca") - F.col("trend_x24")).alias("dev_x24"),
+    )
+    seas = full_tr.groupBy("moy").agg(
+        (F.sum("dev_x24").cast("double") / F.count(F.lit(1))).alias(
+            "seasonal_x24"
+        )
+    )
+    return (
+        full_tr.join(F.broadcast(seas), "moy")
+        .select(
+            F.col("x").alias("month_idx"),
+            "cents",
+            "trend_x24",
+            F.round(F.col("seasonal_x24"), 6).alias("seasonal_x24"),
+            F.round(
+                F.col("dev_x24").cast("double") - F.col("seasonal_x24"), 6
+            ).alias("remainder_x24"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+# Adamic-Adar link prediction — for non-adjacent part pairs sharing
+# common co-purchase neighbors, AA(x,y) = Σ_z 1/ln(deg z): the classic
+# "who should be connected next" feature.  Hub suppression: wedges are
+# generated only through z with deg ≤ 64 — standard AA practice (a hub
+# common-neighbor carries ≈0 information and its C(d,2) wedge fan-out
+# is exactly the term that breaks at scale), bounding per-z expansion
+# at C(64,2).  Float discipline: each 1/ln(d) term is rounded to 6dp
+# and summed as exact DECIMAL, so the score is partition-order-free
+# (the covariance lesson applied preemptively).
+@query(
+    "adamic_adar_parts",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    wedge AS (
+      SELECT e1.dst AS x, e2.dst AS y, e1.src AS z, dg.d
+      FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN deg dg ON dg.z = e1.src
+      WHERE dg.d <= 64
+    ),
+    cand AS (
+      SELECT w.x, w.y,
+             CAST(SUM(CAST(round(1.0 / ln(CAST(w.d AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS aa,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM wedge w
+      LEFT JOIN pairs p ON p.pa = w.x AND p.pb = w.y
+      WHERE p.pa IS NULL
+      GROUP BY w.x, w.y
+    )
+    SELECT x, y, CAST(aa AS DOUBLE) AS aa_score, n_common
+    FROM cand
+    ORDER BY aa DESC, x, y LIMIT 30
+    """,
+)
+def adamic_adar_parts(spark, sf_dir):
+    from .operators.graph import undirected_edges
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    und = undirected_edges(pairs, "pa", "pb")
+    deg = und.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1 = und.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    e2 = und.select(F.col("src").alias("z"), F.col("dst").alias("y"))
+    wedge = (
+        e1.join(e2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .join(deg.filter(F.col("d") <= 64), "z")
+    )
+    term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    cand = (
+        wedge.join(
+            pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.sum(term).cast("decimal(28,6)").alias("aa"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("aa"), "x", "y")
+        .limit(30)
+        .select("x", "y", F.col("aa").cast("double").alias("aa_score"), "n_common")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each

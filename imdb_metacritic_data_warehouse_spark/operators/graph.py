@@ -396,3 +396,54 @@ def kcore_peel(
             (F.col("n_nodes") == F.col("n_nodes_prev")).cast("int").alias("converged"),
         )
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    a: str = "pa",
+    b: str = "pb",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan 2007) —
+    community detection by iterated neighbor-majority vote, the
+    cheap-per-round alternative to modularity optimization.  Labels
+    start as node ids; each round every node adopts the most frequent
+    label among its neighbors, ties broken by SMALLEST label — the
+    deterministic twin of an unrolled SQL oracle (the kcore_peel
+    discipline: ``rounds`` is fixed, convergence is the caller's
+    judgement, and every tie-break is total).
+
+    Scale shape per round: one hash join (edges × labels, keyed on the
+    label side's node) + one (node, label) count aggregate + one
+    per-node argmax window over the count rows — count rows are
+    bounded by Σ min(deg, #distinct neighbor labels) ≤ E.  Lineage is
+    cut every other round with localCheckpoint (the CC discipline), so
+    the plan never compounds across rounds.  Returns (v, label)."""
+    from pyspark.sql import Window
+
+    und = undirected_edges(pairs, a, b)
+    lab = (
+        und.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+    for r in range(rounds):
+        cnt = (
+            und.join(
+                lab.select(
+                    F.col("v").alias("src"), F.col("label").alias("nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"), F.col("nl").alias("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        lab = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("v", "label")
+        )
+        if r % 2 == 1:
+            lab = lab.localCheckpoint(eager=True)
+    return lab

@@ -115,3 +115,91 @@ def cms_estimate(
     return joined.groupBy(*group_cols).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)
     )
+
+
+def hll_register_maxes(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+    seed: int = 4242,
+) -> DataFrame:
+    """HyperLogLog register table — per group, the 2^p bucket maxima
+    M_j of the leading-zero rank, built from the engine-portable md5
+    hash family (Flajolet et al. 2007; no engine-private hash, unlike
+    ``approx_count_distinct``'s private HLL++).
+
+    Hash layout per key: a 60-bit integer u; the top ``p`` bits pick
+    the bucket, the remaining ``w = 60 − p`` bits feed the rank
+    ``rho = w + 1 − bitlength(rest)`` (``w + 1`` when rest = 0).
+    ``bitlength`` is ``length(bin(x))`` — an exact integer in both
+    Spark and DuckDB, never a float log2 (which rounds wrong at exact
+    powers of two).  The output is pure integers, so the whole sketch
+    is bit-reproducible cross-engine — the estimate itself is
+    hash-checkable, not merely banded.
+
+    Scale shape: one hash + groupBy(group, bucket) MAX — map-side
+    combine collapses each task to ≤ groups·2^p rows before the
+    shuffle, the same mergeability that makes HLL the standard
+    distributed distinct sketch (registers OR/MAX-merge across any
+    partitioning)."""
+    w = 60 - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.expr(f"__hll_u div {2 ** w}").alias("bucket")
+    rest = (F.col("__hll_u") % F.lit(2 ** w)).alias("rest")
+    tagged = df.select(*group_cols, h.alias("__hll_u")).select(
+        *group_cols, bucket, rest
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(F.col("rest")))
+    )
+    return (
+        tagged.select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """HLL estimate from a register table, with the standard
+    small-range (linear counting) correction.
+
+    Exactness discipline: the harmonic denominator Σ 2^{−M_j} is
+    rescaled by 2^{w+1} so every term 2^{w+1−M_j} is an INTEGER
+    (M_j ≤ w+1) — the sum is an exact bigint (≤ 2^p·2^{w+1} = 2^61
+    · 2^{p−60+p}… for p=8, ≤ 256·2^53 = 2^61), immune to float
+    summation order; only the final one-shot double expression (shared
+    verbatim with the oracle) leaves integer land."""
+    m = 2 ** p
+    w = 60 - p
+    scale = w + 1
+    per_group = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - mj)")).alias("s_used"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    # empty buckets contribute 2^scale each to the rescaled sum
+    s_total = F.col("s_used") + (F.lit(m) - F.col("n_used")) * F.lit(2 ** scale)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(2 ** scale))
+        / F.col("s_total").cast("double")
+    )
+    v = F.lit(m) - F.col("n_used")  # zero-valued registers
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(raw)
+    return per_group.withColumn("s_total", s_total).select(
+        *group_cols, F.round(est, 4).alias("hll_estimate")
+    )

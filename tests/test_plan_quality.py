@@ -839,3 +839,42 @@ def test_bitmap_distinct_aggregates_map_side(spark):
     plan = _plan(QUERIES["bitmap_distinct_audit"](spark, SF_DIR))
     assert "bitmap_construct_agg" in plan
     assert "partial" in plan.lower()
+
+
+def test_hll_registers_aggregate_map_side(spark):
+    """The HLL register build must partial-aggregate before its
+    exchange (mergeable registers ⇒ ≤ groups·256 rows per task) and
+    contain no explode/Generate anywhere."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["hll_distinct_audit"](spark, SF_DIR))
+    assert "partial" in plan.lower()
+    assert "Generate" not in plan
+
+
+def test_label_propagation_no_cartesian(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["label_propagation_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_hub_suppression_and_no_cartesian(spark):
+    """AA wedge generation must stay an equi-join on the common
+    neighbor (never a θ-join) and carry the deg ≤ 64 hub filter."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["adamic_adar_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "64" in plan  # the hub cap reaches the plan as a filter
+
+
+def test_acf_series_joins_are_broadcast(spark):
+    """The ACF lag self-join runs over the calendar-bounded daily
+    series — both series sides must broadcast, never shuffle the
+    corpus."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["acf_daily_revenue"](spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2

@@ -278,3 +278,97 @@ def test_bootstrap_mix_draws_are_poisson_and_decorrelated(spark):
     # independent Poisson(1) pairs agree with prob Σp_k² ≈ 0.31; 32
     # identical copies would agree with prob 1
     assert stats.agree07 < 0.45
+
+
+def test_hll_estimate_accuracy_model(spark):
+    """HLL with p=8 must estimate known cardinalities within ~3σ
+    (σ ≈ 1.04/√256 = 6.5%) on both estimator branches: 100 distinct
+    (linear counting) and 20000 distinct (raw harmonic)."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_maxes,
+    )
+
+    for n in (100, 20000):
+        df = spark.range(n).select(
+            F.lit("g").alias("grp"), F.col("id").alias("k")
+        )
+        regs = hll_register_maxes(df, ["grp"], "k", p=8)
+        est = hll_estimate(regs, ["grp"], p=8).collect()[0].hll_estimate
+        assert abs(est - n) < 0.2 * n, (n, est)
+
+
+def test_hll_registers_merge_across_partitionings(spark):
+    """Register MAX-merge is order-free: 1-partition and 32-partition
+    layouts must produce identical register tables and estimates."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_maxes,
+    )
+
+    df1 = spark.range(5000).select(F.lit("g").alias("grp"), F.col("id").alias("k"))
+    r1 = hll_register_maxes(df1.coalesce(1), ["grp"], "k")
+    r32 = hll_register_maxes(df1.repartition(32), ["grp"], "k")
+    t1 = {(r.bucket, r.mj) for r in r1.collect()}
+    t32 = {(r.bucket, r.mj) for r in r32.collect()}
+    assert t1 == t32
+    e1 = hll_estimate(r1, ["grp"]).collect()[0].hll_estimate
+    e32 = hll_estimate(r32, ["grp"]).collect()[0].hll_estimate
+    assert e1 == e32
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge must resolve to two
+    communities labeled by each clique's smallest node id."""
+    from imdb_metacritic_data_warehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges.append((4, 10))  # bridge
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    lab = {r.v: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert set(lab[v] for v in (1, 2, 3)) == {1}
+    assert set(lab[v] for v in (11, 12, 13)) == {10}
+
+
+def test_holt_fold_matches_python_recursion(spark):
+    """The aggregate() Holt fold must equal the straightforward Python
+    recursion bit-for-bit (same left-assoc double ops)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    rows = QUERIES["holt_forecast_nation_monthly"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 25
+    # recompute one nation end-to-end in python
+    import duckdb
+
+    con = duckdb.connect()
+    ser = con.execute(
+        """
+        SELECT list(CAST(cents AS DOUBLE) ORDER BY x) FROM (
+          SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                 + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM read_parquet('/root/testdata/sf0.001/orders.parquet') o
+          JOIN read_parquet('/root/testdata/sf0.001/customer.parquet') c ON o_custkey = c_custkey
+          JOIN read_parquet('/root/testdata/sf0.001/nation.parquet') n ON c_nationkey = n_nationkey
+          WHERE n_name = (SELECT min(n_name) FROM read_parquet('/root/testdata/sf0.001/nation.parquet') n2)
+          GROUP BY 1)
+        """
+    ).fetchone()[0]
+    s, b = ser[1], ser[1] - ser[0]
+    for y in ser[2:]:
+        s_new = 0.5 * y + 0.5 * (s + b)
+        b = 0.3 * (s_new - s) + 0.7 * b
+        s = s_new
+    first_nation = sorted(r.nation for r in rows)[0]
+    got = next(r for r in rows if r.nation == first_nation)
+    assert got.level == round(s / 100.0, 4)
+    assert got.trend == round(b / 100.0, 4)
