@@ -14800,6 +14800,276 @@ def adamic_adar_parts(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-5 wave 11c: warehouse patterns — SCD Type 4 current+history,
+# bitemporal (valid-time × transaction-time) snapshots, and the
+# write-audit-publish gate.
+
+
+# SCD Type 4 — current table + separate history table, the warehouse
+# pattern for dimensions whose consumers want cheap current-state scans
+# (no validity predicates) while auditors keep every superseded row.
+# Runs through the REAL disk path (two VersionedParquetTable writes for
+# current, one append-shaped history build), then audits BOTH tables
+# back off parquet: row counts, exact balance-cents checksums, and the
+# invariant that history rows are exactly batch-1 images of keys whose
+# balance changed.  Batch 2 is a deterministic mutation (custkey % 7 →
+# +$10), so the oracle recomputes the same audit from the raw table.
+@query(
+    "scd4_current_history_customers",
+    """
+    WITH b1 AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    b2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN cents + 1000 ELSE cents END AS cents
+      FROM b1
+    ),
+    hist AS (
+      SELECT o.c_custkey, o.cents FROM b1 o
+      JOIN b2 n ON o.c_custkey = n.c_custkey AND o.cents <> n.cents
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b2) AS n_current,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM b2) AS current_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hist) AS n_history,
+           (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM hist) AS history_cents,
+           (SELECT CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM hist) AS history_key_checksum
+    """,
+)
+def scd4_current_history_customers(spark, sf_dir):
+    from .sources.table import VersionedParquetTable
+
+    root = _scratch_dir("scd4", sf_dir)
+    cur_t = VersionedParquetTable(spark, root, "customer_current")
+    hist_t = VersionedParquetTable(spark, root, "customer_history")
+    c = _t(spark, sf_dir, "customer")
+    b1 = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    cur_t.write(b1)  # v1: initial current state
+    b2 = b1.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    # SCD4 step: superseded images (changed keys only) append to
+    # history; current is atomically replaced
+    old = cur_t.read()
+    changed = old.alias("o").join(
+        b2.alias("n"),
+        (F.col("o.c_custkey") == F.col("n.c_custkey"))
+        & (F.col("o.cents") != F.col("n.cents")),
+    ).select(F.col("o.c_custkey").alias("c_custkey"), F.col("o.cents").alias("cents"))
+    hist_t.write(changed)
+    cur_t.write(b2)  # v2
+    cur = cur_t.read()
+    hist = hist_t.read()
+    audit = (
+        cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_current"),
+            F.sum("cents").cast("bigint").alias("current_cents"),
+        )
+        .crossJoin(
+            F.broadcast(
+                hist.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_history"),
+                    F.coalesce(F.sum("cents"), F.lit(0))
+                    .cast("bigint")
+                    .alias("history_cents"),
+                    F.coalesce(F.sum("c_custkey"), F.lit(0))
+                    .cast("bigint")
+                    .alias("history_key_checksum"),
+                )
+            )
+        )
+    )
+    return _finish_scratch(audit, root)
+
+
+# Bitemporal snapshots — the two-axis time-travel query: "what did we
+# BELIEVE (transaction time) the world looked like, about WHEN (valid
+# time)?"  Orders carry synthetic validity [orderdate, orderdate+90d);
+# transaction batch 2 corrects totalprice for custkey % 11 keys,
+# closing the batch-1 belief.  The snapshot operator filters both axes
+# with half-open-interval semantics — both beliefs about valid date
+# 1995-06-15 are emitted side by side, so the correction's effect is
+# the visible delta.  Scale: each snapshot is one predicate scan (both
+# interval bounds are columns — partition-prunable on valid_from), no
+# join, no window.
+@query(
+    "bitemporal_snapshot_orders",
+    """
+    WITH rec AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate AS valid_from,
+             o_orderdate + INTERVAL 90 DAY AS valid_to,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_custkey % 11 = 0 AS corrected
+      FROM orders
+    ),
+    bi AS (
+      -- tx 1: original belief; closed at tx 2 for corrected keys
+      SELECT o_orderkey, o_orderstatus, valid_from, valid_to, cents,
+             1 AS tx_from, CASE WHEN corrected THEN 2 ELSE NULL END AS tx_to
+      FROM rec
+      UNION ALL
+      -- tx 2: corrected belief (+$5) for corrected keys
+      SELECT o_orderkey, o_orderstatus, valid_from, valid_to, cents + 500,
+             2, NULL
+      FROM rec WHERE corrected
+    ),
+    snap AS (
+      SELECT t.as_of_tx, b.o_orderstatus, b.cents
+      FROM (SELECT unnest([1, 2]) AS as_of_tx) t
+      JOIN bi b ON b.tx_from <= t.as_of_tx
+              AND (b.tx_to IS NULL OR b.tx_to > t.as_of_tx)
+      WHERE b.valid_from <= DATE '1995-06-15'
+        AND b.valid_to > DATE '1995-06-15'
+    )
+    SELECT as_of_tx, o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM snap GROUP BY 1, 2 ORDER BY as_of_tx, status
+    """,
+)
+def bitemporal_snapshot_orders(spark, sf_dir):
+    from .operators.snapshots import bitemporal_snapshot
+
+    o = _t(spark, sf_dir, "orders")
+    rec = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.date_add(F.col("o_orderdate"), 90).alias("valid_to"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_custkey") % 11 == 0).alias("corrected"),
+    )
+    tx1 = rec.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "valid_from",
+        "valid_to",
+        "cents",
+        F.lit(1).alias("tx_from"),
+        F.when(F.col("corrected"), F.lit(2)).alias("tx_to"),
+    )
+    tx2 = rec.filter("corrected").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "valid_from",
+        "valid_to",
+        (F.col("cents") + 500).alias("cents"),
+        F.lit(2).alias("tx_from"),
+        F.lit(None).cast("int").alias("tx_to"),
+    )
+    bi = tx1.unionByName(tx2)
+    out = []
+    for tx in (1, 2):
+        snap = bitemporal_snapshot(
+            bi, tx_at=tx, valid_at="1995-06-15"
+        )
+        out.append(
+            snap.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            .select(
+                F.lit(tx).alias("as_of_tx"),
+                F.col("o_orderstatus").alias("status"),
+                "n_orders",
+                "total_cents",
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("as_of_tx", "status")
+
+
+# Write-audit-publish — the production gate that keeps a bad batch out
+# of the serving table: batch 2 (with deterministically injected
+# corruption: negated totalprice on custkey % 13) is STAGED and
+# audited; the audit fails, so the publish step never swaps the
+# version pointer and readers keep seeing the clean v1.  The query
+# returns the audit findings plus the served table's checksum — equal
+# to the clean batch by construction, which the oracle recomputes from
+# raw.  The staging write is a real VersionedParquetTable version that
+# simply never becomes the pointer target (same atomicity discipline
+# as truncate-then-load, sources/table.py).
+@query(
+    "wap_publish_audit_orders",
+    """
+    WITH clean AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    staged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN -cents ELSE cents END AS cents
+      FROM clean
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE cents < 0)
+             AS n_negative_found,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE cents IS NULL)
+             AS n_null_found,
+           FALSE AS audit_passed,
+           FALSE AS published,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS served_rows,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM clean) AS served_cents
+    """,
+)
+def wap_publish_audit_orders(spark, sf_dir):
+    from .sources.table import VersionedParquetTable
+
+    root = _scratch_dir("wap", sf_dir)
+    t = VersionedParquetTable(spark, root, "orders_serving")
+    o = _t(spark, sf_dir, "orders")
+    clean = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    t.write(clean)  # v1 published
+    v_published = t.current_version()
+    staged = clean.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, -F.col("cents"))
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    # WRITE: stage as a content dir WITHOUT advancing the pointer —
+    # write() advances, so stage to a sibling table and only repoint
+    # (i.e. write to the serving table) on audit pass.
+    stage_t = VersionedParquetTable(spark, root, "orders_staging")
+    stage_t.write(staged)
+    back = stage_t.read()
+    # AUDIT over the staged files themselves (what would be served)
+    findings = back.agg(
+        F.sum((F.col("cents") < 0).cast("int")).cast("bigint").alias(
+            "n_negative_found"
+        ),
+        F.sum(F.col("cents").isNull().cast("int")).cast("bigint").alias(
+            "n_null_found"
+        ),
+    ).collect()[0]
+    audit_passed = findings.n_negative_found == 0 and findings.n_null_found == 0
+    if audit_passed:  # PUBLISH
+        t.write(back)
+    served = t.read(t.current_version())
+    audit = served.agg(
+        F.count(F.lit(1)).cast("bigint").alias("served_rows"),
+        F.sum("cents").cast("bigint").alias("served_cents"),
+    ).select(
+        F.lit(findings.n_negative_found).cast("bigint").alias("n_negative_found"),
+        F.lit(findings.n_null_found).cast("bigint").alias("n_null_found"),
+        F.lit(bool(audit_passed)).alias("audit_passed"),
+        F.lit(bool(audit_passed)).alias("published"),
+        "served_rows",
+        "served_cents",
+    )
+    return _finish_scratch(audit, root)
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each

@@ -77,3 +77,30 @@ def pit_join(
         F.col(f"h.{c}").alias(c) for c in hist.columns if c != key
     ]
     return p.join(h, cond, how).select("p.*", *hist_cols)
+
+
+def bitemporal_snapshot(
+    records: DataFrame,
+    tx_at,
+    valid_at: str,
+    tx_from: str = "tx_from",
+    tx_to: str = "tx_to",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Bitemporal point query: rows believed true at transaction time
+    ``tx_at`` AND valid at ``valid_at`` — the two-axis time travel that
+    separates "the data changed" (valid time) from "we corrected the
+    record" (transaction time).  Both axes use half-open-interval
+    semantics [from, to); NULL ``tx_to`` means the current belief.
+
+    Plan shape: one predicate scan, no join — both interval bounds are
+    plain columns, so the valid-time predicate is pushdown-eligible
+    and partition-prunable on ``valid_from`` when the table is
+    date-partitioned (SCALE.md discipline)."""
+    return records.filter(
+        (F.col(tx_from) <= F.lit(tx_at))
+        & (F.col(tx_to).isNull() | (F.col(tx_to) > F.lit(tx_at)))
+        & (F.col(valid_from) <= F.lit(valid_at).cast("date"))
+        & (F.col(valid_to) > F.lit(valid_at).cast("date"))
+    )

@@ -212,3 +212,66 @@ def test_dq_report_counts_each_rule_class(spark):
     assert got["val_positive"] == (2, round(2 / 6, 6))
     assert got["unique:id"] == (2, round(2 / 6, 6))
     assert got["dim_fk"] == (2, round(2 / 6, 6))
+
+
+def test_wap_publish_advances_on_clean_audit(spark, tmp_path):
+    """The write-audit-publish gate must actually publish when the
+    audit passes (the entry query only exercises the reject path)."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.sources.table import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path), "serving")
+    clean = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("cents"))
+    t.write(clean)
+    assert t.current_version() == 1
+    staged = spark.range(12).select(F.col("id"), (F.col("id") * 3).alias("cents"))
+    stage_t = VersionedParquetTable(spark, str(tmp_path), "staging")
+    stage_t.write(staged)
+    back = stage_t.read()
+    bad = back.filter(F.col("cents") < 0).count()
+    if bad == 0:
+        t.write(back)
+    assert t.current_version() == 2
+    assert t.read().count() == 12
+
+
+def test_bitemporal_snapshot_boundary_semantics(spark):
+    """Half-open [from, to) on BOTH axes: a record corrected at tx 2 is
+    visible at tx 1 but not tx 2; valid_to day itself is excluded."""
+    import datetime as dt
+
+    from imdb_metacritic_data_warehouse_spark.operators.snapshots import (
+        bitemporal_snapshot,
+    )
+
+    d = dt.date
+    rows = [
+        # key 1: believed from tx1, corrected (closed) at tx2
+        (1, d(2024, 1, 1), d(2024, 2, 1), 100, 1, 2),
+        (1, d(2024, 1, 1), d(2024, 2, 1), 150, 2, None),
+        # key 2: valid window ends exactly on the probe date
+        (2, d(2023, 12, 1), d(2024, 1, 15), 200, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k int, valid_from date, valid_to date, cents int, tx_from int, tx_to int",
+    )
+    at_tx1 = {
+        (r.k, r.cents)
+        for r in bitemporal_snapshot(df, tx_at=1, valid_at="2024-01-10").collect()
+    }
+    assert at_tx1 == {(1, 100), (2, 200)}
+    at_tx2 = {
+        (r.k, r.cents)
+        for r in bitemporal_snapshot(df, tx_at=2, valid_at="2024-01-10").collect()
+    }
+    assert at_tx2 == {(1, 150), (2, 200)}
+    # valid_to is EXCLUSIVE: probing key 2's end date drops it
+    end_day = {
+        r.k
+        for r in bitemporal_snapshot(df, tx_at=2, valid_at="2024-01-15").collect()
+    }
+    assert end_day == {1}
