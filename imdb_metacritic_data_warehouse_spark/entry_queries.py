@@ -15070,6 +15070,109 @@ def wap_publish_audit_orders(spark, sf_dir):
     return _finish_scratch(audit, root)
 
 
+# ===========================================================================
+# Round-5 wave 11d: mixed-format REAL image decode, value-checked.
+
+
+# Mixed-media decode — the ingest shape of a real media lake: ONE
+# binary column holding P6 PPM, P5 PGM, and 24-bit BMP payloads,
+# magic-byte sniffed and decoded by the repo's pure-numpy decoders
+# (operators/multimodal.py — BMP exercises the format's real quirks:
+# BGR order, 4-byte stride padding, bottom-up rows).  Payloads are
+# synthesized DETERMINISTICALLY from doc_id (format = doc_id % 3,
+# dims and pixel values are modular functions of doc_id), so the
+# DuckDB oracle recomputes every width/height/channel-mean in closed
+# form WITHOUT decoding — if the decoder mishandled padding, channel
+# order, or row order, the means would not reconcile.  The decode runs
+# Arrow-batched through mapInPandas (whole columns per batch), the
+# multimodal scale shape.
+@query(
+    "mixed_media_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'ppm'
+                  WHEN 1 THEN 'pgm' ELSE 'bmp' END AS format,
+             CAST(4 + doc_id % 5 AS INTEGER) AS w,
+             CAST(3 + doc_id % 4 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    px AS (
+      SELECT d.doc_id, d.format, d.w, d.h, y.y, x.x
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x
+    ),
+    m AS (
+      SELECT doc_id, format, w, h,
+             CASE WHEN format = 'pgm'
+                  THEN AVG(CAST((doc_id * 31 + y * w + x) % 256 AS DOUBLE))
+                  ELSE AVG(CAST((doc_id * 31 + (y * w + x) * 3 + 0) % 256 AS DOUBLE))
+             END AS mean_r,
+             CASE WHEN format = 'pgm'
+                  THEN AVG(CAST((doc_id * 31 + y * w + x) % 256 AS DOUBLE))
+                  ELSE AVG(CAST((doc_id * 31 + (y * w + x) * 3 + 1) % 256 AS DOUBLE))
+             END AS mean_g,
+             CASE WHEN format = 'pgm'
+                  THEN AVG(CAST((doc_id * 31 + y * w + x) % 256 AS DOUBLE))
+                  ELSE AVG(CAST((doc_id * 31 + (y * w + x) * 3 + 2) % 256 AS DOUBLE))
+             END AS mean_b
+      FROM px GROUP BY doc_id, format, w, h
+    )
+    SELECT doc_id, format, w AS width, h AS height,
+           round(mean_r, 6) AS mean_r,
+           round(mean_g, 6) AS mean_g,
+           round(mean_b, 6) AS mean_b
+    FROM m ORDER BY doc_id
+    """,
+)
+def mixed_media_decode_stats(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.multimodal import (
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+        image_stats_any,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                if d % 3 == 1:  # pgm
+                    idx = np.arange(h * w, dtype=np.int64)
+                    arr = ((d * 31 + idx) % 256).astype(np.uint8).reshape(h, w)
+                    payloads.append(encode_pgm(arr))
+                else:
+                    idx = np.arange(h * w * 3, dtype=np.int64)
+                    arr = ((d * 31 + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+                    payloads.append(
+                        encode_ppm(arr) if d % 3 == 0 else encode_bmp(arr)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    stats = image_stats_any(media)
+    return stats.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each

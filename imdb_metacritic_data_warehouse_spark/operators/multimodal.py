@@ -354,3 +354,173 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         op, schema=AUDIO_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths, round 5: PGM (P5 grayscale) and BMP (24-bit
+# BI_RGB).  Both are header + raw raster formats numpy decodes without
+# a codec library — PGM is the single-channel twin of P6, and BMP adds
+# the three honest quirks of a real container: BGR byte order, 4-byte
+# row stride padding, and bottom-up row storage.  ``sniff_format`` +
+# the widened ``image_stats`` give the ingest path one mixed-format
+# binary column, which is how a real media lake arrives.
+# ---------------------------------------------------------------------------
+
+
+def encode_pgm(arr) -> bytes:
+    """(h, w) uint8 array → binary PGM (P5) bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_pgm(content: bytes):
+    """Binary PGM (P5) bytes → (width, height, (h,w) uint8 array)."""
+    import numpy as np
+
+    if not content.startswith(b"P5"):
+        raise ValueError("not a P5 PGM")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(content[i:j]))
+        i = j
+    i += 1
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    arr = np.frombuffer(content, dtype=np.uint8, offset=i, count=w * h)
+    return w, h, arr.reshape(h, w)
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24-bit BI_RGB BMP bytes, with the
+    format's real storage quirks: BGR channel order, rows padded to a
+    4-byte stride, bottom row first."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w, c = a.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    bgr = a[::-1, :, ::-1]  # bottom-up rows, BGR channels
+    body = b"".join(bytes(row.tobytes()) + b"\x00" * pad for row in bgr)
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_bmp(content: bytes):
+    """24-bit BI_RGB BMP bytes → (width, height, (h,w,3) uint8 RGB
+    array).  Validates the BITMAPINFOHEADER, undoes stride padding,
+    bottom-up order, and BGR."""
+    import struct
+
+    import numpy as np
+
+    if not content.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    try:
+        pixel_offset = struct.unpack_from("<I", content, 10)[0]
+        hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", content, 14
+        )
+    except struct.error as exc:  # truncated header → permissive-read NULL
+        raise ValueError(str(exc)) from exc
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(content, dtype=np.uint8, offset=pixel_offset,
+                        count=stride * h).reshape(h, stride)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if bottom_up:
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def sniff_format(content: bytes) -> str | None:
+    """Magic-byte format sniff for the mixed-media binary column."""
+    if content[:2] == b"P6":
+        return "ppm"
+    if content[:2] == b"P5":
+        return "pgm"
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+MIXED_IMAGE_STATS_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_stats_any(media: DataFrame) -> DataFrame:
+    """Per-image stats over a MIXED-format binary column (P6 PPM, P5
+    PGM, 24-bit BMP): magic-byte sniff, format-appropriate real numpy
+    decode, shared stats contract (grayscale reports its mean on all
+    three channels).  Undecodable payloads yield NULL stats with a NULL
+    format — the permissive-read discipline.  Arrow-batched
+    ``mapInPandas`` like every decode path here: Python sees whole
+    columns of payloads once, never a per-row UDF."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "format": [], "width": [],
+                   "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for content in pdf["content"]:
+                b = bytes(content)
+                fmt = sniff_format(b)
+                try:
+                    if fmt == "ppm":
+                        w, h, arr = decode_ppm(b)
+                        m = arr.reshape(-1, 3).mean(axis=0)
+                        vals = (float(m[0]), float(m[1]), float(m[2]))
+                    elif fmt == "pgm":
+                        w, h, arr = decode_pgm(b)
+                        g = float(arr.mean())
+                        vals = (g, g, g)
+                    elif fmt == "bmp":
+                        w, h, arr = decode_bmp(b)
+                        m = arr.reshape(-1, 3).mean(axis=0)
+                        vals = (float(m[0]), float(m[1]), float(m[2]))
+                    else:
+                        raise ValueError("unknown format")
+                    out["format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(vals[0])
+                    out["mean_g"].append(vals[1])
+                    out["mean_b"].append(vals[2])
+                except (ValueError, IndexError):
+                    out["format"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "content").mapInPandas(
+        op, schema=MIXED_IMAGE_STATS_SCHEMA
+    )

@@ -1186,3 +1186,71 @@ def test_vacuum_removes_stale_and_orphans(spark, tmp_path):
     assert names == {"v=3", "v=9"}  # stale old + aged orphan
     assert os.path.isdir(fresh)
     assert t.read().count() == 5  # committed version untouched
+
+
+def test_bmp_roundtrip_including_stride_padding(spark):
+    """BMP encode→decode must be the identity for widths that force
+    nonzero row padding (w=3 → stride 12, pad 3) and for pad-free
+    widths, proving BGR order, bottom-up rows, and stride handling all
+    invert correctly."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    for w, h in ((3, 2), (4, 3), (5, 7), (1, 1)):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, back = decode_bmp(encode_bmp(arr))
+        assert (w2, h2) == (w, h)
+        assert (back == arr).all(), (w, h)
+
+
+def test_pgm_roundtrip_and_comment_header(spark):
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.multimodal import (
+        decode_pgm,
+        encode_pgm,
+    )
+
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    w, h, back = decode_pgm(encode_pgm(arr))
+    assert (w, h) == (4, 3) and (back == arr).all()
+    # header comments per the netpbm spec
+    with_comment = b"P5\n# a comment\n4 3\n255\n" + arr.tobytes()
+    w, h, back = decode_pgm(with_comment)
+    assert (w, h) == (4, 3) and (back == arr).all()
+
+
+def test_image_stats_any_mixed_batch_permissive(spark):
+    """One binary column with PPM + PGM + BMP + garbage: correct
+    per-format stats, NULL row (not a crash) for the garbage."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.multimodal import (
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+        image_stats_any,
+    )
+
+    rgb = np.full((2, 2, 3), 10, dtype=np.uint8)
+    rgb[:, :, 2] = 30  # mean_b differs: catches channel swaps
+    gray = np.full((2, 3), 7, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_ppm(rgb))),
+        (2, bytearray(encode_pgm(gray))),
+        (3, bytearray(encode_bmp(rgb))),
+        (4, bytearray(b"BM garbage")),
+        (5, bytearray(b"\x00\x01\x02")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in image_stats_any(df).collect()}
+    assert got[1].format == "ppm" and got[1].mean_b == 30.0 and got[1].mean_r == 10.0
+    assert got[2].format == "pgm" and got[2].mean_r == 7.0 and got[2].width == 3
+    assert got[3].format == "bmp" and got[3].mean_b == 30.0 and got[3].mean_r == 10.0
+    assert got[4].format is None and got[4].width is None
+    assert got[5].format is None
