@@ -15173,6 +15173,294 @@ def mixed_media_decode_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# ===========================================================================
+# Round-5 wave 11e: exact-Gram power iteration (PCA prep), inter-event
+# burstiness, Welch's t-test.
+
+
+def _pca_oracle_sql(iters: int = 3) -> str:
+    head = """
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    grid AS MATERIALIZED (
+      SELECT d1.i AS i, d2.j AS j,
+             SUM(CAST(floor(v[d1.i] * 10000000.0 + 0.5) AS BIGINT)
+                 * CAST(floor(v[d2.j] * 10000000.0 + 0.5) AS BIGINT)) AS sxy
+      FROM e,
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) d1,
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) d2
+      WHERE d2.j >= d1.i
+      GROUP BY 1, 2
+    ),
+    full_g AS MATERIALIZED (
+      SELECT i, j, sxy FROM grid
+      UNION ALL SELECT j AS i, i AS j, sxy FROM grid WHERE i <> j
+    ),
+    v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+                  CAST(1000000 AS BIGINT) AS vint)"""
+    steps = []
+    for r in range(1, iters + 1):
+        steps.append(f"""
+    w{r} AS MATERIALIZED (
+      SELECT g.i, SUM(CAST(g.sxy AS DECIMAL(25,0))
+                      * CAST(v.vint AS DECIMAL(12,0))) AS wi
+      FROM full_g g JOIN v{r - 1} v ON v.j = g.j GROUP BY g.i
+    ),
+    m{r} AS (SELECT MAX(abs(wi)) AS mx FROM w{r}),
+    v{r} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(round(CAST(wi AS DOUBLE) / CAST(mx AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS vint
+      FROM w{r} CROSS JOIN m{r}
+    )""")
+    tail = f"""
+    wf AS MATERIALIZED (
+      SELECT g.i, SUM(CAST(g.sxy AS DECIMAL(25,0))
+                      * CAST(v.vint AS DECIMAL(12,0))) AS wi
+      FROM full_g g JOIN v{iters} v ON v.j = g.j GROUP BY g.i
+    ),
+    ray AS (
+      SELECT CAST(SUM(CAST(v.vint AS DECIMAL(12,0))
+                      * CAST(w.wi AS DECIMAL(25,0))) AS DECIMAL(38,0)) AS num,
+             CAST(SUM(v.vint * v.vint) AS BIGINT) AS den
+      FROM v{iters} v JOIN wf w ON w.i = v.j
+    )
+    SELECT v.j AS i,
+           round(CAST(v.vint AS DOUBLE) / 1000000.0, 6) AS loading,
+           round(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+                 / 100000000000000.0 / nn.n, 6) AS lambda_moment
+    FROM v{iters} v CROSS JOIN ray r CROSS JOIN n nn
+    ORDER BY i"""
+    return head + "," + ",".join(steps) + "," + tail
+
+
+# Top principal component of the embedding second-moment matrix —
+# fixed-3-round power iteration on the EXACT integer Gram
+# (operators/similarity.gram_power_iteration), the PCA prep that the
+# order-free Gram rewrite (r4 verdict task #1) makes hash-checkable:
+# the iterate lives on an integer micro-grid and every matvec is exact
+# decimal arithmetic, so Spark and the unrolled DuckDB oracle produce
+# bit-identical loadings AND Rayleigh eigenvalue.  Scale: one corpus
+# scan builds the Gram (O(dim²·blocks) shuffle); the iteration itself
+# is dim²-sized — free at any corpus size.
+@query("pca_top_component_embeddings", _pca_oracle_sql(3))
+def pca_top_component_embeddings(spark, sf_dir):
+    from .operators.similarity import gram_power_iteration, gram_upper_cells
+
+    e = _t(spark, sf_dir, "embeddings")
+    grid = gram_upper_cells(e, "embedding")
+    vw = gram_power_iteration(grid, dims=64, iters=3)
+    n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ray = vw.agg(
+        F.sum(
+            F.col("vint").cast("decimal(12,0)") * F.col("wi").cast("decimal(25,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.sum(F.col("vint") * F.col("vint")).cast("bigint").alias("den"),
+    )
+    return (
+        vw.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            F.round(F.col("vint").cast("double") / F.lit(1000000.0), 6).alias(
+                "loading"
+            ),
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.lit(1.0e14)
+                / F.col("n"),
+                6,
+            ).alias("lambda_moment"),
+        )
+        .orderBy("i")
+    )
+
+
+# Inter-event burstiness — per (user, event_type) arrival-gap moments
+# rolled up to event type: burstiness B = (σ−μ)/(σ+μ) of inter-arrival
+# times (Goh & Barabási 2008), the "is this traffic Poisson or bursty"
+# diagnostic that sizes streaming-state retention.  Gaps are exact
+# integer microseconds from per-user LAG windows (user-partitioned —
+# never a corpus-wide window); Σgap and Σgap² fold as exact
+# bigint/decimal, so μ, σ, B are one shared double expression each.
+# Gap stats report in SECONDS: at µs scale the std (~2e11) needs more
+# significant digits than a double carries, so round-4 exposed the two
+# engines' last-ulp sqrt difference (caught at sf0.001).
+@query(
+    "interevent_burstiness_events",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_us) AS BIGINT) AS sg,
+             CAST(SUM(CAST(gap_us AS DECIMAL(19,0))
+                      * CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg2
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 6) AS mean_gap_s,
+           round(sqrt(CAST(sg2 AS DOUBLE) / n_gaps
+                      - (CAST(sg AS DOUBLE) / n_gaps)
+                        * (CAST(sg AS DOUBLE) / n_gaps)) / 1000000.0, 6)
+             AS std_gap_s,
+           round((sqrt(CAST(sg2 AS DOUBLE) / n_gaps
+                       - (CAST(sg AS DOUBLE) / n_gaps)
+                         * (CAST(sg AS DOUBLE) / n_gaps))
+                  - CAST(sg AS DOUBLE) / n_gaps)
+                 / (sqrt(CAST(sg2 AS DOUBLE) / n_gaps
+                         - (CAST(sg AS DOUBLE) / n_gaps)
+                           * (CAST(sg AS DOUBLE) / n_gaps))
+                    + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+    FROM s ORDER BY event_type
+    """,
+)
+def interevent_burstiness_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    gd = F.col("gap_us").cast("decimal(19,0)")
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("sg"),
+        F.sum(gd * gd).cast("decimal(38,0)").alias("sg2"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(F.col("sg2").cast("double") / F.col("n_gaps") - mu * mu)
+    return s.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        F.round(sd / F.lit(1000000.0), 6).alias("std_gap_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+# Welch's t-test — unequal-variance two-sample mean comparison of
+# order totals between two customer segments (parity split), with the
+# Welch-Satterthwaite effective degrees of freedom.  Everything up to
+# the final t and dof expressions is exact integer/decimal sufficient
+# statistics in cents — the same one-shared-double-expression
+# discipline as every inference query here.
+@query(
+    "welch_ttest_orders",
+    """
+    WITH f AS (
+      SELECT CAST(o_custkey % 2 AS INTEGER) AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                      * CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx
+      FROM f GROUP BY g
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN g = 0 THEN n END) AS n0,
+             MAX(CASE WHEN g = 1 THEN n END) AS n1,
+             MAX(CASE WHEN g = 0 THEN sx END) AS sx0,
+             MAX(CASE WHEN g = 1 THEN sx END) AS sx1,
+             MAX(CASE WHEN g = 0 THEN sxx END) AS sxx0,
+             MAX(CASE WHEN g = 1 THEN sxx END) AS sxx1
+      FROM s
+    )
+    SELECT n0, n1,
+           round(CAST(sx0 AS DOUBLE) / n0 / 100.0, 6) AS mean0,
+           round(CAST(sx1 AS DOUBLE) / n1 / 100.0, 6) AS mean1,
+           round((CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1)
+                 / sqrt(((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                          * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1)) / n0
+                        + ((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                            * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1)) / n1),
+                 6) AS t_welch,
+           round(
+             (((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1)) / n0
+              + ((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                  * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1)) / n1)
+             * (((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                  * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1)) / n0
+                + ((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                    * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1)) / n1)
+             / ((((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                   * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1)) / n0)
+                * (((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                     * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1)) / n0)
+                / (n0 - 1)
+                + (((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                     * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1)) / n1)
+                  * (((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                       * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1)) / n1)
+                  / (n1 - 1)), 4) AS dof_welch
+    FROM w
+    """,
+)
+def welch_ttest_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.select(
+        (F.col("o_custkey") % 2).cast("int").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cd = F.col("cents").cast("decimal(19,0)")
+    s = f.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("sxx"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("g") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("g") == 0, F.col("sxx"))).alias("sxx0"),
+        F.max(F.when(F.col("g") == 1, F.col("sxx"))).alias("sxx1"),
+    )
+
+    def _se2(sx, sxx, n):
+        nd = F.col(n).cast("double")
+        sxd = F.col(sx).cast("double")
+        return (
+            (F.col(sxx).cast("double") - sxd * sxd / F.col(n)) / (F.col(n) - 1)
+        ) / F.col(n)
+
+    se0 = _se2("sx0", "sxx0", "n0")
+    se1 = _se2("sx1", "sxx1", "n1")
+    t = (
+        F.col("sx0").cast("double") / F.col("n0")
+        - F.col("sx1").cast("double") / F.col("n1")
+    ) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1)
+    )
+    return w.select(
+        "n0",
+        "n1",
+        F.round(F.col("sx0").cast("double") / F.col("n0") / F.lit(100.0), 6).alias(
+            "mean0"
+        ),
+        F.round(F.col("sx1").cast("double") / F.col("n1") / F.lit(100.0), 6).alias(
+            "mean1"
+        ),
+        F.round(t, 6).alias("t_welch"),
+        F.round(dof, 4).alias("dof_welch"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each

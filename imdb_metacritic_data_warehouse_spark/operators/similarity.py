@@ -774,3 +774,66 @@ def jl_project(
         )
         comps.append(F.expr(f"0.0D + {terms}"))
     return df.withColumn(out_col, F.array(*comps))
+
+
+def gram_power_iteration(
+    grid: DataFrame, dims: int, iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration power method on the EXACT integer Gram grid
+    (``gram_upper_cells`` output) — the top-principal-component prep
+    that makes the order-free Gram pay off: matrix entries are exact
+    integers and the iterate lives on the integer micro-grid
+    (vint = round(v·10⁶) ∈ [−10⁶, 10⁶]), so w = G·v is EXACT decimal
+    arithmetic every round — decimal(25,0)·decimal(12,0) products stay
+    inside decimal(38,0) by TYPE (no precision-loss rounding in either
+    engine), and the only float op per round is the one shared
+    normalize-and-round expression.  An unrolled SQL oracle is a
+    bit-identical twin.
+
+    Per iteration: densify the upper triangle to both (i,j) and (j,i)
+    cells, one broadcast join against the dim-sized iterate, exact
+    w = G·vint, then vint' = round(w/max|w|·10⁶) (never a float
+    sqrt).  Everything after the corpus-sized Gram build is dim²-sized
+    — each round costs O(dims²) regardless of row count.
+
+    Returns (i, vint, wi) after ``iters`` rounds: the micro-grid
+    iterate plus its final exact matrix-vector image, from which the
+    caller derives loadings (vint/10⁶) and the Rayleigh quotient."""
+    full = grid.select("i", "j", "sxy").unionByName(
+        grid.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
+        )
+    ).localCheckpoint(eager=True)
+    spark = grid.sparkSession
+    v = spark.range(1, dims + 1).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1000000).cast("bigint").alias("vint"),
+    )
+
+    def matvec(vcur: DataFrame) -> DataFrame:
+        return (
+            full.join(F.broadcast(vcur), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("sxy").cast("decimal(25,0)")
+                    * F.col("vint").cast("decimal(12,0)")
+                ).alias("wi")
+            )
+        )
+
+    for _ in range(iters):
+        w = matvec(v)
+        mx = w.agg(F.max(F.abs(F.col("wi"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("j"),
+            F.round(
+                F.col("wi").cast("double")
+                / F.col("mx").cast("double")
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("vint"),
+        )
+    final_w = matvec(v)
+    return v.select(F.col("j").alias("i"), "vint").join(final_w, "i")

@@ -1254,3 +1254,38 @@ def test_image_stats_any_mixed_batch_permissive(spark):
     assert got[3].format == "bmp" and got[3].mean_b == 30.0 and got[3].mean_r == 10.0
     assert got[4].format is None and got[4].width is None
     assert got[5].format is None
+
+
+def test_gram_power_iteration_finds_top_eigenvector(spark):
+    """On a corpus with one dominant direction, 3 rounds must align the
+    iterate with it: the dominant dim's |loading| = 1 (the max), other
+    dims near their true ratio."""
+    import numpy as np
+
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import (
+        gram_power_iteration,
+        gram_upper_cells,
+    )
+
+    rng = np.random.default_rng(2)
+    # dim 0 has 10x the variance of dims 1..3
+    X = rng.normal(size=(400, 4)).astype(np.float32)
+    X[:, 0] *= 10.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    grid = gram_upper_cells(df)
+    out = {r.i: (int(r.vint), r.wi) for r in gram_power_iteration(grid, dims=4).collect()}
+    assert len(out) == 4
+    loadings = {i: v[0] / 1e6 for i, v in out.items()}
+    assert abs(loadings[1]) == 1.0  # 1-based dim 1 = numpy col 0 dominates
+    for i in (2, 3, 4):
+        assert abs(loadings[i]) < 0.25
+    # Rayleigh quotient approximates the top eigenvalue of Q^T Q
+    Q = np.floor(X.astype(np.float64) * 1e7 + 0.5)
+    lam_true = np.linalg.eigvalsh(Q.T @ Q).max()
+    v = np.array([loadings[i] for i in (1, 2, 3, 4)])
+    num = sum(out[i][0] * float(out[i][1]) for i in (1, 2, 3, 4))
+    den = sum(out[i][0] ** 2 for i in (1, 2, 3, 4))
+    assert abs(num / den - lam_true) / lam_true < 0.01
