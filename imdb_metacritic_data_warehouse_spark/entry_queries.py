@@ -15461,6 +15461,109 @@ def welch_ttest_orders(spark, sf_dir):
     )
 
 
+# HLL incremental merge — the sketch-mergeability contract through the
+# REAL disk path: batch 1's registers are committed to a
+# VersionedParquetTable, batch 2's registers MAX-merge into them, and
+# the merged sketch must equal (bucket-for-bucket, hence estimate-for-
+# estimate) the sketch built over the full data in one pass.  This is
+# the 100 TB pattern for "distinct users to date" without rescanning
+# history: state is 2^p integers per group, not the corpus.  The
+# oracle recomputes the full-data sketch in SQL (bit-identical by the
+# hll_distinct_audit construction) and asserts the merge equality as a
+# literal-TRUE verdict.
+@query(
+    "hll_incremental_merge_audit",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp,
+             CAST(CONCAT('0x', substr(md5('4242:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, u // 4503599627370496 AS bucket,
+             MAX(CASE WHEN u % 4503599627370496 = 0 THEN 53
+                      ELSE 53 - length(bin(u % 4503599627370496)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT grp,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s_used,
+             CAST(COUNT(*) AS BIGINT) AS n_used
+      FROM r GROUP BY grp
+    ),
+    est AS (
+      SELECT grp, n_used,
+             s_used + (256 - n_used) * CAST(9007199254740992 AS BIGINT) AS s_total
+      FROM s
+    )
+    SELECT grp,
+           CAST(n_used AS BIGINT) AS n_buckets_used,
+           round(CASE WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0
+                            * 9007199254740992.0 / CAST(s_total AS DOUBLE)) <= 640.0
+                           AND (256 - n_used) > 0
+                      THEN 256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE))
+                      ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0
+                           * 9007199254740992.0 / CAST(s_total AS DOUBLE)
+                 END, 4) AS merged_estimate,
+           TRUE AS merge_equals_full
+    FROM est ORDER BY grp
+    """,
+)
+def hll_incremental_merge_audit(spark, sf_dir):
+    from .operators.sketch import (
+        hll_estimate,
+        hll_merge_registers,
+        hll_register_maxes,
+    )
+    from .sources.table import VersionedParquetTable
+
+    root = _scratch_dir("hll_inc", sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_partkey", "l_orderkey"
+    )
+    b1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    b2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    t = VersionedParquetTable(spark, root, "hll_registers")
+    t.write(hll_register_maxes(b1, ["grp"], "l_partkey"))
+    stored = t.read()
+    merged = hll_merge_registers(
+        stored, hll_register_maxes(b2, ["grp"], "l_partkey"), ["grp"]
+    )
+    t.write(merged)
+    merged_back = t.read()
+    full = hll_register_maxes(li, ["grp"], "l_partkey")
+    # bucket-for-bucket equality between merged and one-pass registers
+    mism = (
+        merged_back.withColumnRenamed("mj", "mj_m")
+        .join(full.withColumnRenamed("mj", "mj_f"), ["grp", "bucket"], "full")
+        .filter(
+            F.col("mj_m").isNull()
+            | F.col("mj_f").isNull()
+            | (F.col("mj_m") != F.col("mj_f"))
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    est = hll_estimate(merged_back, ["grp"])
+    used = merged_back.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used")
+    )
+    out = (
+        est.join(used, "grp")
+        .join(mism, "grp", "left")
+        .select(
+            "grp",
+            "n_buckets_used",
+            F.col("hll_estimate").alias("merged_estimate"),
+            F.coalesce("n_mismatch", F.lit(0)).eqNullSafe(0).alias(
+                "merge_equals_full"
+            ),
+        )
+        .orderBy("grp")
+    )
+    return _finish_scratch(out, root)
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each

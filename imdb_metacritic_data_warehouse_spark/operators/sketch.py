@@ -203,3 +203,16 @@ def hll_estimate(
     return per_group.withColumn("s_total", s_total).select(
         *group_cols, F.round(est, 4).alias("hll_estimate")
     )
+
+
+def hll_merge_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two HLL register tables by bucket-wise MAX — the property
+    that makes HLL the distributed/incremental distinct sketch: union
+    register tables from any partitioning of the data (daily batches,
+    per-executor partials, stored + new) and the merged sketch equals
+    the one built over the union in one pass, EXACTLY."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
