@@ -231,6 +231,24 @@ HEADLINE = [
     "funnel_deadline_events",
     "incremental_join_view_cdf",
     "rollup_cascade_events",
+    # round 5: sketches, inference, forecasting, graph communities,
+    # warehouse temporality, mixed-media decode, exact-Gram PCA
+    "hll_distinct_audit",
+    "hll_incremental_merge_audit",
+    "mannwhitney_u_lineitem",
+    "acf_daily_revenue",
+    "label_propagation_parts",
+    "cuped_adjusted_lift_events",
+    "holt_forecast_nation_monthly",
+    "seasonal_decompose_monthly",
+    "adamic_adar_parts",
+    "scd4_current_history_customers",
+    "bitemporal_snapshot_orders",
+    "wap_publish_audit_orders",
+    "mixed_media_decode_stats",
+    "pca_top_component_embeddings",
+    "interevent_burstiness_events",
+    "welch_ttest_orders",
 ]
 
 

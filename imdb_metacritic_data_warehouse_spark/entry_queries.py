@@ -15589,6 +15589,23 @@ def hll_incremental_merge_audit(spark, sf_dir):
 # at sf0.001 + sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the
 # round-5 prefix.
 _PRIORITY_PREFIX = [
+    # --- new this round (r5): never checked by any driver ---
+    "hll_distinct_audit",
+    "mannwhitney_u_lineitem",
+    "acf_daily_revenue",
+    "label_propagation_parts",
+    "cuped_adjusted_lift_events",
+    "holt_forecast_nation_monthly",
+    "seasonal_decompose_monthly",
+    "adamic_adar_parts",
+    "scd4_current_history_customers",
+    "bitemporal_snapshot_orders",
+    "wap_publish_audit_orders",
+    "mixed_media_decode_stats",
+    "pca_top_component_embeddings",
+    "interevent_burstiness_events",
+    "welch_ttest_orders",
+    "hll_incremental_merge_audit",
     # --- changed this round (r5): re-verify under the driver ---
     "covariance_matrix_embeddings",
     "bootstrap_ci_lineitem",
@@ -15609,7 +15626,7 @@ _PRIORITY_PREFIX = [
     "fd_audit_orders",
     "dow_seasonal_residuals_events",
     "knn_label_agreement",
-    # --- longest-unsampled-by-driver (never in CORRECTNESS_r01..r04) ---
+    # --- longest-unsampled (never in CORRECTNESS_r01..r04) ---
     "minhash_estimate_audit",
     "pipeline_movie_genre_link",
     "chunk_documents_sliding",
@@ -15626,29 +15643,19 @@ _PRIORITY_PREFIX = [
     "compaction_plan_orders",
     "ngram_containment_pairs",
     "stratified_topk_docs",
-    "knn_graph_embeddings",
-    "semantic_dedup_keep",
-    "bpe_pair_counts_docs",
-    "bpe_train_merges_docs",
-    "leakage_safe_split_events",
-    "tfidf_topk_docs",
-    "select_token_budget_docs",
-    "corpus_report_by_source",
-    "interval_overlap_sessions",
-    "quantize_embeddings_int8",
-    "mixture_sample_domains",
-    "neardup_labels_persisted",
-    "vocab_coverage_docs",
-    "pq_codes_embeddings",
-    "quality_calibrated_filter",
-    "fuzzy_match_part_names",
 ]
 # still never-driver-sampled after this rotation (locally oracle-green;
-# round-6 rotation candidates): entity_clusters_parts,
-# trailing_window_anomalies, version_diff_orders, incremental_agg_from_cdf,
-# dq_report_orders, gap_fill_user_hours, incremental_neardup_ingest,
-# hybrid_search_rrf, markov_transitions_events, twap_events, and the rest
-# of the 100-query never-sampled list computed from CORRECTNESS_r01..r04
+# round-6 rotation candidates): knn_graph_embeddings, semantic_dedup_keep,
+# bpe_pair_counts_docs, bpe_train_merges_docs, leakage_safe_split_events,
+# tfidf_topk_docs, select_token_budget_docs, corpus_report_by_source,
+# interval_overlap_sessions, quantize_embeddings_int8,
+# mixture_sample_domains, neardup_labels_persisted, vocab_coverage_docs,
+# pq_codes_embeddings, quality_calibrated_filter, fuzzy_match_part_names,
+# entity_clusters_parts, trailing_window_anomalies, version_diff_orders,
+# incremental_agg_from_cdf, dq_report_orders, gap_fill_user_hours,
+# incremental_neardup_ingest, hybrid_search_rrf, markov_transitions_events,
+# twap_events, and the rest of the never-sampled list computed from
+# CORRECTNESS_r01..r04
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 
