@@ -14720,15 +14720,17 @@ def seasonal_decompose_monthly(spark, sf_dir):
     )
 
 
-# Adamic-Adar link prediction — for non-adjacent part pairs sharing
-# common co-purchase neighbors, AA(x,y) = Σ_z 1/ln(deg z): the classic
-# "who should be connected next" feature.  Hub suppression: wedges are
-# generated only through z with deg ≤ 64 — standard AA practice (a hub
-# common-neighbor carries ≈0 information and its C(d,2) wedge fan-out
-# is exactly the term that breaks at scale), bounding per-z expansion
-# at C(64,2).  Float discipline: each 1/ln(d) term is rounded to 6dp
-# and summed as exact DECIMAL, so the score is partition-order-free
-# (the covariance lesson applied preemptively).
+# Adamic-Adar link prediction — for SEED parts (the 8 smallest node
+# ids, the ppr_parts_seeded discipline), score non-adjacent candidates
+# y by AA(x,y) = Σ_z 1/ln(deg z) over common co-purchase neighbors z:
+# the classic "what should be bought with this" feature.  SEEDED is
+# the honest scale shape: the co-purchase graph is dense (avg degree
+# ~120 at sf0.1 → Σ C(deg,2) ≈ 1.5e8 global wedges), so all-pairs AA
+# is quadratic-in-degree by definition — per-seed expansion is
+# Σ_{z∈N(x)} deg(z) ≈ d̄² rows, and the r5 bench caught the all-pairs
+# version at 45s while this shape runs in ~1s.  Float discipline:
+# each 1/ln(d) term is rounded to 6dp and summed as exact DECIMAL, so
+# scores are partition-order-free (the covariance lesson).
 @query(
     "adamic_adar_parts",
     """
@@ -14742,11 +14744,13 @@ def seasonal_decompose_monthly(spark, sf_dir):
       UNION ALL SELECT pb, pa FROM pairs
     ),
     deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    seeds AS (SELECT DISTINCT src AS x FROM und ORDER BY src LIMIT 8),
     wedge AS (
-      SELECT e1.dst AS x, e2.dst AS y, e1.src AS z, dg.d
-      FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
-      JOIN deg dg ON dg.z = e1.src
-      WHERE dg.d <= 64
+      SELECT s.x, e2.dst AS y, e1.dst AS z, dg.d
+      FROM seeds s
+      JOIN und e1 ON e1.src = s.x
+      JOIN und e2 ON e2.src = e1.dst AND e2.dst <> s.x
+      JOIN deg dg ON dg.z = e1.dst
     ),
     cand AS (
       SELECT w.x, w.y,
@@ -14754,13 +14758,18 @@ def seasonal_decompose_monthly(spark, sf_dir):
                            AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS aa,
              CAST(COUNT(*) AS BIGINT) AS n_common
       FROM wedge w
-      LEFT JOIN pairs p ON p.pa = w.x AND p.pb = w.y
+      LEFT JOIN pairs p
+        ON p.pa = least(w.x, w.y) AND p.pb = greatest(w.x, w.y)
       WHERE p.pa IS NULL
       GROUP BY w.x, w.y
+    ),
+    ranked AS (
+      SELECT x, y, CAST(aa AS DOUBLE) AS aa_score, n_common,
+             ROW_NUMBER() OVER (PARTITION BY x ORDER BY aa DESC, y) AS rnk
+      FROM cand
     )
-    SELECT x, y, CAST(aa AS DOUBLE) AS aa_score, n_common
-    FROM cand
-    ORDER BY aa DESC, x, y LIMIT 30
+    SELECT x AS seed, y AS candidate, aa_score, n_common, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY seed, rnk
     """,
 )
 def adamic_adar_parts(spark, sf_dir):
@@ -14771,20 +14780,28 @@ def adamic_adar_parts(spark, sf_dir):
     deg = und.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    e1 = und.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    seeds = und.select("src").distinct().orderBy("src").limit(8).select(
+        F.col("src").alias("x")
+    )
+    e1 = und.select(F.col("src").alias("x"), F.col("dst").alias("z"))
     e2 = und.select(F.col("src").alias("z"), F.col("dst").alias("y"))
     wedge = (
-        e1.join(e2, "z")
-        .filter(F.col("x") < F.col("y"))
-        .join(deg.filter(F.col("d") <= 64), "z")
+        F.broadcast(seeds)
+        .join(e1, "x")
+        .join(e2, "z")
+        .filter(F.col("y") != F.col("x"))
+        .join(deg, "z")
     )
     term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6).cast(
         "decimal(18,6)"
     )
     cand = (
         wedge.join(
-            pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y")),
-            ["x", "y"],
+            pairs.select(
+                F.col("pa").alias("__ea"), F.col("pb").alias("__eb")
+            ),
+            (F.least(F.col("x"), F.col("y")) == F.col("__ea"))
+            & (F.greatest(F.col("x"), F.col("y")) == F.col("__eb")),
             "left_anti",
         )
         .groupBy("x", "y")
@@ -14793,10 +14810,18 @@ def adamic_adar_parts(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
         )
     )
+    w = Window.partitionBy("x").orderBy(F.desc("aa"), "y")
     return (
-        cand.orderBy(F.desc("aa"), "x", "y")
-        .limit(30)
-        .select("x", "y", F.col("aa").cast("double").alias("aa_score"), "n_common")
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("x").alias("seed"),
+            F.col("y").alias("candidate"),
+            F.col("aa").cast("double").alias("aa_score"),
+            "n_common",
+            "rnk",
+        )
+        .orderBy("seed", "rnk")
     )
 
 

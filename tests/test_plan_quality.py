@@ -860,14 +860,16 @@ def test_label_propagation_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_adamic_adar_hub_suppression_and_no_cartesian(spark):
-    """AA wedge generation must stay an equi-join on the common
-    neighbor (never a θ-join) and carry the deg ≤ 64 hub filter."""
+def test_adamic_adar_seeded_and_no_cartesian(spark):
+    """AA wedge generation must be SEED-bounded (the seed set
+    broadcasts into the first hop — per-seed expansion ≈ d̄², never the
+    global Σ C(deg,2); the all-pairs shape measured 45s at sf0.1) and
+    stay an equi-join on the common neighbor, never a θ-join."""
     from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
 
     plan = _plan(QUERIES["adamic_adar_parts"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "64" in plan  # the hub cap reaches the plan as a filter
+    assert "BroadcastExchange" in plan  # seeds broadcast into the hop
 
 
 def test_acf_series_joins_are_broadcast(spark):
