@@ -249,6 +249,7 @@ HEADLINE = [
     "pca_top_component_embeddings",
     "interevent_burstiness_events",
     "welch_ttest_orders",
+    "kruskal_wallis_lineitem",
 ]
 
 

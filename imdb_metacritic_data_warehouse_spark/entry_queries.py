@@ -15589,6 +15589,104 @@ def hll_incremental_merge_audit(spark, sf_dir):
     return _finish_scratch(out, root)
 
 
+# Kruskal-Wallis H — the k-group generalization of the rank-sum test
+# (do the three return-flag populations ship different quantities?):
+# H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), tie-corrected by
+# 1 − Σ(t³−t)/(N³−N).  Midranks stay exact integers as 2·rank (the
+# mannwhitney discipline); group rank-sums, tie cubes, and counts are
+# exact bigints, so H and its correction are each one shared double
+# expression.  The window runs over the ~50-distinct-value aggregate,
+# never the fact rows — flat at 100 TB.
+@query(
+    "kruskal_wallis_lineitem",
+    """
+    WITH f AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(18,4)) AS q
+      FROM lineitem
+    ),
+    v AS (
+      SELECT q, g, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY q, g
+    ),
+    t AS (
+      SELECT q, CAST(SUM(c) AS BIGINT) AS ct FROM v GROUP BY q
+    ),
+    w AS (
+      SELECT t.q, t.ct,
+             COALESCE(SUM(t.ct) OVER (ORDER BY t.q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    ),
+    r AS (
+      SELECT v.g,
+             CAST(SUM(v.c) AS BIGINT) AS n_g,
+             CAST(SUM(v.c * (2 * w.cb + w.ct + 1)) AS BIGINT) AS r_x2
+      FROM v JOIN w ON v.q = w.q GROUP BY v.g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) FROM t) AS tie3
+      FROM r
+    ),
+    h AS (
+      SELECT CAST(SUM(CAST(r_x2 AS DOUBLE) * r_x2 / 4.0 / n_g) AS DOUBLE) AS s
+      FROM r
+    )
+    SELECT tot.n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_groups,
+           round((12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1)) * h.s
+                  - 3.0 * (tot.n + 1))
+                 / (1.0 - CAST(tot.tie3 AS DOUBLE)
+                          / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)),
+                 6) AS h_corrected
+    FROM tot CROSS JOIN h
+    """,
+)
+def kruskal_wallis_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.select(F.col("l_returnflag").alias("g"), _dec("l_quantity").alias("q"))
+    v = f.groupBy("q", "g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = v.groupBy("q").agg(F.sum("c").cast("bigint").alias("ct"))
+    wspec = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    w = t.withColumn("cb", F.coalesce(F.sum("ct").over(wspec), F.lit(0)))
+    r = (
+        v.join(w, "q")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * (F.lit(2) * F.col("cb") + F.col("ct") + 1))
+            .cast("bigint")
+            .alias("r_x2"),
+        )
+    )
+    tie3 = t.agg(
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie3")
+    )
+    tot = r.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    h = r.agg(
+        F.sum(
+            F.col("r_x2").cast("double") * F.col("r_x2") / F.lit(4.0) / F.col("n_g")
+        ).alias("s")
+    )
+    nd = F.col("n").cast("double")
+    stat = (
+        F.lit(12.0) / (nd * (F.col("n") + 1)) * F.col("s")
+        - F.lit(3.0) * (F.col("n") + 1)
+    ) / (
+        F.lit(1.0)
+        - F.col("tie3").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(tie3))
+        .select("n", "n_groups", F.round(stat, 6).alias("h_corrected"))
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -15615,6 +15713,7 @@ def hll_incremental_merge_audit(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r5): never checked by any driver ---
+    "kruskal_wallis_lineitem",
     "hll_distinct_audit",
     "mannwhitney_u_lineitem",
     "acf_daily_revenue",
@@ -15667,7 +15766,6 @@ _PRIORITY_PREFIX = [
     "cohort_retention_events",
     "compaction_plan_orders",
     "ngram_containment_pairs",
-    "stratified_topk_docs",
 ]
 # still never-driver-sampled after this rotation (locally oracle-green;
 # round-6 rotation candidates): knn_graph_embeddings, semantic_dedup_keep,

@@ -136,3 +136,49 @@ def cms_ingest_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def merge_hll_batch(
+    table: VersionedParquetTable,
+    batch_df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+) -> None:
+    """Fold one micro-batch into a committed HyperLogLog register table
+    — the streaming face of ``operators/sketch.hll_register_maxes``.
+    HLL registers are MAXes, so the merge is bucket-wise MAX (idempotent
+    AND commutative — a replayed micro-batch cannot corrupt the sketch,
+    unlike the CMS sum which relies on exactly-once foreachBatch).  The
+    register table (≤ groups·2^p rows) is the only state, so "distinct
+    keys to date" over an unbounded stream never replays history."""
+    from ..operators.sketch import hll_merge_registers, hll_register_maxes
+
+    delta = hll_register_maxes(batch_df, group_cols, key_col, p=p)
+    if table.exists():
+        table.write(hll_merge_registers(table.read(), delta, group_cols))
+    else:
+        table.write(delta)
+
+
+def hll_ingest_sink(
+    stream_df: DataFrame,
+    table: VersionedParquetTable,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+    checkpoint: str | None = None,
+):
+    """Attach the incremental HLL register merge as a ``foreachBatch``
+    sink; query cardinality-to-date any time with
+    ``operators/sketch.hll_estimate(table.read(), group_cols)``."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        merge_hll_batch(table, batch_df, group_cols, key_col, p=p)
+
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -524,3 +524,58 @@ def test_stream_static_enrichment(spark, tmp_path):
     # left join: unmatched fact survives with NULL dim_name (state-free
     # enrichment must never drop stream rows)
     assert got == {(1, "alpha"), (2, "beta"), (3, None)}
+
+
+def test_streaming_hll_merge_across_batches_and_replay_idempotent(spark, tmp_path):
+    """Two micro-batches MAX-merge into one committed register table
+    equal to the batch-built sketch over the union; replaying a batch
+    (at-least-once delivery) must NOT change the registers — the
+    idempotence that makes HLL safer streaming state than the CMS sum."""
+    from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_maxes,
+    )
+    from imdb_metacritic_data_warehouse_spark.streaming.ingest import (
+        hll_ingest_sink,
+        merge_hll_batch,
+    )
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    table = VersionedParquetTable(spark, str(tmp_path / "sketch"), "hll")
+    schema = "grp string, user_id long"
+
+    b1 = [("a", i) for i in range(300)]
+    b2 = [("a", i) for i in range(200, 500)] + [("b", i) for i in range(50)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = hll_ingest_sink(
+        stream, table, ["grp"], "user_id", checkpoint=str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = hll_ingest_sink(
+        stream, table, ["grp"], "user_id", checkpoint=str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    union = spark.createDataFrame(b1 + b2, schema)
+    batch_regs = {
+        (r.grp, r.bucket): r.mj
+        for r in hll_register_maxes(union, ["grp"], "user_id").collect()
+    }
+    streamed = {
+        (r.grp, r.bucket): r.mj for r in table.read().collect()
+    }
+    assert streamed == batch_regs
+    # replay batch 2 outside the checkpoint: registers must not move
+    merge_hll_batch(table, spark.createDataFrame(b2, schema), ["grp"], "user_id")
+    replayed = {(r.grp, r.bucket): r.mj for r in table.read().collect()}
+    assert replayed == batch_regs
+    est = {
+        r.grp: r.hll_estimate
+        for r in hll_estimate(table.read(), ["grp"]).collect()
+    }
+    assert abs(est["a"] - 500) < 100 and abs(est["b"] - 50) < 15
