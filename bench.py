@@ -250,6 +250,9 @@ HEADLINE = [
     "interevent_burstiness_events",
     "welch_ttest_orders",
     "kruskal_wallis_lineitem",
+    "temperature_mixture_weights_docs",
+    "trimmed_mean_lineitem",
+    "max_drawdown_daily_revenue",
 ]
 
 

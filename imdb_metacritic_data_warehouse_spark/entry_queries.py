@@ -15687,6 +15687,215 @@ def kruskal_wallis_lineitem(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-5 wave 11h: temperature mixing weights, robust trimmed mean,
+# drawdown analytics.
+
+
+# Temperature-scaled mixture weights — the multilingual/multi-source
+# sampling recipe (w_s ∝ n_s^τ, τ=0.7 the multilingual-LM standard):
+# flattens the source distribution so head sources stop dominating
+# while tail sources stay sub-epsilon.  pow/normalize are shared
+# double expressions over exact per-source token counts; the output
+# carries before/after shares and the implied per-epoch token draw.
+# Catalog-sized throughout (one corpus scan → |sources| rows).
+@query(
+    "temperature_mixture_weights_docs",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z
+      FROM s
+    )
+    SELECT s.source, s.n_tokens,
+           round(CAST(s.n_tokens AS DOUBLE) / t.total, 6) AS raw_share,
+           round(pow(CAST(s.n_tokens AS DOUBLE), 0.7) / t.z, 6) AS temp_share,
+           CAST(round(pow(CAST(s.n_tokens AS DOUBLE), 0.7) / t.z
+                      * 1000000.0) AS BIGINT) AS tokens_per_million
+    FROM s CROSS JOIN t ORDER BY s.source
+    """,
+)
+def temperature_mixture_weights_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    nd = F.col("n_tokens").cast("double")
+    t = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.sum(F.pow(nd, F.lit(0.7))).alias("z"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(nd / F.col("total"), 6).alias("raw_share"),
+            F.round(F.pow(nd, F.lit(0.7)) / F.col("z"), 6).alias("temp_share"),
+            F.round(F.pow(nd, F.lit(0.7)) / F.col("z") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("tokens_per_million"),
+        )
+        .orderBy("source")
+    )
+
+
+# Exact 10%-trimmed mean — the robust location estimate between the
+# mean (outlier-fragile) and median (throws away 98% of the data).
+# Rank-free formulation over the VALUE-LEVEL aggregate: with k = ⌊N/10⌋
+# rows trimmed from each tail, a value's surviving multiplicity is
+# clamp(min(cum, N−k) − max(cum_before, k), 0, c) — pure integer
+# arithmetic on the ~50-value frame, then one exact decimal weighted
+# sum.  The only corpus-sized work is the value-count aggregate.
+@query(
+    "trimmed_mean_lineitem",
+    """
+    WITH v AS (
+      SELECT CAST(l_quantity AS DECIMAL(18,4)) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT q, c,
+             COALESCE(SUM(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM v
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c) // 10 AS BIGINT) AS k
+          FROM v),
+    kept AS (
+      SELECT w.q,
+             GREATEST(LEAST(w.cb + w.c, n.n - n.k)
+                      - GREATEST(w.cb, n.k), 0) AS keep_c
+      FROM w CROSS JOIN n
+    )
+    SELECT (SELECT n FROM n) AS n_rows,
+           (SELECT k FROM n) AS n_trimmed_each_tail,
+           CAST(SUM(keep_c) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CAST(keep_c AS DECIMAL(19,0)) * q) AS DOUBLE)
+                 / SUM(keep_c), 6) AS trimmed_mean
+    FROM kept
+    """,
+)
+def trimmed_mean_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy(_dec("l_quantity").alias("q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wspec = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.withColumn("cb", F.coalesce(F.sum("c").over(wspec), F.lit(0)))
+    n = v.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.expr("CAST(SUM(c) div 10 AS BIGINT)").alias("k"),
+    )
+    kept = w.crossJoin(F.broadcast(n)).select(
+        "q",
+        "n",
+        "k",
+        F.greatest(
+            F.least(F.col("cb") + F.col("c"), F.col("n") - F.col("k"))
+            - F.greatest(F.col("cb"), F.col("k")),
+            F.lit(0),
+        ).alias("keep_c"),
+    )
+    return kept.groupBy("n", "k").agg(
+        F.sum("keep_c").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.col("keep_c").cast("decimal(19,0)") * F.col("q")).cast(
+                "double"
+            )
+            / F.sum("keep_c"),
+            6,
+        ).alias("trimmed_mean"),
+    ).select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_trimmed_each_tail"),
+        "n_kept",
+        "trimmed_mean",
+    )
+
+
+# Maximum drawdown of cumulative daily purchase revenue — the
+# risk/anomaly read of a cumulative series: the deepest peak-to-trough
+# drop, its depth as a share of the peak, and both dates.  Exact
+# integer cents end to end: the running cumulative and running peak
+# are integer window maxima over the calendar-bounded daily series,
+# the drawdown argmax is a deterministic (depth DESC, day) pick —
+# floats appear only in the final rounded ratio.
+@query(
+    "max_drawdown_daily_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+      SELECT day,
+             CAST(SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM d
+    ),
+    p AS (
+      SELECT day, cum,
+             CAST(MAX(cum) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+      FROM c
+    ),
+    dd AS (
+      SELECT day, cum, peak, peak - cum AS draw,
+             ROW_NUMBER() OVER (ORDER BY peak - cum DESC, day) AS rn
+      FROM p
+    )
+    SELECT CAST(day AS VARCHAR) AS trough_day,
+           cum AS trough_cents, peak AS peak_cents, draw AS drawdown_cents,
+           round(CAST(draw AS DOUBLE) / peak, 6) AS drawdown_share
+    FROM dd WHERE rn = 1
+    """,
+)
+def max_drawdown_daily_revenue(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    d = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = d.select(
+        "day",
+        F.sum("cents").over(wc).cast("bigint").alias("cum"),
+    ).select(
+        "day",
+        "cum",
+        F.max("cum").over(wc).cast("bigint").alias("peak"),
+    )
+    wr = Window.orderBy(F.desc(F.col("peak") - F.col("cum")), F.asc("day"))
+    return (
+        p.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").cast("string").alias("trough_day"),
+            F.col("cum").alias("trough_cents"),
+            F.col("peak").alias("peak_cents"),
+            (F.col("peak") - F.col("cum")).alias("drawdown_cents"),
+            F.round(
+                (F.col("peak") - F.col("cum")).cast("double") / F.col("peak"), 6
+            ).alias("drawdown_share"),
+        )
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -15713,6 +15922,9 @@ def kruskal_wallis_lineitem(spark, sf_dir):
 # round-5 prefix.
 _PRIORITY_PREFIX = [
     # --- new this round (r5): never checked by any driver ---
+    "temperature_mixture_weights_docs",
+    "trimmed_mean_lineitem",
+    "max_drawdown_daily_revenue",
     "kruskal_wallis_lineitem",
     "hll_distinct_audit",
     "mannwhitney_u_lineitem",
@@ -15764,8 +15976,6 @@ _PRIORITY_PREFIX = [
     "q17_small_quantity_revenue",
     "funnel_conversion_events",
     "cohort_retention_events",
-    "compaction_plan_orders",
-    "ngram_containment_pairs",
 ]
 # still never-driver-sampled after this rotation (locally oracle-green;
 # round-6 rotation candidates): knn_graph_embeddings, semantic_dedup_keep,
