@@ -15975,7 +15975,6 @@ _PRIORITY_PREFIX = [
     "q9_product_type_profit",
     "q17_small_quantity_revenue",
     "funnel_conversion_events",
-    "cohort_retention_events",
 ]
 # still never-driver-sampled after this rotation (locally oracle-green;
 # round-6 rotation candidates): knn_graph_embeddings, semantic_dedup_keep,
