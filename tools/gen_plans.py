@@ -46,6 +46,12 @@ CASES = [
     ("ppr_parts_seeded", "Personalized PageRank: per-round edges join a BROADCAST rank/degree table and a BROADCAST seed reset vector; lineage checkpoint-bounded like pagerank."),
     ("attribution_linear_events", "Multi-touch pairing as a chunk equi-join (purchases exploded to candidate days) over PRE-COLLAPSED weighted clicks - no theta range join, duplicates fold before the pairwise step."),
     ("encoding_advisor_lineitem", "Ordered run-length stats with NO global window: range exchange + pid-local change counts + a partitions-sized boundary reconciliation, x3 columns unioned."),
+    ("hll_distinct_audit", "Own-impl HLL: register build partial-aggregates map-side (<= groups*256 rows per task); the estimate is exact-integer arithmetic until one shared double expression."),
+    ("label_propagation_parts", "Fixed-round LPA: per round one edges-joins-labels hash join + (node,label) count aggregate (rows <= E) + node-partitioned argmax window; lineage checkpoint-bounded."),
+    ("adamic_adar_parts", "SEEDED link prediction: the seed set broadcasts into the first hop so wedge expansion is |seeds|*avg_deg^2, never the global sum of C(deg,2); AA terms round-6 then sum as exact decimal."),
+    ("pca_top_component_embeddings", "Power iteration on the exact integer Gram: corpus touched once (dim^2-cell mapInPandas build); each round is a dim^2-sized broadcast join with exact decimal matvec."),
+    ("bootstrap_ci_lineitem", "Poisson bootstrap: ONE md5 per row split into 32 replicate draws by bijective affine mixing; weights projected once, 64 bigint partial aggregates, no explode, no Sample/rand."),
+    ("covariance_matrix_embeddings", "Order-free Gram: quantized int64 per-block matmuls inside mapInPandas, decimal(38,0) cell sums - bit-identical under any partition layout."),
 ]
 
 
