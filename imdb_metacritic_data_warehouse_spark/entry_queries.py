@@ -12680,7 +12680,7 @@ def conformal_interval_nation_monthly(spark, sf_dir):
     )
     SELECT g.i, g.j,
            round(CAST(g.sxy AS DOUBLE) / nn.n / 100000000000000.0
-                 - m1.m * m2.m, 6) AS cov
+                 - m1.m * m2.m, 6) + 0.0 AS cov
     FROM grid g
     JOIN mean m1 ON g.i = m1.i
     JOIN mean m2 ON g.j = m2.i
@@ -12719,10 +12719,18 @@ def covariance_matrix_embeddings(spark, sf_dir):
         .select(
             "i",
             "j",
-            F.round(
-                F.col("sxy").cast("double") / F.col("n") / F.lit(scale * scale)
-                - F.col("m1") * F.col("m2"),
-                6,
+            (
+                F.round(
+                    F.col("sxy").cast("double") / F.col("n") / F.lit(scale * scale)
+                    - F.col("m1") * F.col("m2"),
+                    6,
+                )
+                # Signed-zero canonicalization (round-5 driver red, root
+                # cause: DuckDB round() emits one -0.0 cell where Spark
+                # emits +0.0; -0.0 == 0.0 numerically so ==-comparators
+                # pass while any repr/bit-level value hash splits).
+                # IEEE 754: -0.0 + 0.0 = +0.0 — applied on BOTH engines.
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .orderBy("i", "j")

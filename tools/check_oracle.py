@@ -68,7 +68,23 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             af = pd.to_numeric(a[c]).to_numpy(dtype=float)
             bf = pd.to_numeric(b[c]).to_numpy(dtype=float)
             both_nan = np.isnan(af) & np.isnan(bf)
-            eq = (af == bf) | both_nan
+            # Bit-level compare, not ==: the driver's value-hash is
+            # repr/bit sensitive, so -0.0 vs +0.0 (round-5's
+            # covariance_matrix_embeddings driver red — values ==-equal,
+            # one signbit-negative DuckDB cell) must FAIL here too.
+            # float64 view-as-uint64 equality == bit equality; NaNs are
+            # handled separately (any NaN payload counts as a match).
+            eq = (af.view(np.uint64) == bf.view(np.uint64)) | both_nan
+            signed_zero = (af == bf) & (np.signbit(af) != np.signbit(bf))
+            if signed_zero.any():
+                idx = int(np.argmax(signed_zero))
+                problems.append(
+                    f"signed-zero asymmetry col={c} at sorted-row {idx}: "
+                    f"spark={af[idx]!r} duck={bf[idx]!r} "
+                    f"({int(signed_zero.sum())} cells; ==-equal but the "
+                    f"driver's value-hash splits them — canonicalize with "
+                    f"`+ 0.0` / `+ 0` on BOTH engines)"
+                )
         else:
             eq = (av == bv) | (pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy())
         if not eq.all():
