@@ -253,7 +253,45 @@ HEADLINE = [
     "temperature_mixture_weights_docs",
     "trimmed_mean_lineitem",
     "max_drawdown_daily_revenue",
+    # round 6 (verdict task #3): EVERY reference-surface pipeline_* /
+    # warehouse_* query goes under the perf gate — the engine's own
+    # 12-table mart workload was the one part of the surface the bench
+    # couldn't see, and the one real hotspot (pipeline_employee_data,
+    # 11.6s at sf0.1 in r5) hid there.
+    "pipeline_genre_hub",
+    "pipeline_movie_hub",
+    "pipeline_employee_hub",
+    "pipeline_movie_emp_link",
+    "pipeline_emp_movie_l_sat",
+    "pipeline_movie_info_sat",
+    "pipeline_movie_data",
+    "pipeline_movie_employee_link",
+    "pipeline_employee_data",
+    "warehouse_emp_link_bucketed_disk",
 ]
+
+# Pathologically heavy queries run LAST (verdict r5 task #6): one heavy
+# query's GC pressure poisons the shared bench JVM for every query after
+# it (NOTES.md: the 45s all-pairs AA inflated the common set 2×; the r5
+# graph batch made three untouched queries read 2-3× slower).  Keeping
+# the iterative-graph + disk-path batch at the tail bounds the blast
+# radius to other heavy queries.
+RUN_LAST = {
+    "pagerank_parts_copurchase",
+    "ppr_parts_seeded",
+    "kcore_parts_copurchase",
+    "label_propagation_parts",
+    "adamic_adar_parts",
+    "triangle_counts_parts",
+    "bfs_khop_parts",
+    "assortativity_copurchase",
+    "warehouse_movie_data_disk",
+    "warehouse_scd2_two_batch_disk",
+    "warehouse_emp_link_bucketed_disk",
+    "gdpr_erasure_cascade",
+    "pipeline_employee_data",
+    "jaccard_prefix_join_docs",
+}
 
 
 def _plan_fingerprint(df) -> str:
@@ -285,10 +323,35 @@ def main():
     spark = get_spark("bench")
     qs = ent.queries()
 
+    # Heavy batch at the tail (see RUN_LAST) — stable order otherwise.
+    order = [n for n in HEADLINE if n not in RUN_LAST] + [
+        n for n in HEADLINE if n in RUN_LAST
+    ]
+
+    # Prior round's record (if committed): plan fingerprints let us
+    # separate "plan changed" from "JVM poisoning / host noise" when a
+    # timing moves round-over-round.
+    prior_timings: dict[str, float] = {}
+    prior_plans: dict[str, str] = {}
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(prior_path) as fh:
+            prior = json.load(fh)
+        # cross-SF timings are not comparable — only audit same-SF runs
+        if str(prior.get("sf")) == str(
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        ):
+            prior_timings = prior.get("queries", {})
+            prior_plans = prior.get("plan_fingerprints", {})
+    except Exception:
+        pass
+
     # Unmeasured warm-up pass: JIT/codegen compile, parquet footer and
     # JVM warm-up dominate first executions (measured 2-3× steady state
     # on the heavy queries), so report steady-state latency.
-    for name in HEADLINE:
+    for name in order:
         if name in qs:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -298,7 +361,7 @@ def main():
     timings: dict[str, float] = {}
     plans: dict[str, str] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in order:
         if name not in qs:
             continue
         best = None
@@ -315,8 +378,26 @@ def main():
         timings[name] = round(best, 3)
         total += timings[name]
 
+    # The frozen yardstick must stay comparable: a renamed/removed query
+    # or a partial run would silently shrink the sum (ADVICE r5) — record
+    # any missing names alongside the total instead of hiding them.
+    fixed_missing = sorted(set(HEADLINE_FIXED45) - set(timings))
     fixed_total = round(
         sum(timings[n] for n in HEADLINE_FIXED45 if n in timings), 3
+    )
+
+    # Contention audit (verdict r5 task #6): a query >2× slower than a
+    # prior run whose plan fingerprint is UNCHANGED is JVM poisoning or
+    # host noise, not a regression — name them so round-over-round
+    # deltas are explained by plan changes only.
+    contention_suspects = sorted(
+        n
+        for n, t in timings.items()
+        if n in prior_timings
+        and prior_plans.get(n) == plans.get(n)
+        and plans.get(n) not in (None, "err")
+        and t > 2.0 * prior_timings[n]
+        and t > 1.0  # sub-second flutter is not contention
     )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -329,6 +410,8 @@ def main():
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "headline_fixed_total": fixed_total,
+                "headline_fixed_missing": fixed_missing,
+                "contention_suspects": contention_suspects,
                 "unit": "sec",
                 "queries": timings,
                 "plan_fingerprints": plans,
@@ -350,6 +433,8 @@ def main():
                 "n_queries": len(timings),
                 "queries": timings,
                 "slowest10": slowest,
+                "contention_suspects": contention_suspects,
+                "headline_fixed_missing": fixed_missing,
                 "headline_fixed_total": fixed_total,
                 "value": round(total, 3),
             }

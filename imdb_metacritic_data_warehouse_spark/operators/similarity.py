@@ -804,6 +804,20 @@ def gram_power_iteration(
             F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
         )
     ).localCheckpoint(eager=True)
+    # Exactness guard (ADVICE r5): the matvec casts sxy down to
+    # decimal(25,0) so the product stays within precision 38 BY TYPE —
+    # but Spark's non-ANSI overflowing cast returns NULL silently
+    # (DuckDB raises), so |sxy| ≥ 1e25 (~1e11 rows of unit-scale
+    # embeddings) would silently drop cells from the matvec.  The grid
+    # is dim²-sized, so this one exact aggregate is O(dims²) driver-side
+    # cost — fail loudly instead of diverging.
+    _mx = full.agg(F.max(F.abs(F.col("sxy"))).alias("m")).collect()[0]["m"]
+    if _mx is not None and int(_mx) >= 10**25:
+        raise ValueError(
+            f"gram_power_iteration: max|sxy| = {_mx} exceeds decimal(25,0); "
+            "the exact-by-TYPE matvec no longer fits precision 38 — reduce "
+            "the quantization scale or shard the corpus"
+        )
     spark = grid.sparkSession
     v = spark.range(1, dims + 1).select(
         F.col("id").cast("int").alias("j"),

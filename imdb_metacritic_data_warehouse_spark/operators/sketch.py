@@ -144,9 +144,15 @@ def hll_register_maxes(
     distributed distinct sketch (registers OR/MAX-merge across any
     partitioning)."""
     w = 60 - p
+    # F.concat, not concat_ws: concat_ws SKIPS NULLs (a NULL key would
+    # hash as just "<seed>:"), while the DuckDB oracle's `'seed:' || key`
+    # propagates NULL and drops the row — cross-engine divergence for
+    # any nullable key_col (ADVICE r5).  concat propagates NULL, so a
+    # NULL key yields a NULL hash → NULL bucket, filtered here to match
+    # the oracle's row-drop semantics exactly.
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))),
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
             1,
             15,
         ),
@@ -155,8 +161,10 @@ def hll_register_maxes(
     ).cast("long")
     bucket = F.expr(f"__hll_u div {2 ** w}").alias("bucket")
     rest = (F.col("__hll_u") % F.lit(2 ** w)).alias("rest")
-    tagged = df.select(*group_cols, h.alias("__hll_u")).select(
-        *group_cols, bucket, rest
+    tagged = (
+        df.select(*group_cols, h.alias("__hll_u"))
+        .filter(F.col("__hll_u").isNotNull())
+        .select(*group_cols, bucket, rest)
     )
     rho = F.when(F.col("rest") == 0, F.lit(w + 1)).otherwise(
         F.lit(w + 1) - F.length(F.bin(F.col("rest")))

@@ -92,7 +92,10 @@ def bitemporal_snapshot(
     ``tx_at`` AND valid at ``valid_at`` — the two-axis time travel that
     separates "the data changed" (valid time) from "we corrected the
     record" (transaction time).  Both axes use half-open-interval
-    semantics [from, to); NULL ``tx_to`` means the current belief.
+    semantics [from, to); NULL ``tx_to`` means the current belief and
+    NULL ``valid_to`` an open-ended validity (both common in bitemporal
+    data — ADVICE r5: the old predicate silently dropped NULL-valid_to
+    rows because SQL NULL comparisons filter).
 
     Plan shape: one predicate scan, no join — both interval bounds are
     plain columns, so the valid-time predicate is pushdown-eligible
@@ -102,5 +105,8 @@ def bitemporal_snapshot(
         (F.col(tx_from) <= F.lit(tx_at))
         & (F.col(tx_to).isNull() | (F.col(tx_to) > F.lit(tx_at)))
         & (F.col(valid_from) <= F.lit(valid_at).cast("date"))
-        & (F.col(valid_to) > F.lit(valid_at).cast("date"))
+        & (
+            F.col(valid_to).isNull()
+            | (F.col(valid_to) > F.lit(valid_at).cast("date"))
+        )
     )

@@ -534,3 +534,39 @@ def test_out_of_order_lateness_hand_case(spark, tmp_path):
     assert r["max_late_us"] == 300 * 1_000_000
     assert abs(r["late_share"] - 1 / 3) < 1e-6
     assert r["very_late_share"] == 0.0
+
+
+def test_js_divergence_clamp_boundary_cross_engine(spark):
+    """Verdict r6 task #7: when a p/m ratio ROUNDS to 0 at 6dp (sources
+    >4e6× apart on a token), Spark's ln(0)=NULL would silently drop the
+    term while DuckDB's ln(0)=-inf poisons the sum — the GREATEST(...,
+    1e-6) clamp must make both engines emit the identical finite
+    ln(1e-6) term.  Probed at the exact boundary values on BOTH
+    engines."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    ratios = [0.0, 4.9e-7, 5.1e-7, 1e-6, 0.5, 1.0]
+    sdf = spark.createDataFrame([(r,) for r in ratios], "ratio double")
+    got_spark = [
+        r.term
+        for r in sdf.select(
+            F.log(F.greatest(F.round(F.col("ratio"), 6), F.lit(0.000001))).alias(
+                "term"
+            )
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT ln(greatest(round(CAST(? AS DOUBLE), 6), 0.000001))", [r]
+        ).fetchone()[0]
+        for r in ratios
+    ]
+    for s, d, r in zip(got_spark, got_duck, ratios):
+        assert s is not None and math.isfinite(s), (r, s)
+        assert s == d, (r, s, d)
+    # the sub-boundary ratios clamp to exactly ln(1e-6) on both engines
+    assert got_spark[0] == got_spark[1] == math.log(1e-6)

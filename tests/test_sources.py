@@ -275,3 +275,32 @@ def test_bitemporal_snapshot_boundary_semantics(spark):
         for r in bitemporal_snapshot(df, tx_at=2, valid_at="2024-01-15").collect()
     }
     assert end_day == {1}
+
+
+def test_bitemporal_snapshot_null_valid_to_is_open_ended(spark):
+    """NULL valid_to = open-ended validity (mirrors the NULL tx_to
+    handling) — ADVICE r5: the old predicate silently dropped these
+    rows because ``NULL > date`` filters."""
+    import datetime as dt
+
+    from imdb_metacritic_data_warehouse_spark.operators.snapshots import (
+        bitemporal_snapshot,
+    )
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1), None, 100, 1, None),  # open-ended validity
+        (2, d(2024, 1, 1), d(2024, 2, 1), 200, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k int, valid_from date, valid_to date, cents int, tx_from int, tx_to int",
+    )
+    got = {
+        r.k for r in bitemporal_snapshot(df, tx_at=1, valid_at="2030-06-01").collect()
+    }
+    assert got == {1}, "open-ended validity must survive any later probe date"
+    both = {
+        r.k for r in bitemporal_snapshot(df, tx_at=1, valid_at="2024-01-10").collect()
+    }
+    assert both == {1, 2}

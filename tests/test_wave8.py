@@ -372,3 +372,33 @@ def test_holt_fold_matches_python_recursion(spark):
     got = next(r for r in rows if r.nation == first_nation)
     assert got.level == round(s / 100.0, 4)
     assert got.trend == round(b / 100.0, 4)
+
+
+def test_hll_null_keys_dropped_like_oracle(spark):
+    """NULL keys must be DROPPED, not hashed as "<seed>:" (ADVICE r5:
+    concat_ws skips NULLs while the DuckDB oracle's `||` propagates
+    them) — registers over [1..100, NULL] must equal registers over
+    [1..100]."""
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.sketch import (
+        hll_register_maxes,
+    )
+
+    base = spark.range(100).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("k")
+    )
+    with_null = base.unionByName(
+        spark.range(1).select(
+            F.lit("g").alias("grp"), F.lit(None).cast("string").alias("k")
+        )
+    )
+    a = {
+        (r.bucket, r.mj)
+        for r in hll_register_maxes(base, ["grp"], "k", p=8).collect()
+    }
+    b = {
+        (r.bucket, r.mj)
+        for r in hll_register_maxes(with_null, ["grp"], "k", p=8).collect()
+    }
+    assert a == b

@@ -1,0 +1,139 @@
+"""Clean-JVM A/B harness for pipeline_employee_data wirings (round 6).
+
+Usage: python tools/emp_variants.py <variant> [sf_dir]
+Runs warm-up + best-of-2 of one variant and prints a single line.
+Run each variant in its own process — checkpoint blocks and GC pressure
+pollute in-process comparisons (NOTES.md round-5 JVM-poisoning pattern).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from imdb_metacritic_data_warehouse_spark import entry_queries as eq  # noqa: E402
+from imdb_metacritic_data_warehouse_spark.plans import core as _core  # noqa: E402
+from imdb_metacritic_data_warehouse_spark.plans import marts as _marts  # noqa: E402
+from imdb_metacritic_data_warehouse_spark.session import get_spark  # noqa: E402
+
+
+def synth_actor_dedup(spark, sf_dir):
+    """Wide-distinct actor projection in ONE shuffle: the synth's inner
+    (l_partkey, l_suppkey) distinct is redundant under the outer 5-col
+    distinct (same pair → same projected row), so skip it."""
+    li = eq._t(spark, sf_dir, "lineitem")
+    p = eq._t(spark, sf_dir, "part")
+    s = eq._t(spark, sf_dir, "supplier")
+    j = (
+        li.select("l_partkey", "l_suppkey")
+        .join(p.select("p_partkey", "p_name", "p_size"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    role = F.element_at(
+        F.array(F.lit("director"), F.lit("producer"), F.lit("writer"), F.lit("actor")),
+        (F.col("s_suppkey") % 4 + 1).cast("int"),
+    )
+    return j.select(
+        F.col("p_name").alias("movie_name"),
+        F.col("p_size").cast("int").alias("movie_duration"),
+        F.col("s_name").alias("name"),
+        F.concat(F.lit("(as "), F.col("s_name"), F.lit(")")).alias("raw_role"),
+        role.alias("role"),
+    ).distinct()
+
+
+def wh_dd(spark, sf_dir):
+    dd = eq._materialize(synth_actor_dedup(spark, sf_dir))
+    empty = dd.filter(F.lit(False))
+    return eq._ShimWarehouse(
+        spark,
+        {
+            "movie_raw_data_imdb": lambda: eq._synth_movie_raw(spark, sf_dir)[0],
+            "movie_raw_data_metacritic": lambda: eq._synth_movie_raw(spark, sf_dir)[1],
+            "actor_raw_data_imdb": lambda: dd,
+            "actor_raw_data_metacritic": lambda: empty,
+        },
+    )
+
+
+def v_current(spark, sf_dir):
+    return eq.pipeline_employee_data(spark, sf_dir)
+
+
+def _finish(wh):
+    mel = eq._materialize(
+        eq.scd2_apply(None, wh.read("stg", "movie_emp_link"), "movie_emp_link_id",
+                      ["movie_id", "emp_id"], eq._SCD2_T0)
+    )
+    wh._stg["movie_emp_link"] = mel
+    sat = eq._materialize(
+        eq.scd2_apply(None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
+                      ["movie_emp_link_id", "description", "role"], eq._SCD2_T0)
+    )
+    wh._stg["emp_movie_l_sat"] = sat
+    return _marts.build_employee_data(wh)
+
+
+def v_dd(spark, sf_dir):
+    """Shared wide-distinct actor frame + empty metacritic side."""
+    wh = wh_dd(spark, sf_dir)
+    wh._stg["employee_hub"] = eq._materialize(_core.build_employee_hub(wh))
+    return _finish(wh)
+
+
+def v_dd_bcast(spark, sf_dir):
+    """v_dd + explicit broadcast hints on both hubs."""
+    wh = wh_dd(spark, sf_dir)
+    wh._stg["movie_hub"] = F.broadcast(eq._materialize(_core.build_movie_hub(wh)))
+    wh._stg["employee_hub"] = F.broadcast(eq._materialize(_core.build_employee_hub(wh)))
+    return _finish(wh)
+
+
+def v_dd_nosatmat(spark, sf_dir):
+    """v_dd but sat NOT materialized (filter_latest re-executes its
+    chain once for the max agg — trade a checkpoint write for a
+    re-execution over materialized inputs)."""
+    wh = wh_dd(spark, sf_dir)
+    wh._stg["employee_hub"] = eq._materialize(_core.build_employee_hub(wh))
+    mel = eq._materialize(
+        eq.scd2_apply(None, wh.read("stg", "movie_emp_link"), "movie_emp_link_id",
+                      ["movie_id", "emp_id"], eq._SCD2_T0)
+    )
+    wh._stg["movie_emp_link"] = mel
+    wh._stg["emp_movie_l_sat"] = eq.scd2_apply(
+        None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
+        ["movie_emp_link_id", "description", "role"], eq._SCD2_T0
+    )
+    return _marts.build_employee_data(wh)
+
+
+VARIANTS = {
+    "current": v_current,
+    "dd": v_dd,
+    "dd_bcast": v_dd_bcast,
+    "dd_nosatmat": v_dd_nosatmat,
+}
+
+
+def main():
+    variant = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    fn = VARIANTS[variant]
+    spark = get_spark("empvar")
+    # small warm-up (JIT, parquet footers) on an unrelated cheap query
+    eq.pipeline_movie_hub(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 2))
+    print(f"RESULT {variant} best={min(times)} runs={times}")
+
+
+if __name__ == "__main__":
+    main()
