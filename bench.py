@@ -268,6 +268,14 @@ HEADLINE = [
     "pipeline_movie_employee_link",
     "pipeline_employee_data",
     "warehouse_emp_link_bucketed_disk",
+    # round-6 wave 12: audio decode, simhash near-dup join, HLL rollup
+    # lattice, cross-source leakage, RANGE frames, U-shaped attribution
+    "audio_decode_stats",
+    "simhash_hamming_pairs",
+    "hll_rollup_lattice",
+    "neardup_source_matrix",
+    "rolling_revenue_range_frame",
+    "attribution_position_events",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

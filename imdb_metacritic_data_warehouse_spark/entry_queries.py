@@ -15953,6 +15953,540 @@ def max_drawdown_daily_revenue(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-6 wave 12: real audio decode (driver-checkable), SimHash banded
+# near-dup join, HLL rollup lattice, cross-source near-dup leakage,
+# RANGE-interval window frames, U-shaped attribution.
+
+
+# Audio decode stats — the WAV/PCM twin of mixed_media_decode_stats:
+# clips are synthesized DETERMINISTICALLY from doc_id (n samples and the
+# integer sample pattern are modular functions of doc_id), encoded as
+# real RIFF/WAVE bytes, and decoded by the repo's chunk-walking parser
+# (operators/multimodal.py decode_wav) through Arrow-batched
+# mapInPandas.  The DuckDB oracle recomputes every stat in closed form
+# WITHOUT decoding.  FP parity is EXACT by construction: samples are
+# int16, so x² = s²/2³⁰ and every numpy partial sum is an integer/2³⁰
+# < 2⁵³ (no rounding at any addition); mean = one correctly-rounded
+# division; sqrt is correctly-rounded IEEE; and /32768 (a power of two)
+# commutes exactly with rounding — so rms/peak/duration are
+# bit-identical cross-engine with NO round() safety net.
+@query(
+    "audio_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(160 + (doc_id % 7) * 40 AS BIGINT) AS n
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    s AS (
+      SELECT d.doc_id, d.n,
+             ((d.doc_id * 7 + i.i * 13) % 4096) - 2048 AS s
+      FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i
+    ),
+    a AS (
+      SELECT doc_id, MAX(n) AS n,
+             CAST(SUM(s * s) AS BIGINT) AS ss,
+             CAST(MAX(ABS(s)) AS BIGINT) AS pk
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           n AS n_samples,
+           CAST(n AS DOUBLE) / 16000.0 AS duration_s,
+           sqrt(CAST(ss AS DOUBLE) / n) / 32768.0 AS rms,
+           CAST(pk AS DOUBLE) / 32768.0 AS peak
+    FROM a ORDER BY doc_id
+    """,
+)
+def audio_decode_stats(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.multimodal import audio_stats, encode_wav
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0).select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 160 + (d % 7) * 40
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((d * 7 + idx * 13) % 4096 - 2048).astype(np.int16)
+                payloads.append(encode_wav(samples, 16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return audio_stats(media).orderBy("doc_id")
+
+
+# SimHash banded near-dup join — the Hamming-space member of the dedup
+# family (exact: dedup_exact; set-based: MinHash-LSH + Jaccard prefix;
+# vector: embedding cosine; THIS: bit-signature).  32-bit signatures
+# band into 4×8 bits; candidate pairs share ≥1 band value, verified by
+# exact Hamming distance ≤ 3.  The banding is LOSSLESS here by
+# pigeonhole: two signatures ≤ 3 bits apart differ in at most 3 of the
+# 4 bands, so at least one band matches — recall 1.0 at the verify
+# threshold, unlike MinHash's probabilistic S-curve.  Everything is
+# integer (md5-derived hashes, bit votes, popcount), so the pair list
+# is hash-exact cross-engine.  Scale shape: bucket join on (band,
+# value), never all-pairs; bucket sizes concentrate near corpus/256
+# per band.
+@query(
+    "simhash_hamming_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS th
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.range AS bit,
+             SUM(CASE WHEN (th >> CAST(b.range AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, range(0, 32) b
+      GROUP BY doc_id, b.range
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.range AS band,
+             (sig >> CAST(b.range * 8 AS INTEGER)) & 255 AS bval
+      FROM sig, range(0, 4) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    from .operators.dedup import simhash
+
+    sigs = simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(4)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        # shiftright's bit count must be a column here (band varies per
+        # row), which the DSL helper rejects — SQL-expression form
+        F.expr("shiftright(simhash, band * 8)").bitwiseAND(F.lit(255)).alias("bval"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# HLL rollup lattice — the property that makes register sketches THE
+# distinct-count structure for cubes at 100 TB: registers built at the
+# FINE grain (event_type × weekday) and MAX-merged up to event_type are
+# BIT-IDENTICAL to registers built directly at the coarse grain
+# (max-of-max — merge commutes with grouping), so one fine-grain
+# register table serves every level of the rollup without rescanning
+# the facts.  Emitted per event_type: the direct estimate, the merged
+# estimate (equal by construction, asserted as a hash-checked boolean),
+# and the exact distinct.  Integer-exact cross-engine like
+# hll_distinct_audit (same md5 family / bigint harmonic sum).
+@query(
+    "hll_rollup_lattice",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             isodow(ts) - 1 AS dow,
+             CAST(CONCAT('0x', substr(md5('4242:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+      FROM events
+    ),
+    r_fine AS (
+      SELECT event_type, dow, u // 4503599627370496 AS bucket,
+             MAX(CASE WHEN u % 4503599627370496 = 0 THEN 53
+                      ELSE 53 - length(bin(u % 4503599627370496)) END) AS mj
+      FROM h GROUP BY 1, 2, 3
+    ),
+    r_merged AS (
+      SELECT event_type, bucket, MAX(mj) AS mj
+      FROM r_fine GROUP BY 1, 2
+    ),
+    r_direct AS (
+      SELECT event_type, u // 4503599627370496 AS bucket,
+             MAX(CASE WHEN u % 4503599627370496 = 0 THEN 53
+                      ELSE 53 - length(bin(u % 4503599627370496)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ),
+    est_m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+               + (256 - CAST(COUNT(*) AS BIGINT)) * CAST(9007199254740992 AS BIGINT) AS s_total,
+             CAST(COUNT(*) AS BIGINT) AS n_used
+      FROM r_merged GROUP BY 1
+    ),
+    est_d AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+               + (256 - CAST(COUNT(*) AS BIGINT)) * CAST(9007199254740992 AS BIGINT) AS s_total,
+             CAST(COUNT(*) AS BIGINT) AS n_used
+      FROM r_direct GROUP BY 1
+    ),
+    ev AS (
+      SELECT m.event_type,
+             CASE WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                        / CAST(m.s_total AS DOUBLE)) <= 640.0
+                       AND (256 - m.n_used) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - m.n_used AS DOUBLE))
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                       / CAST(m.s_total AS DOUBLE)
+             END AS est_merged,
+             CASE WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                        / CAST(d.s_total AS DOUBLE)) <= 640.0
+                       AND (256 - d.n_used) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - d.n_used AS DOUBLE))
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                       / CAST(d.s_total AS DOUBLE)
+             END AS est_direct
+      FROM est_m m JOIN est_d d ON m.event_type = d.event_type
+    ),
+    x AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT x.event_type,
+           round(ev.est_merged, 4) AS est_merged,
+           round(ev.est_direct, 4) AS est_direct,
+           ev.est_merged = ev.est_direct AS merge_exact,
+           x.exact_distinct
+    FROM x JOIN ev ON x.event_type = ev.event_type
+    ORDER BY x.event_type
+    """,
+)
+def hll_rollup_lattice(spark, sf_dir):
+    from .operators.sketch import hll_estimate, hll_register_maxes
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.weekday("ts").alias("dow"), "user_id"
+    )
+    r_fine = hll_register_maxes(e, ["event_type", "dow"], "user_id", p=8, seed=4242)
+    r_merged = r_fine.groupBy("event_type", "bucket").agg(F.max("mj").alias("mj"))
+    r_direct = hll_register_maxes(e, ["event_type"], "user_id", p=8, seed=4242)
+    est_m = hll_estimate(r_merged, ["event_type"], p=8).select(
+        "event_type", F.col("hll_estimate").alias("est_merged")
+    )
+    est_d = hll_estimate(r_direct, ["event_type"], p=8).select(
+        "event_type", F.col("hll_estimate").alias("est_direct")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        exact.join(est_m, "event_type")
+        .join(est_d, "event_type")
+        .select(
+            "event_type",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+# Cross-source near-dup leakage matrix — which source pairs share
+# near-duplicate content (mirror sites, syndication, benchmark leakage
+# between corpus slices)?  Pure composition over the committed CC
+# labels (the content-keyed cache shared with neardup_clusters): labels
+# ⋈ documents.source → distinct (cluster, source) → source-pair
+# co-occurrence counts.  source_a = source_b rows count within-source
+# duplication; off-diagonal rows are the cross-source leakage that
+# train/test splits must respect.  The oracle replays the full
+# MinHash-LSH + recursive-CTE pipeline.
+@query(
+    "neardup_source_matrix",
+    f"""
+    WITH RECURSIVE {{corpus}},
+    sig AS (
+      SELECT doc_id,
+        {{sig}} AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    labels AS (SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n),
+    cs AS (
+      SELECT DISTINCT l.cluster, d.source
+      FROM labels l JOIN documents d ON l.node = d.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM cs a JOIN cs b ON a.cluster = b.cluster AND a.source <= b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """.format(corpus=_MINHASH_CORPUS_SQL, sig=_MINHASH_SIG_SQL),
+)
+def neardup_source_matrix(spark, sf_dir):
+    labels = _neardup_labels_cached(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (
+        labels.join(docs, labels.node == docs.doc_id)
+        .select("cluster", "source")
+        .distinct()
+    )
+    a = cs.select(F.col("cluster"), F.col("source").alias("source_a"))
+    b = cs.select(F.col("cluster").alias("cl_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, (F.col("cluster") == F.col("cl_b")) & (F.col("source_a") <= F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# RANGE-interval window frames — the time-based rolling total (7-day
+# trailing revenue per nation) that ROWS frames cannot express when
+# days are missing: RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over the
+# day NUMBER includes exactly the trailing calendar week regardless of
+# gaps.  The window runs over the per-(nation, day) AGGREGATE (25
+# nations × 1 year of days), never the fact rows — the calendar-bounded
+# post-aggregation shape the plan-gate policy allows; money stays
+# integer cents end to end.
+@query(
+    "rolling_revenue_range_frame",
+    """
+    WITH daily AS (
+      SELECT n_name AS nation, o_orderdate AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT nation, day, cents,
+           CAST(SUM(cents) OVER (
+             PARTITION BY nation
+             ORDER BY date_diff('day', DATE '1995-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_cents_7d
+    FROM daily ORDER BY nation, day
+    """,
+)
+def rolling_revenue_range_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy(F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "nation",
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("rolling_cents_7d"),
+    ).orderBy("nation", "day")
+
+
+# U-shaped (position-based) multi-touch attribution — 40% of the
+# purchase value to the first touch, 40% to the last, 20% split across
+# the middles (k=1 → 100%, k=2 → 50/50): the standard compromise
+# between last-touch (recency-biased) and linear (dilutes intent).
+# Same chunk-join discipline as attribution_linear (purchases explode
+# into 8 candidate days, equi-join on (user, day) — never a θ-range
+# join); clicks pre-dedup to one row per (user, ts) with a
+# deterministic channel tie-break so positions are well-defined.
+# FP parity: per-(channel, k, position-class) cells carry EXACT decimal
+# value sums; basis points are integers except the one shared
+# mid-credit division, and the final per-channel sum is a ≤|cells|-term
+# double sum absorbed by round-4.
+@query(
+    "attribution_position_events",
+    """
+    WITH purch AS (
+      SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,4)) AS value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks0 AS (
+      SELECT user_id, ts AS click_ts,
+             MAX(CASE CAST(json_extract_string(props, '$.k')::BIGINT % 3 AS INT)
+               WHEN 0 THEN 'search' WHEN 1 THEN 'social' ELSE 'email' END) AS channel
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    pairs AS (
+      SELECT p.event_id, p.value, c.channel, c.click_ts
+      FROM purch p JOIN clicks0 c
+        ON p.user_id = c.user_id
+      WHERE c.click_ts <= p.ts AND c.click_ts >= p.ts - INTERVAL 7 DAY
+    ),
+    pos AS (
+      SELECT event_id, value, channel,
+             row_number() OVER (PARTITION BY event_id ORDER BY click_ts) AS rn,
+             COUNT(*) OVER (PARTITION BY event_id) AS k
+      FROM pairs
+    ),
+    cells AS (
+      SELECT channel, k,
+             CASE WHEN rn = 1 OR rn = k THEN 'end' ELSE 'mid' END AS cls,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             SUM(value) AS sv
+      FROM pos GROUP BY 1, 2, 3
+    )
+    SELECT channel,
+           CAST(SUM(n_touches) AS BIGINT) AS n_touches,
+           round(SUM(CAST(sv AS DOUBLE)
+                     * (CASE WHEN cls = 'end' THEN
+                          CASE WHEN k = 1 THEN 10000.0 WHEN k = 2 THEN 5000.0
+                               ELSE 4000.0 END
+                        ELSE 2000.0 / (k - 2) END) / 10000.0), 4)
+             AS credited_revenue
+    FROM cells GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_position_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _dec("value").alias("value")
+    )
+    ch = (
+        F.when(F.get_json_object("props", "$.k").cast("bigint") % 3 == 0, F.lit("search"))
+        .when(F.get_json_object("props", "$.k").cast("bigint") % 3 == 1, F.lit("social"))
+        .otherwise(F.lit("email"))
+    )
+    clicks0 = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), ch.alias("channel"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.max("channel").alias("channel"))
+    )
+    pday = F.to_date("ts")
+    px = purch.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.explode(F.sequence(F.date_sub(pday, 7), pday)).alias("d"),
+    )
+    cx = clicks0.withColumn("d", F.to_date("click_ts"))
+    pairs = (
+        px.join(cx, ["user_id", "d"])
+        .filter(
+            (F.col("click_ts") <= F.col("ts"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("event_id", "value", "channel", "click_ts")
+    )
+    wp = Window.partitionBy("event_id")
+    pos = pairs.select(
+        "event_id",
+        "value",
+        "channel",
+        F.row_number().over(wp.orderBy("click_ts")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    cells = pos.select(
+        "channel",
+        "k",
+        F.when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit("end"))
+        .otherwise(F.lit("mid"))
+        .alias("cls"),
+        "value",
+    ).groupBy("channel", "k", "cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("value").alias("sv"),
+    )
+    bp = F.when(
+        F.col("cls") == "end",
+        F.when(F.col("k") == 1, F.lit(10000.0))
+        .when(F.col("k") == 2, F.lit(5000.0))
+        .otherwise(F.lit(4000.0)),
+    ).otherwise(F.lit(2000.0) / (F.col("k") - 2))
+    return (
+        cells.groupBy("channel")
+        .agg(
+            F.sum("n_touches").cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum(F.col("sv").cast("double") * bp / F.lit(10000.0)), 4
+            ).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each

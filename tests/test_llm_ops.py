@@ -1289,3 +1289,57 @@ def test_gram_power_iteration_finds_top_eigenvector(spark):
     num = sum(out[i][0] * float(out[i][1]) for i in (1, 2, 3, 4))
     den = sum(out[i][0] ** 2 for i in (1, 2, 3, 4))
     assert abs(num / den - lam_true) / lam_true < 0.01
+
+
+def test_simhash_banding_lossless_for_hamming3(spark):
+    """Pigeonhole guarantee behind simhash_hamming_pairs: signatures ≤ 3
+    bits apart differ in at most 3 of the 4 bands, so banded candidate
+    generation has recall 1.0 at the verify threshold.  Regression-guards
+    the band extraction arithmetic (shiftright/mask) against the
+    brute-force pair set on planted signatures."""
+    from pyspark.sql import functions as F
+
+    # planted signatures: a base value, 1-3 bit flips (must ALL pair with
+    # base), and a far value (must not)
+    base = 0b1011_0110_1100_0011_1010_0101_0110_1001
+    sigs = [
+        (1, base),
+        (2, base ^ 0b1),                       # hamming 1
+        (3, base ^ 0b110),                     # hamming 2
+        (4, base ^ (1 << 31) ^ (1 << 15) ^ 1), # hamming 3, spread bands
+        (5, base ^ 0x0F0F0F0F),                # hamming 16
+    ]
+    df = spark.createDataFrame(sigs, "doc_id int, simhash long")
+    bands = df.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 8)").bitwiseAND(F.lit(255)).alias("bval"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bval"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .filter(ham <= 3)
+        .collect()
+    }
+    # brute force over the planted signatures
+    want = set()
+    for i, (ida, sa) in enumerate(sigs):
+        for idb, sb in sigs[i + 1 :]:
+            if bin(sa ^ sb).count("1") <= 3:
+                want.add((ida, idb))
+    assert got == want and (1, 4) in want and (1, 5) not in want
