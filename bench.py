@@ -276,6 +276,13 @@ HEADLINE = [
     "neardup_source_matrix",
     "rolling_revenue_range_frame",
     "attribution_position_events",
+    # round-6 wave 13: vocab growth, triplet mining, dedup accounting,
+    # k-anonymity, packing efficiency
+    "heaps_law_vocab_growth",
+    "triplet_mining_embeddings",
+    "dedup_token_loss_report",
+    "k_anonymity_audit_customers",
+    "packing_efficiency_audit",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

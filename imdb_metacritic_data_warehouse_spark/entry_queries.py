@@ -16487,6 +16487,460 @@ def attribution_position_events(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-6 wave 13: vocab-growth law, labeled triplet mining, dedup
+# token-loss accounting, k-anonymity governance, packing efficiency.
+
+
+# Heaps'-law vocabulary growth — V(N) ≈ K·N^β, the tokenizer-sizing /
+# corpus-diversity curve: how fast does the type count grow as the
+# corpus is consumed in ingestion order?  Ten value-based checkpoints
+# (doc_id ≤ max_id·k/10 — integer arithmetic, no global rank needed);
+# per checkpoint the cumulative token count and the cumulative TYPE
+# count via each type's FIRST-occurrence doc (min doc_id per token —
+# one vocabulary-sized frame, the corpus is scanned once).  β is the
+# log-log OLS slope over the 10 points: ln only under round-6 on
+# values (the ln-discipline), sums in exact decimal, ONE shared double
+# expression for the slope.
+@query(
+    "heaps_law_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    fd AS (SELECT t, MIN(doc_id) AS first_doc FROM toks GROUP BY t),
+    nt AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+    ),
+    mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    cps AS (
+      SELECT k.range + 1 AS k, (mx.mid * (k.range + 1)) // 10 AS cp
+      FROM range(0, 10) k CROSS JOIN mx
+    ),
+    pts AS (
+      SELECT c.k,
+             (SELECT CAST(SUM(n) AS BIGINT) FROM nt WHERE doc_id <= c.cp) AS cum_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM fd WHERE first_doc <= c.cp) AS cum_types
+      FROM cps c
+    ),
+    xy AS (
+      SELECT k, cum_tokens, cum_types,
+             CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(cum_types AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM pts
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy
+    )
+    SELECT xy.k, xy.cum_tokens, xy.cum_types,
+           round((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                  - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                 / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                    - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)), 6) AS heaps_beta
+    FROM xy CROSS JOIN s ORDER BY xy.k
+    """,
+)
+def heaps_law_vocab_growth(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    fd = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    nt = d.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n")
+    )
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    cps = F.broadcast(
+        ks.crossJoin(F.broadcast(mx)).select(
+            "k", F.expr("mid * k div 10").alias("cp")
+        )
+    )
+    v = (
+        fd.crossJoin(cps)
+        .filter(F.col("first_doc") <= F.col("cp"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cum_types"))
+    )
+    n = (
+        nt.crossJoin(cps)
+        .filter(F.col("doc_id") <= F.col("cp"))
+        .groupBy("k")
+        .agg(F.sum("n").cast("bigint").alias("cum_tokens"))
+    )
+    xy = (
+        n.join(v, "k")
+        .select(
+            "k",
+            "cum_tokens",
+            "cum_types",
+            F.round(F.log(F.col("cum_tokens").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("x"),
+            F.round(F.log(F.col("cum_types").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.round(
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        6,
+    )
+    return (
+        xy.crossJoin(F.broadcast(s))
+        .select("k", "cum_tokens", "cum_types", slope.alias("heaps_beta"))
+        .orderBy("k")
+    )
+
+
+# Hard triplet mining over LABELED embeddings — the contrastive-training
+# data op (anchor, hardest positive, hardest negative): per anchor, the
+# same-label neighbor with the highest dot product and the
+# different-label neighbor with the highest dot product (the negatives
+# that actually move the loss).  Ranking happens on ROUND-6 scores with
+# a vec_id tie-break (the cosine_topk discipline), so order is
+# engine-identical; margin_ok flags anchors whose hardest negative
+# already scores above the hardest positive (the pairs a margin loss
+# would fight over).  Scale shape: 5 broadcast anchors × corpus — one
+# scan, no self-join.
+@query(
+    "triplet_mining_embeddings",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv, label AS alabel
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.alabel, e.vec_id, e.label AS clabel,
+             round(list_dot_product(a.qv, e.embedding::DOUBLE[]), 6) AS score
+      FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, alabel, vec_id AS pos_id, score AS pos_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM scored WHERE clabel = alabel
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id AS neg_id, score AS neg_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM scored WHERE clabel <> alabel
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.alabel AS anchor_label,
+           p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+           round(p.pos_score - n.neg_score, 6) AS margin,
+           p.pos_score > n.neg_score AS margin_ok
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    ORDER BY p.anchor_id
+    """,
+)
+def triplet_mining_embeddings(spark, sf_dir):
+    from .operators.similarity import _dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("alabel"),
+    )
+    c = e.select(
+        F.col("vec_id"), F.col("embedding").alias("cv"), F.col("label").alias("clabel")
+    )
+    scored = (
+        F.broadcast(a)
+        .join(c, F.col("anchor_id") != F.col("vec_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            "vec_id",
+            "clabel",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    pos = (
+        scored.filter(F.col("clabel") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "alabel",
+            F.col("vec_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            F.col("alabel").alias("anchor_label"),
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
+            (F.col("pos_score") > F.col("neg_score")).alias("margin_ok"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+# Dedup token-loss accounting — what each dedup stage would COST per
+# source, in documents and tokens: exact duplicates (md5(text) groups,
+# min-id canonical) and near-duplicates (the committed MinHash-CC
+# labels, min-id canonical), reported independently plus their union
+# (a doc can be both).  This is the budget sheet a corpus owner reads
+# before pulling the trigger — dedup_keep_canonical materializes the
+# survivors; this prices the removal.  The oracle replays both stages.
+@query(
+    "dedup_token_loss_report",
+    f"""
+    WITH RECURSIVE {{corpus}},
+    sig AS (
+      SELECT doc_id,
+        {{sig}} AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    labels AS (SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n),
+    base AS (
+      SELECT doc_id, source,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             md5(text) AS fp
+      FROM documents
+    ),
+    canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
+    flags AS (
+      SELECT b.doc_id, b.source, b.n_tok,
+             (b.doc_id <> c.keep_id) AS exact_loser,
+             COALESCE(l.node <> l.cluster, FALSE) AS near_loser
+      FROM base b
+      JOIN canon c ON b.fp = c.fp
+      LEFT JOIN labels l ON l.node = b.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN exact_loser THEN 1 ELSE 0 END) AS BIGINT) AS exact_removed_docs,
+           CAST(SUM(CASE WHEN exact_loser THEN n_tok ELSE 0 END) AS BIGINT) AS exact_removed_tokens,
+           CAST(SUM(CASE WHEN near_loser THEN 1 ELSE 0 END) AS BIGINT) AS neardup_removed_docs,
+           CAST(SUM(CASE WHEN near_loser THEN n_tok ELSE 0 END) AS BIGINT) AS neardup_removed_tokens,
+           CAST(SUM(CASE WHEN exact_loser OR near_loser THEN 1 ELSE 0 END) AS BIGINT) AS union_removed_docs,
+           CAST(SUM(CASE WHEN exact_loser OR near_loser THEN n_tok ELSE 0 END) AS BIGINT) AS union_removed_tokens,
+           round(CAST(SUM(CASE WHEN exact_loser OR near_loser THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / SUM(n_tok), 6) AS pct_tokens_removed
+    FROM flags GROUP BY source ORDER BY source
+    """.format(corpus=_MINHASH_CORPUS_SQL, sig=_MINHASH_SIG_SQL),
+)
+def dedup_token_loss_report(spark, sf_dir):
+    labels = _neardup_labels_cached(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tok"),
+        F.md5("text").alias("fp"),
+    )
+    canon = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    losers_near = labels.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node"), F.lit(True).alias("near_loser")
+    )
+    flags = (
+        d.join(canon, "fp")
+        .join(F.broadcast(losers_near), d.doc_id == F.col("node"), "left")
+        .select(
+            "source",
+            "n_tok",
+            (F.col("doc_id") != F.col("keep_id")).alias("exact_loser"),
+            F.coalesce(F.col("near_loser"), F.lit(False)).alias("near_loser"),
+        )
+    )
+    one = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    tok = lambda c: F.when(c, F.col("n_tok")).otherwise(0)  # noqa: E731
+    u = F.col("exact_loser") | F.col("near_loser")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(one(F.col("exact_loser"))).cast("bigint").alias("exact_removed_docs"),
+            F.sum(tok(F.col("exact_loser"))).cast("bigint").alias("exact_removed_tokens"),
+            F.sum(one(F.col("near_loser"))).cast("bigint").alias("neardup_removed_docs"),
+            F.sum(tok(F.col("near_loser"))).cast("bigint").alias("neardup_removed_tokens"),
+            F.sum(one(u)).cast("bigint").alias("union_removed_docs"),
+            F.sum(tok(u)).cast("bigint").alias("union_removed_tokens"),
+            F.round(
+                F.sum(tok(u)).cast("double") / F.sum("n_tok"), 6
+            ).alias("pct_tokens_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# k-anonymity audit — the re-identification governance check: how many
+# rows sit in quasi-identifier groups smaller than k?  Quasi-identifiers
+# here are (nation, market segment, account-balance band) — the
+# realistic "harmless demographics" combination that fragments into
+# singleton groups.  One hash aggregate over the quasi-identifier
+# tuple; integer-only output.
+@query(
+    "k_anonymity_audit_customers",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_group,
+           CAST(MAX(sz) AS BIGINT) AS max_group,
+           round(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS pct_rows_at_risk
+    FROM g
+    """,
+)
+def k_anonymity_audit_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    below = F.col("sz") < 5
+    return g.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("bigint").alias("n_groups_below_k"),
+        F.sum(F.when(below, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_group"),
+        F.max("sz").cast("bigint").alias("max_group"),
+        F.round(
+            F.sum(F.when(below, F.col("sz")).otherwise(0)).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("pct_rows_at_risk"),
+    )
+
+
+# Packing efficiency audit — the quality report over pack_sequences'
+# output: how many documents land in each 128-token sequence (the
+# attention-mask fragmentation a trainer actually pays for), and how
+# many of them are straddle continuations.  Histogram-sized output;
+# the pack itself is the two-phase-cumsum operator checked by
+# pack_sequences_budget — this prices its layout.
+@query(
+    "packing_efficiency_audit",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+      FROM toks WHERE n > 0
+    ),
+    spans AS (SELECT doc_id, n, e, e - n AS s FROM cum),
+    placed AS (
+      SELECT doc_id, g.seq_id,
+             (g.seq_id = CAST(floor(s / 128) AS BIGINT)) AS starts_here
+      FROM spans, LATERAL (
+        SELECT unnest(generate_series(CAST(floor(s / 128) AS BIGINT),
+                                      CAST(floor((e - 1) / 128) AS BIGINT))) AS seq_id
+      ) g
+    ),
+    per_seq AS (
+      SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS docs_per_seq,
+             CAST(SUM(CASE WHEN starts_here THEN 1 ELSE 0 END) AS BIGINT) AS starts
+      FROM placed GROUP BY seq_id
+    )
+    SELECT docs_per_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(starts) AS BIGINT) AS n_doc_starts,
+           CAST(SUM(docs_per_seq - starts) AS BIGINT) AS n_continuations
+    FROM per_seq GROUP BY docs_per_seq ORDER BY docs_per_seq
+    """,
+)
+def packing_efficiency_audit(spark, sf_dir):
+    from .operators.packing import pack_sequences
+    from .operators.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    placed = pack_sequences(d, "doc_id", "n_tok", budget=128)
+    per_seq = placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_per_seq"),
+        F.sum(F.when(F.col("starts_here"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("starts"),
+    )
+    return (
+        per_seq.groupBy("docs_per_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+            F.sum("starts").cast("bigint").alias("n_doc_starts"),
+            F.sum(F.col("docs_per_seq") - F.col("starts"))
+            .cast("bigint")
+            .alias("n_continuations"),
+        )
+        .orderBy("docs_per_seq")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
