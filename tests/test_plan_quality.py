@@ -880,3 +880,47 @@ def test_acf_series_joins_are_broadcast(spark):
 
     plan = _plan(QUERIES["acf_daily_revenue"](spark, SF_DIR))
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_simhash_banding_no_cartesian(spark):
+    """The simhash candidate join must be an equi-join on (band, bval)
+    buckets — never a cartesian/nested-loop all-pairs scan — and the
+    signature build must stay a single hash aggregate (no per-bit row
+    blowup beyond the one token explode)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["simhash_hamming_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heaps_law_no_global_rank(spark):
+    """Checkpoints are VALUE-based (max_id·k/10) — the vocab-growth
+    curve must not plan a global row_number/sort over the corpus; the
+    only windows allowed are none at all."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["heaps_law_vocab_growth"](spark, SF_DIR))
+    assert "Window" not in plan
+
+
+def test_triplet_mining_anchors_broadcast(spark):
+    """The 5 anchors must broadcast into the corpus scan — one pass,
+    no corpus self-shuffle."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["triplet_mining_embeddings"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_range_frame_over_aggregate(spark):
+    """The RANGE frame must run over the per-(nation, day) AGGREGATE,
+    partitioned by nation — never an unpartitioned window."""
+    import re
+
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["rolling_revenue_range_frame"](spark, SF_DIR))
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "nation" in m.group(0)
