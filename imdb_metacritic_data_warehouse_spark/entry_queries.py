@@ -2447,7 +2447,7 @@ def pipeline_movie_employee_link(spark, sf_dir):
     ),
     t1 AS (
       SELECT *, row_number() OVER (
-        ORDER BY rating DESC, CAST(movie_duration AS INTEGER) DESC, movie_id) AS place
+        ORDER BY round(rating, 4) DESC, CAST(movie_duration AS INTEGER) DESC, movie_id) AS place
       FROM t1g
     ),
     t2 AS (SELECT DISTINCT movie_id FROM sat1)
@@ -10904,63 +10904,69 @@ def fk_orphan_audit(spark, sf_dir):
 
 # EWMA control chart over daily revenue with α = 1/2 — the smoothed
 # baseline + deviation monitor next to the CUSUM level-shift detector.
-# Float-parity by CONSTRUCTION: α = 1/2 makes every weight
-# (1/2)^(k+1) a FINITE-DECIMAL constant, so the whole 10-term window
-# sum stays in exact DECIMAL arithmetic end-to-end (daily totals are
-# DECIMAL, weights are DECIMAL literals), and the output is the exact
-# scale-12 decimal CAST to double (correctly rounded in both engines)
-# with NO explicit round at all: a double version hit a round-4
-# half-way tie (float-parity rule #4), and even decimal ROUND ties
-# split between Spark's HALF_UP and DuckDB's rule — the weights' 5-
-# tailed digits make .xxxx5 boundaries COMMON here, so the fix is to
-# never round, not to round more carefully.  Day series is
-# calendar-bounded.
+# Float-parity by CONSTRUCTION, round 6 revision: α = 1/2 makes every
+# weight (1/2)^(k+1) dyadic, so the whole 10-term window lives in
+# INTEGER space — M = Σ cents_k · 2^(9−k) is an exact bigint, and
+# ewma = (double)M / 102400.0 is ONE IEEE int64→double conversion plus
+# ONE division, identical in both engines.  History of this query's
+# parity traps: a double version hit a round-4 half-way tie
+# (float-parity rule #4); the round-5 exact-DECIMAL version held at
+# sf0.01 but FAILED the first sf0.1 sweep by one ulp — **float-parity
+# rule #6 (new): a DECIMAL with unscaled value > 2^53 CAST to double
+# is NOT correctly rounded in Spark** (Java BigDecimal.doubleValue
+# computes (double)unscaled / 10^scale — two roundings) while DuckDB's
+# decimal→double rounds once, so exact-decimal-then-cast diverges as
+# soon as the magnitudes grow.  Integer space has no such cliff: the
+# int64→double narrowing is correctly rounded BY IEEE SPEC in both
+# engines at any magnitude.  Day series is calendar-bounded.
 @query(
     "ewma_control_daily",
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d,
-             ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS y
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS yc
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     lagged AS (
-      SELECT d, y,
-             lag(y, 0) OVER (ORDER BY d) AS y0,\n             lag(y, 1) OVER (ORDER BY d) AS y1,\n             lag(y, 2) OVER (ORDER BY d) AS y2,\n             lag(y, 3) OVER (ORDER BY d) AS y3,\n             lag(y, 4) OVER (ORDER BY d) AS y4,\n             lag(y, 5) OVER (ORDER BY d) AS y5,\n             lag(y, 6) OVER (ORDER BY d) AS y6,\n             lag(y, 7) OVER (ORDER BY d) AS y7,\n             lag(y, 8) OVER (ORDER BY d) AS y8,\n             lag(y, 9) OVER (ORDER BY d) AS y9
+      SELECT d, yc,
+             lag(yc, 0) OVER (ORDER BY d) AS y0,\n             lag(yc, 1) OVER (ORDER BY d) AS y1,\n             lag(yc, 2) OVER (ORDER BY d) AS y2,\n             lag(yc, 3) OVER (ORDER BY d) AS y3,\n             lag(yc, 4) OVER (ORDER BY d) AS y4,\n             lag(yc, 5) OVER (ORDER BY d) AS y5,\n             lag(yc, 6) OVER (ORDER BY d) AS y6,\n             lag(yc, 7) OVER (ORDER BY d) AS y7,\n             lag(yc, 8) OVER (ORDER BY d) AS y8,\n             lag(yc, 9) OVER (ORDER BY d) AS y9
       FROM daily
+    ),
+    m AS (
+      SELECT d, yc,
+             COALESCE(y0, 0) * 512 + COALESCE(y1, 0) * 256 + COALESCE(y2, 0) * 128
+             + COALESCE(y3, 0) * 64 + COALESCE(y4, 0) * 32 + COALESCE(y5, 0) * 16
+             + COALESCE(y6, 0) * 8 + COALESCE(y7, 0) * 4 + COALESCE(y8, 0) * 2
+             + COALESCE(y9, 0) AS mm
+      FROM lagged
     )
-    SELECT CAST(d AS VARCHAR) AS day, CAST(y AS DOUBLE) AS y,
-           CAST((COALESCE(y0, 0) * 0.5 + COALESCE(y1, 0) * 0.25 + COALESCE(y2, 0) * 0.125 + COALESCE(y3, 0) * 0.0625 + COALESCE(y4, 0) * 0.03125 + COALESCE(y5, 0) * 0.015625 + COALESCE(y6, 0) * 0.0078125 + COALESCE(y7, 0) * 0.00390625 + COALESCE(y8, 0) * 0.001953125 + COALESCE(y9, 0) * 0.0009765625) AS DOUBLE) AS ewma,
-           CAST((y - (COALESCE(y0, 0) * 0.5 + COALESCE(y1, 0) * 0.25 + COALESCE(y2, 0) * 0.125 + COALESCE(y3, 0) * 0.0625 + COALESCE(y4, 0) * 0.03125 + COALESCE(y5, 0) * 0.015625 + COALESCE(y6, 0) * 0.0078125 + COALESCE(y7, 0) * 0.00390625 + COALESCE(y8, 0) * 0.001953125 + COALESCE(y9, 0) * 0.0009765625)) AS DOUBLE) AS deviation
-    FROM lagged ORDER BY d
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(yc AS DOUBLE) / 100.0 AS y,
+           CAST(mm AS DOUBLE) / 102400.0 AS ewma,
+           CAST(yc * 1024 - mm AS DOUBLE) / 102400.0 AS deviation
+    FROM m ORDER BY d
     """,
 )
 def ewma_control_daily(spark, sf_dir):
     e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
-        # stays DECIMAL, and is cast DOWN to (18,2): the aggregate's
-        # inferred type is decimal(29,2), whose product with the
-        # (12,10) weights would overflow precision 38 and silently
-        # rescale to 10 fractional digits
-        F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("y")
+        (F.round(F.sum(_dec("value")), 2) * 100).cast("bigint").alias("yc")
     )
     w = Window.orderBy("d")
-    zero = F.lit(0).cast("decimal(18,2)")
-    terms = None
+    zero = F.lit(0).cast("bigint")
+    mm = None
     for k in range(10):
-        wt = F.lit(repr(0.5 ** (k + 1))).cast("decimal(12,10)")
-        # cap each product at decimal(28,12): the raw product type is
-        # decimal(31,12) and ten chained additions would push precision
-        # past Spark's 38 cap, which silently RESCALES the sum to
-        # scale 6 (allowPrecisionLoss) — the very drift this decimal
-        # pipeline exists to prevent; 28 digits hold any daily total
-        # this side of 10^16 exactly
-        t = (F.coalesce(F.lag("y", k).over(w), zero) * wt).cast("decimal(28,12)")
-        terms = t if terms is None else terms + t
+        t = F.coalesce(F.lag("yc", k).over(w), zero) * F.lit(2 ** (9 - k)).cast(
+            "bigint"
+        )
+        mm = t if mm is None else mm + t
     return daily.select(
         F.col("d").cast("string").alias("day"),
-        F.col("y").cast("double").alias("y"),
-        terms.cast("double").alias("ewma"),
-        (F.col("y") - terms).cast("double").alias("deviation"),
+        (F.col("yc").cast("double") / F.lit(100.0)).alias("y"),
+        (mm.cast("double") / F.lit(102400.0)).alias("ewma"),
+        ((F.col("yc") * F.lit(1024) - mm).cast("double") / F.lit(102400.0)).alias(
+            "deviation"
+        ),
     ).orderBy("day")
 
 

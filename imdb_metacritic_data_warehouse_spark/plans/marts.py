@@ -127,6 +127,13 @@ def _rating_snapshot(wh, snapshot_filter, with_rank: bool = True) -> DataFrame:
     ORDER BY leaves rating/duration ties in arbitrary heap order
     (``mart/rating_slide.sql:7``); we append movie_id as a final key so
     places are deterministic across runs — documented divergence.
+    The rank key is the ROUND-4 rating, not the raw float average: the
+    raw avg's low bits depend on summation order (engine- and
+    partition-layout-dependent — the first sf0.1 sweep caught 1081
+    place flips among display-equal ratings), while the reference's
+    Postgres ``numeric`` avg is exact.  Ranking on the displayed
+    4-decimal value with deterministic tie-breaks is the reproducible
+    re-expression of that exactness.
 
     ``with_rank=False`` skips the global ranking: temp2's rank is
     computed-then-discarded in the reference (SURVEY.md §2.12), and only
@@ -144,7 +151,7 @@ def _rating_snapshot(wh, snapshot_filter, with_rank: bool = True) -> DataFrame:
     return global_row_number(
         grouped,
         [
-            F.desc("rating"),
+            F.desc(F.round(F.col("rating"), 4)),
             F.desc(F.col("movie_duration").cast("int")),
             F.asc("movie_id"),
         ],
