@@ -283,6 +283,7 @@ HEADLINE = [
     "dedup_token_loss_report",
     "k_anonymity_audit_customers",
     "packing_efficiency_audit",
+    "simhash_hamming_pairs_collapsed",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

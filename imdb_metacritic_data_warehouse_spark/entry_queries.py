@@ -16042,7 +16042,12 @@ def audio_decode_stats(spark, sf_dir):
 # integer (md5-derived hashes, bit votes, popcount), so the pair list
 # is hash-exact cross-engine.  Scale shape: bucket join on (band,
 # value), never all-pairs; bucket sizes concentrate near corpus/256
-# per band.
+# per band.  OUTPUT LAW (16× probe: 33.7×): like
+# jaccard_prefix_join_docs, m sig-identical replicas emit m(m−1)/2
+# true pairs — the work is proportional to the EMITTED pairs, not a
+# plan defect; the production path is simhash_hamming_pairs_collapsed
+# below (collapse sig-identical docs to representatives first — the
+# same ``collapse_exact`` discipline, re-probed ~1× at 16×).
 @query(
     "simhash_hamming_pairs",
     """
@@ -16126,6 +16131,118 @@ def simhash_hamming_pairs(spark, sf_dir):
         cand.filter(hamming <= 3)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# The PRODUCTION simhash path: signature-identical documents collapse
+# to their min-id representative (with multiplicity) BEFORE the banded
+# join — the ``collapse_exact`` discipline from jaccard_prefix_join:
+# m replicas of a document contribute ONE row to the pairwise stage
+# instead of m(m−1)/2 output pairs, so corpus duplication multiplies
+# cost linearly, not quadratically (16× probe: the uncollapsed twin
+# measures 33.7×, this re-probes ~1×).  Output is representative
+# pairs with group multiplicities — enough to reconstruct every
+# doc-level pair without materializing them.
+@query(
+    "simhash_hamming_pairs_collapsed",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS th
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.range AS bit,
+             SUM(CASE WHEN (th >> CAST(b.range AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, range(0, 32) b
+      GROUP BY doc_id, b.range
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    reps AS (
+      SELECT sig, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS mult
+      FROM sig GROUP BY sig
+    ),
+    banded AS (
+      SELECT rep, sig, mult, b.range AS band,
+             (sig >> CAST(b.range * 8 AS INTEGER)) & 255 AS bval
+      FROM reps, range(0, 4) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+             a.sig AS sig_a, b.sig AS sig_b,
+             a.mult AS mult_a, b.mult AS mult_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.rep < b.rep
+    )
+    SELECT rep_a, rep_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming,
+           mult_a, mult_b,
+           CAST(mult_a * mult_b AS BIGINT) AS n_doc_pairs
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ORDER BY rep_a, rep_b
+    """,
+)
+def simhash_hamming_pairs_collapsed(spark, sf_dir):
+    from .operators.dedup import simhash
+
+    sigs = simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    reps = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).cast("bigint").alias("mult")
+    )
+    bands = reps.select(
+        "rep",
+        "simhash",
+        "mult",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).select(
+        "rep",
+        "simhash",
+        "mult",
+        "band",
+        F.expr("shiftright(simhash, band * 8)").bitwiseAND(F.lit(255)).alias("bval"),
+    )
+    a = bands.select(
+        F.col("rep").alias("rep_a"),
+        F.col("simhash").alias("sig_a"),
+        F.col("mult").alias("mult_a"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("rep").alias("rep_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("mult").alias("mult_b"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "sig_a", "sig_b", "mult_a", "mult_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(hamming <= 3)
+        .select(
+            "rep_a",
+            "rep_b",
+            hamming.cast("int").alias("hamming"),
+            "mult_a",
+            "mult_b",
+            (F.col("mult_a") * F.col("mult_b")).cast("bigint").alias("n_doc_pairs"),
+        )
+        .orderBy("rep_a", "rep_b")
     )
 
 

@@ -112,11 +112,44 @@ def v_dd_nosatmat(spark, sf_dir):
     return _marts.build_employee_data(wh)
 
 
+def v_dd_noemphub(spark, sf_dir):
+    """dd_nosatmat + employee_hub NOT materialized (1k-row distinct over
+    the checkpointed dd — rebuild per consumer may beat the ckpt)."""
+    wh = wh_dd(spark, sf_dir)
+    mel = eq._materialize(
+        eq.scd2_apply(None, wh.read("stg", "movie_emp_link"), "movie_emp_link_id",
+                      ["movie_id", "emp_id"], eq._SCD2_T0)
+    )
+    wh._stg["movie_emp_link"] = mel
+    wh._stg["emp_movie_l_sat"] = eq.scd2_apply(
+        None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
+        ["movie_emp_link_id", "description", "role"], eq._SCD2_T0
+    )
+    return _marts.build_employee_data(wh)
+
+
+def v_dd_nomelmat(spark, sf_dir):
+    """dd + NOTHING materialized except dd itself: how much do the
+    mel/sat re-executions over the checkpointed dd actually cost?"""
+    wh = wh_dd(spark, sf_dir)
+    wh._stg["movie_emp_link"] = eq.scd2_apply(
+        None, wh.read("stg", "movie_emp_link"), "movie_emp_link_id",
+        ["movie_id", "emp_id"], eq._SCD2_T0
+    )
+    wh._stg["emp_movie_l_sat"] = eq.scd2_apply(
+        None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
+        ["movie_emp_link_id", "description", "role"], eq._SCD2_T0
+    )
+    return _marts.build_employee_data(wh)
+
+
 VARIANTS = {
     "current": v_current,
     "dd": v_dd,
     "dd_bcast": v_dd_bcast,
     "dd_nosatmat": v_dd_nosatmat,
+    "dd_noemphub": v_dd_noemphub,
+    "dd_nomelmat": v_dd_nomelmat,
 }
 
 
