@@ -364,12 +364,27 @@ def main():
     except Exception:
         pass
 
+    def _gc():
+        # Checkpoint-heavy queries (the employee pipeline, the disk
+        # paths) leave localCheckpoint blocks that the ContextCleaner
+        # frees only after a JVM GC; across 221×3 executions the
+        # accumulated pressure inflated UNTOUCHED mid-list queries up
+        # to 9× (round-6 forensics: conformal 0.8→7.6s in-sequence,
+        # 1.6s clean).  An explicit collection between queries keeps
+        # the sequence honest for ~0.1s each.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     # Unmeasured warm-up pass: JIT/codegen compile, parquet footer and
     # JVM warm-up dominate first executions (measured 2-3× steady state
     # on the heavy queries), so report steady-state latency.
-    for name in order:
+    for i, name in enumerate(order):
         if name in qs:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if name in RUN_LAST or i % 10 == 9:
+                _gc()
 
     # best-of-2 per query: single-shot timings at this scale carry
     # ±1-2s host/GC noise (one observed run was 3× off on untouched
@@ -377,7 +392,7 @@ def main():
     timings: dict[str, float] = {}
     plans: dict[str, str] = {}
     total = 0.0
-    for name in order:
+    for i, name in enumerate(order):
         if name not in qs:
             continue
         best = None
@@ -391,8 +406,11 @@ def main():
             plans[name] = _plan_fingerprint(df)
         except Exception:
             plans[name] = "err"
+        del df
         timings[name] = round(best, 3)
         total += timings[name]
+        if name in RUN_LAST or i % 10 == 9:
+            _gc()
 
     # The frozen yardstick must stay comparable: a renamed/removed query
     # or a partial run would silently shrink the sum (ADVICE r5) — record

@@ -2094,7 +2094,11 @@ def pipeline_movie_emp_link(spark, sf_dir):
     + "SELECT movie_emp_role_id, movie_emp_link_id, description, role FROM emp_movie_l_sat",
 )
 def pipeline_emp_movie_l_sat(spark, sf_dir):
-    return _core.build_emp_movie_l_sat(_actor_wh(spark, sf_dir))
+    # dedup_actor: this builder consumes the actor bronze TWICE (its own
+    # union + the link membership join's) — the shared wide-distinct
+    # checkpoint pays for itself (6.3s -> 4.0s best-of-3 at sf0.1);
+    # set-identical semantics, same oracle.
+    return _core.build_emp_movie_l_sat(_actor_wh(spark, sf_dir, dedup_actor=True))
 
 
 @query(
@@ -2417,7 +2421,9 @@ def pipeline_employee_data(spark, sf_dir):
     """,
 )
 def pipeline_movie_employee_link(spark, sf_dir):
-    return _marts.build_movie_employee_link(_actor_wh(spark, sf_dir))
+    # dedup_actor: link + employee_hub each union the bronze — two
+    # consumers (6.0s -> 5.0s best-of-3 at sf0.1).
+    return _marts.build_movie_employee_link(_actor_wh(spark, sf_dir, dedup_actor=True))
 
 
 # mart/rating_slide.sql end-to-end: two SCD2 batches (batch 2 changes
