@@ -284,6 +284,7 @@ HEADLINE = [
     "k_anonymity_audit_customers",
     "packing_efficiency_audit",
     "simhash_hamming_pairs_collapsed",
+    "hll_overlap_audience_events",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -17070,6 +17070,148 @@ def packing_efficiency_audit(spark, sf_dir):
     )
 
 
+# HLL audience overlap — the inclusion-exclusion composition the
+# sketch family needs for "how many users did BOTH": |A∩B| ≈
+# est(A) + est(B) − est(A∪B), where est(A∪B) comes from the bucket-wise
+# MAX register merge (exactly the merged-equals-one-pass property).
+# At 100 TB this answers every audience-overlap / cross-feature-reach
+# question from stored per-segment register tables WITHOUT rescanning
+# either side.  All three register tables are integer-exact
+# cross-engine; the intersection estimate is one shared double
+# expression over the three round-4 estimates; the exact intersection
+# (left-semi distinct count) rides along for the error audit.
+@query(
+    "hll_overlap_audience_events",
+    f"""
+    WITH ha AS (
+      SELECT CAST(CONCAT('0x', substr(md5('4242:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT CAST(CONCAT('0x', substr(md5('4242:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ra AS (
+      SELECT u // 4503599627370496 AS bucket,
+             MAX(CASE WHEN u % 4503599627370496 = 0 THEN 53
+                      ELSE 53 - length(bin(u % 4503599627370496)) END) AS mj
+      FROM ha GROUP BY 1
+    ),
+    rb AS (
+      SELECT u // 4503599627370496 AS bucket,
+             MAX(CASE WHEN u % 4503599627370496 = 0 THEN 53
+                      ELSE 53 - length(bin(u % 4503599627370496)) END) AS mj
+      FROM hb GROUP BY 1
+    ),
+    ru AS (
+      SELECT bucket, MAX(mj) AS mj FROM (
+        SELECT * FROM ra UNION ALL SELECT * FROM rb
+      ) GROUP BY 1
+    ),
+    est AS (
+      SELECT 'a' AS side,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+               + (256 - CAST(COUNT(*) AS BIGINT)) * CAST(9007199254740992 AS BIGINT) AS s_total,
+             CAST(COUNT(*) AS BIGINT) AS n_used
+      FROM ra
+      UNION ALL
+      SELECT 'b',
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+               + (256 - CAST(COUNT(*) AS BIGINT)) * CAST(9007199254740992 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM rb
+      UNION ALL
+      SELECT 'u',
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+               + (256 - CAST(COUNT(*) AS BIGINT)) * CAST(9007199254740992 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM ru
+    ),
+    e2 AS (
+      SELECT side,
+             round(CASE WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                        / CAST(s_total AS DOUBLE)) <= 640.0
+                       AND (256 - n_used) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - n_used AS DOUBLE))
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 256.0 * 256.0 * 9007199254740992.0
+                       / CAST(s_total AS DOUBLE)
+             END, 4) AS est
+      FROM est
+    ),
+    p AS (
+      SELECT MAX(CASE WHEN side = 'a' THEN est END) AS est_a,
+             MAX(CASE WHEN side = 'b' THEN est END) AS est_b,
+             MAX(CASE WHEN side = 'u' THEN est END) AS est_union
+      FROM e2
+    ),
+    x AS (
+      SELECT
+        (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'click') AS exact_a,
+        (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'purchase') AS exact_b,
+        (SELECT CAST(COUNT(DISTINCT e1.user_id) AS BIGINT)
+         FROM events e1 WHERE e1.event_type = 'click'
+           AND EXISTS (SELECT 1 FROM events e2
+                       WHERE e2.event_type = 'purchase' AND e2.user_id = e1.user_id)) AS exact_intersection
+    )
+    SELECT p.est_a, p.est_b, p.est_union,
+           round(p.est_a + p.est_b - p.est_union, 4) AS est_intersection,
+           x.exact_a, x.exact_b, x.exact_intersection,
+           abs(round(p.est_a + p.est_b - p.est_union, 4) - x.exact_intersection)
+             <= 0.2 * (x.exact_a + x.exact_b - x.exact_intersection) + 16.0 AS within_band
+    FROM p CROSS JOIN x
+    """,
+)
+def hll_overlap_audience_events(spark, sf_dir):
+    from .operators.sketch import hll_estimate, hll_merge_registers, hll_register_maxes
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.lit("g").alias("g"), "user_id"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("g").alias("g"), "user_id"
+    )
+    ra = hll_register_maxes(clicks, ["g"], "user_id", p=8, seed=4242)
+    rb = hll_register_maxes(purch, ["g"], "user_id", p=8, seed=4242)
+    ru = hll_merge_registers(ra, rb, ["g"])
+    ea = hll_estimate(ra, ["g"], p=8).select(F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate(rb, ["g"], p=8).select(F.col("hll_estimate").alias("est_b"))
+    eu = hll_estimate(ru, ["g"], p=8).select(F.col("hll_estimate").alias("est_union"))
+    exact_a = clicks.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_a")
+    )
+    exact_b = purch.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_b")
+    )
+    exact_i = (
+        clicks.select("user_id")
+        .distinct()
+        .join(purch.select("user_id").distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    est_i = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+    band = F.lit(0.2) * (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_intersection")
+    ) + F.lit(16.0)
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            est_i.alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            (F.abs(est_i - F.col("exact_intersection")) <= band).alias("within_band"),
+        )
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
