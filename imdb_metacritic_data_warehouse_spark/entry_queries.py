@@ -14124,7 +14124,7 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)
     WITH h AS (
       SELECT l_returnflag AS grp,
              CAST(CONCAT('0x', substr(md5('4242:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS u
-      FROM lineitem
+      FROM lineitem WHERE l_partkey IS NOT NULL
     ),
     r AS (
       SELECT grp, u // 4503599627370496 AS bucket,
@@ -15571,7 +15571,7 @@ def welch_ttest_orders(spark, sf_dir):
     WITH h AS (
       SELECT l_returnflag AS grp,
              CAST(CONCAT('0x', substr(md5('4242:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS u
-      FROM lineitem
+      FROM lineitem WHERE l_partkey IS NOT NULL
     ),
     r AS (
       SELECT grp, u // 4503599627370496 AS bucket,
@@ -16269,7 +16269,7 @@ def simhash_hamming_pairs_collapsed(spark, sf_dir):
       SELECT event_type,
              isodow(ts) - 1 AS dow,
              CAST(CONCAT('0x', substr(md5('4242:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     r_fine AS (
       SELECT event_type, dow, u // 4503599627370496 AS bucket,
@@ -16648,18 +16648,20 @@ def attribution_position_events(spark, sf_dir):
     ),
     pts AS (
       SELECT c.k,
-             (SELECT CAST(SUM(n) AS BIGINT) FROM nt WHERE doc_id <= c.cp) AS cum_tokens,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM fd WHERE first_doc <= c.cp) AS cum_types
+             COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM nt WHERE doc_id <= c.cp), 0) AS cum_tokens,
+             COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM fd WHERE first_doc <= c.cp), 0) AS cum_types
       FROM cps c
     ),
     xy AS (
       SELECT k, cum_tokens, cum_types,
-             CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
-             CAST(round(ln(CAST(cum_types AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+             CASE WHEN cum_tokens > 0
+                  THEN CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) END AS x,
+             CASE WHEN cum_types > 0
+                  THEN CAST(round(ln(CAST(cum_types AS DOUBLE)), 6) AS DECIMAL(18,6)) END AS y
       FROM pts
     ),
     s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      SELECT CAST(COUNT(x) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
              SUM(x * y) AS sxy, SUM(x * x) AS sxx
       FROM xy
     )
@@ -16699,22 +16701,42 @@ def heaps_law_vocab_growth(spark, sf_dir):
         .groupBy("k")
         .agg(F.sum("n").cast("bigint").alias("cum_tokens"))
     )
+    # Drive the point set from the checkpoint frame itself with LEFT
+    # joins (ADVICE r6): a checkpoint that precedes every doc_id must
+    # still emit its k row (cum = 0) exactly like the oracle's
+    # correlated subqueries, not vanish through an inner join.  The
+    # ln() is guarded by cum > 0 in BOTH engines (Spark log(0) is NULL
+    # while DuckDB ln(0) is -inf — the guard keeps the degenerate row
+    # NULL on both sides), and the OLS n counts non-NULL points.
     xy = (
-        n.join(v, "k")
+        cps.select("k")
+        .join(n, "k", "left")
+        .join(v, "k", "left")
+        .select(
+            "k",
+            F.coalesce("cum_tokens", F.lit(0)).cast("bigint").alias("cum_tokens"),
+            F.coalesce("cum_types", F.lit(0)).cast("bigint").alias("cum_types"),
+        )
         .select(
             "k",
             "cum_tokens",
             "cum_types",
-            F.round(F.log(F.col("cum_tokens").cast("double")), 6)
-            .cast("decimal(18,6)")
-            .alias("x"),
-            F.round(F.log(F.col("cum_types").cast("double")), 6)
-            .cast("decimal(18,6)")
-            .alias("y"),
+            F.when(
+                F.col("cum_tokens") > 0,
+                F.round(F.log(F.col("cum_tokens").cast("double")), 6).cast(
+                    "decimal(18,6)"
+                ),
+            ).alias("x"),
+            F.when(
+                F.col("cum_types") > 0,
+                F.round(F.log(F.col("cum_types").cast("double")), 6).cast(
+                    "decimal(18,6)"
+                ),
+            ).alias("y"),
         )
     )
     s = xy.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("x").cast("bigint").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
@@ -17085,11 +17107,11 @@ def packing_efficiency_audit(spark, sf_dir):
     f"""
     WITH ha AS (
       SELECT CAST(CONCAT('0x', substr(md5('4242:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
     ),
     hb AS (
       SELECT CAST(CONCAT('0x', substr(md5('4242:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ),
     ra AS (
       SELECT u // 4503599627370496 AS bucket,

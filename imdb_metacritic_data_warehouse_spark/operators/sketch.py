@@ -34,9 +34,19 @@ def _bucket(key: Column, seed: int, width: int) -> Column:
 
     DuckDB twin: ``CAST(CONCAT('0x', substr(md5(seed || ':' || key),
     1, 15)) AS BIGINT) % width``.
+
+    ``F.concat``, never ``concat_ws``: concat_ws SKIPS NULLs, so a
+    NULL key would silently hash as just ``"<seed>:"`` and land in a
+    real bucket, while the DuckDB twin's ``||`` propagates NULL — the
+    exact cross-engine divergence ADVICE r5 flagged for the HLL twin
+    (fixed in ``hll_register_maxes``).  With concat, a NULL key yields
+    a NULL bucket;
+    both sketch entry points below then apply the explicit NULL-key
+    policy (drop on build, estimate 0 on probe) so the two engines
+    agree row-for-row even on nullable key columns.
     """
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))), 1, 15),
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
@@ -55,8 +65,13 @@ def count_min_sketch(
     ``explode`` fans each fact row into ``depth`` cell increments, but
     the immediately following groupBy collapses them map-side — the
     exchange after partial aggregation is ≤ depth·width rows per task.
+
+    NULL-key policy: rows with a NULL key are DROPPED before hashing
+    (explicit filter), matching the DuckDB twin where ``seed||':'||key``
+    propagates NULL and the NULL bucket never matches a probe.
     """
     w = weight if weight is not None else F.lit(1)
+    df = df.filter(key.isNotNull())
     cells = df.select(
         F.explode(
             F.array(
@@ -91,6 +106,9 @@ def cms_estimate(
 
     A key whose bucket cell is absent from the sketch (possible only
     when the key itself was never inserted) estimates 0 via coalesce.
+    NULL-key policy: a NULL probe key hashes to a NULL bucket (see
+    ``_bucket``), matches nothing, and estimates 0 — the same answer
+    the DuckDB twin gives, since its NULL bucket joins no cell.
     """
     probes = keys.select(
         "*",
@@ -146,10 +164,14 @@ def hll_register_maxes(
     w = 60 - p
     # F.concat, not concat_ws: concat_ws SKIPS NULLs (a NULL key would
     # hash as just "<seed>:"), while the DuckDB oracle's `'seed:' || key`
-    # propagates NULL and drops the row — cross-engine divergence for
-    # any nullable key_col (ADVICE r5).  concat propagates NULL, so a
-    # NULL key yields a NULL hash → NULL bucket, filtered here to match
-    # the oracle's row-drop semantics exactly.
+    # propagates NULL — cross-engine divergence for any nullable
+    # key_col (ADVICE r5).  concat propagates NULL, so a NULL key
+    # yields a NULL hash → NULL bucket, filtered here.  NOTE (ADVICE
+    # r6): DuckDB's GROUP BY would still FORM a (bucket NULL, mj NULL)
+    # register row from the NULL hash, so the oracle templates carry an
+    # explicit `WHERE key IS NOT NULL` to mirror this row-drop — both
+    # engines then agree even when key_col is nullable (pinned by
+    # tests/test_sketch_nullable_keys.py).
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),

@@ -56,3 +56,29 @@ def test_negative_zero_canonicalization_identity():
     # IEEE round-to-nearest guarantees -0.0 + 0.0 = +0.0.
     assert not np.signbit(np.float64(-0.0) + 0.0)
     assert np.float64(-0.0) + 0.0 == 0.0
+
+
+def test_signed_zero_ties_align_deterministically():
+    # ADVICE r6: two rows that tie on every sort key but carry
+    # opposite-signed zeros in engine-specific ORDER must still align
+    # (multiset-equal frames pass); the old ==-based sort left them in
+    # input order and reported a spurious signed-zero red.
+    a = pd.DataFrame({"k": [1, 1], "v": [0.0, -0.0]})
+    b = pd.DataFrame({"k": [1, 1], "v": [-0.0, 0.0]})
+    assert compare("t", a, b) == []
+
+
+def test_signed_zero_multiset_mismatch_still_fails():
+    # ...but a genuine multiset difference (two -0.0 vs one) still fails.
+    a = pd.DataFrame({"k": [1, 1], "v": [0.0, 0.0]})
+    b = pd.DataFrame({"k": [1, 1], "v": [-0.0, 0.0]})
+    problems = compare("t", a, b)
+    assert problems and any("signed-zero" in p for p in problems)
+
+
+def test_nan_sorts_deterministically_with_total_order_key():
+    # NaN rows land last on both sides regardless of payload bits.
+    payload_nan = float(np.uint64(0x7FF8000000000001).view(np.float64))
+    a = pd.DataFrame({"v": [float("nan"), 1.0]})
+    b = pd.DataFrame({"v": [1.0, payload_nan]})
+    assert compare("t", a, b) == []

@@ -24,6 +24,21 @@ TABLES = [
 ]
 
 
+def _total_order_key(vals: np.ndarray) -> np.ndarray:
+    """IEEE-754 total-order sort key for float64: monotone uint64 with
+    -0.0 strictly before +0.0 and all NaN payloads collapsed to one
+    maximal key.  Pandas ``sort_values`` treats -0.0 == +0.0, so two
+    rows that tie on every other key but carry opposite-signed zeros in
+    engine-specific order could misalign and report a spurious mismatch
+    (ADVICE r6 — fail-noisy, but still a false red).  Sorting floats by
+    this key makes row alignment deterministic under signed zeros."""
+    v = vals.astype(np.float64)
+    bits = v.view(np.uint64)
+    neg = (bits >> np.uint64(63)) == 1
+    key = np.where(neg, ~bits, bits | np.uint64(1 << 63))
+    return np.where(np.isnan(v), np.uint64(0xFFFFFFFFFFFFFFFF), key)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -32,7 +47,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         # naive timestamps as strings for stable compare
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # Sort by a shadow frame where float columns are replaced by their
+    # bit-pattern total-order key (see _total_order_key); other columns
+    # sort as themselves.
+    key = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.floating):
+            key[c] = _total_order_key(df[c].to_numpy(dtype=np.float64))
+        else:
+            key[c] = df[c]
+    order = key.sort_values(by=list(key.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
