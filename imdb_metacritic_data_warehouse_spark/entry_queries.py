@@ -73,6 +73,19 @@ def _dec(col):
     return F.col(col).cast("decimal(18,4)")
 
 
+def _units4(col):
+    """Rule #6-proof money-sum input: the column as an exact INTEGER
+    count of 1e-4 units.  Summing these as int64 and converting ONCE
+    ((double)sum / 1e4) is bit-identical cross-engine at ANY magnitude,
+    whereas summing decimal(18,4) and casting the sum to double
+    double-rounds in Spark as soon as the unscaled sum exceeds 2^53
+    (NOTES rule #6 — ewma_control_daily failed exactly this way at
+    sf0.1).  DuckDB twin: CAST(CAST(x AS DECIMAL(18,4)) * 10000 AS
+    BIGINT).  int64 headroom: 9.2e18 vs 2^53 = 9.0e15 — 1000x.
+    """
+    return (F.col(col).cast("decimal(18,4)") * F.lit(10000)).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # A1-A4/P1/O1 — TPC-H Q1-shaped pricing summary (the reference's
 # "aggregate a fact table by low-cardinality keys" mart shape).
@@ -3402,11 +3415,11 @@ def q9_product_type_profit(spark, sf_dir):
     """
     WITH pa AS (
       SELECT l_partkey,
-             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS qlim
+             0.2 * ((CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*)) AS qlim
       FROM lineitem GROUP BY l_partkey
     )
     SELECT p_brand,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS DOUBLE)
+           CAST(ROUND((CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0) / 7.0, 2) AS DOUBLE)
              AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_small
     FROM lineitem
@@ -3422,7 +3435,10 @@ def q17_small_quantity_revenue(spark, sf_dir):
     pa = li.groupBy("l_partkey").agg(
         (
             F.lit(0.2)
-            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            * (
+                (F.sum(_units4("l_quantity")).cast("double") / F.lit(10000.0))
+                / F.count(F.lit(1))
+            )
         ).alias("qlim")
     )
     return (
@@ -3434,7 +3450,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qlim"))
         .groupBy("p_brand")
         .agg(
-            (F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2))
+            (
+                F.round(
+                    (F.sum(_units4("l_extendedprice")).cast("double") / F.lit(10000.0))
+                    / F.lit(7.0),
+                    2,
+                )
+            )
             .cast("double")
             .alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
@@ -5462,23 +5484,30 @@ def q20_part_volume_suppliers(spark, sf_dir):
 @query(
     "incremental_mart_merge",
     """
-    SELECT o_orderpriority,
-           COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
-           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_price,
-           MIN(o_totalprice) AS min_price,
-           MAX(o_totalprice) AS max_price
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS u,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders,
+           CAST((u + 50) // 100 AS DOUBLE) / 100.0 AS total_price,
+           CAST(ROUND((CAST(u AS DOUBLE) / 10000.0) / n_orders, 6) AS DOUBLE) AS avg_price,
+           min_price, max_price
+    FROM s ORDER BY o_orderpriority
     """,
 )
 def incremental_mart_merge(spark, sf_dir):
     from .operators.incremental import incremental_refresh
 
+    # Money state is an int64 count of 1e-4 units (rule #6): mergeable
+    # exact integers at any magnitude; both display columns leave
+    # integer land through ONE shared double expression each.
     spec = {
         "n_orders": ("sum", F.lit(1).cast("long")),
-        "sum_price": ("sum", _dec("o_totalprice")),
+        "sum_units": ("sum", _units4("o_totalprice")),
         "min_price": ("min", F.col("o_totalprice")),
         "max_price": ("max", F.col("o_totalprice")),
     }
@@ -5487,11 +5516,18 @@ def incremental_mart_merge(spark, sf_dir):
     delta = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
     state = incremental_refresh(None, batch1, keys, spec)
     merged = incremental_refresh(state, delta, keys, spec)
+    # half-up round to cents in integer space (prices are positive),
+    # then one division: bit-identical to round(decimal_sum, 2) while
+    # the sum is exact, and still deterministic far beyond 2^53.
+    cents = F.expr("(sum_units + 50) div 100")
     return merged.select(
         "o_orderpriority",
         F.col("n_orders").alias("n_orders"),
-        F.round(F.col("sum_price"), 2).cast("double").alias("total_price"),
-        F.round(F.col("sum_price").cast("double") / F.col("n_orders"), 6)
+        (cents.cast("double") / F.lit(100.0)).alias("total_price"),
+        F.round(
+            (F.col("sum_units").cast("double") / F.lit(10000.0)) / F.col("n_orders"),
+            6,
+        )
         .cast("double")
         .alias("avg_price"),
         "min_price",
@@ -8505,7 +8541,8 @@ def jaccard_prefix_join_collapsed(spark, sf_dir):
     "daily_revenue_trend",
     """
     WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0 AS y
       FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
     ),
     indexed AS (
@@ -8528,8 +8565,10 @@ def jaccard_prefix_join_collapsed(spark, sf_dir):
 )
 def daily_revenue_trend(spark, sf_dir):
     e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    # rule #6: per-day revenue summed as exact int64 1e-4 units, ONE
+    # shared (double)u / 1e4 conversion — bit-stable at any magnitude.
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("y")
+        (F.sum(_units4("value")).cast("double") / F.lit(10000.0)).alias("y")
     )
     d0 = daily.agg(F.min("d").alias("d0"))
     indexed = daily.crossJoin(F.broadcast(d0)).select(
@@ -13202,7 +13241,7 @@ def theil_sen_nation_monthly(spark, sf_dir):
       FROM d
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(ROUND(CAST(SUM(CAST(ROUND(score, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(ROUND((CAST(SUM(CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0)
                       / COUNT(*), 4) AS DOUBLE) AS avg_flesch
     FROM sc GROUP BY source ORDER BY source
     """,
@@ -13212,13 +13251,19 @@ def readability_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     cols = readability_score("text")
-    sc = d.select("source", F.round(cols["score"], 4).cast("decimal(18,4)").alias("r4"))
+    # rule #6: round-4 scores carried as exact int64 1e-4 units.
+    sc = d.select(
+        "source",
+        (F.round(cols["score"], 4).cast("decimal(18,4)") * F.lit(10000))
+        .cast("long")
+        .alias("r4u"),
+    )
     return (
         sc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.round(
-                F.sum("r4").cast("double") / F.count(F.lit(1)), 4
+                (F.sum("r4u").cast("double") / F.lit(10000.0)) / F.count(F.lit(1)), 4
             ).cast("double").alias("avg_flesch"),
         )
         .orderBy("source")
@@ -13422,7 +13467,7 @@ def event_trigrams_users(spark, sf_dir):
       FROM terms
     )
     SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
+           CAST(ROUND(CAST(SUM(CAST(CAST(term AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0, 6)
                 AS DOUBLE) AS js
     FROM contrib GROUP BY s1, s2 ORDER BY s1, s2
     """,
@@ -13479,7 +13524,16 @@ def js_divergence_sources(spark, sf_dir):
         .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 6)
+            # rule #6: round-6 terms summed as exact int64 1e-6 units.
+            F.round(
+                F.sum(
+                    (F.col("term").cast("decimal(18,6)") * F.lit(1000000)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0),
+                6,
+            )
             .cast("double")
             .alias("js"),
         )
@@ -13606,7 +13660,7 @@ def _mix_sql(b: int) -> str:
     ),
     pt AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS pm
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS pm
       FROM lineitem
     )
     SELECT n_rows, round(pm, 6) AS point_mean,
@@ -13680,7 +13734,11 @@ def bootstrap_ci_lineitem(spark, sf_dir):
     )
     pt = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("pm"),
+        (
+            F.sum(_units4("l_quantity")).cast("double")
+            / F.lit(10000.0)
+            / F.count(F.lit(1))
+        ).alias("pm"),
     )
     return (
         r.crossJoin(F.broadcast(pt))
@@ -15848,7 +15906,7 @@ def temperature_mixture_weights_docs(spark, sf_dir):
     SELECT (SELECT n FROM n) AS n_rows,
            (SELECT k FROM n) AS n_trimmed_each_tail,
            CAST(SUM(keep_c) AS BIGINT) AS n_kept,
-           round(CAST(SUM(CAST(keep_c AS DECIMAL(19,0)) * q) AS DOUBLE)
+           round(CAST(SUM(keep_c * CAST(q * 10000 AS BIGINT)) AS DOUBLE) / 10000.0
                  / SUM(keep_c), 6) AS trimmed_mean
     FROM kept
     """,
@@ -15874,12 +15932,15 @@ def trimmed_mean_lineitem(spark, sf_dir):
             F.lit(0),
         ).alias("keep_c"),
     )
+    # rule #6: Σ keep_c·q as exact int64 1e-4 units (quantity ≤ 50 →
+    # the sum fits int64 past 10^12 rows), ONE shared double division.
     return kept.groupBy("n", "k").agg(
         F.sum("keep_c").cast("bigint").alias("n_kept"),
         F.round(
-            F.sum(F.col("keep_c").cast("decimal(19,0)") * F.col("q")).cast(
-                "double"
-            )
+            F.sum(
+                F.col("keep_c") * (F.col("q") * F.lit(10000)).cast("long")
+            ).cast("double")
+            / F.lit(10000.0)
             / F.sum("keep_c"),
             6,
         ).alias("trimmed_mean"),
