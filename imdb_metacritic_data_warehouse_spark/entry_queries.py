@@ -2072,7 +2072,7 @@ def _actor_wh(spark, sf_dir, dedup_actor: bool = False) -> _ShimWarehouse:
             "actor_raw_data_imdb": lambda: _synth_actor_raw(spark, sf_dir)[0],
             "actor_raw_data_metacritic": lambda: _synth_actor_raw(spark, sf_dir)[1],
         }
-    return _ShimWarehouse(
+    wh = _ShimWarehouse(
         spark,
         {
             "movie_raw_data_imdb": lambda: _synth_movie_raw(spark, sf_dir)[0],
@@ -2080,6 +2080,30 @@ def _actor_wh(spark, sf_dir, dedup_actor: bool = False) -> _ShimWarehouse:
             **bronze_actor,
         },
     )
+    if dedup_actor:
+        # Declared uniqueness (plans/core.known_distinct): the shared
+        # actor projection is DISTINCT on its full 5-column grain and
+        # the metacritic side is empty, so every builder union-dedup of
+        # it is the identity.  It is ALSO distinct on the 3-col
+        # (movie, duration, name) grain because (raw_role, role) are
+        # functions of the (unique-named) supplier — verified
+        # count(5-col distinct) == count(3-col distinct) == 539,676 at
+        # sf0.1 — which makes the link/sat builders' intermediate and
+        # output dedups identities too.  The hub uniqueness hints are
+        # builder invariants (md5 key over a distincted grain).  Net:
+        # the employee pipeline drops ~5 full-width 540k-row exchanges,
+        # exactly the declared-PK dedup elimination a real warehouse
+        # planner performs.
+        five = frozenset(
+            {"movie_name", "movie_duration", "name", "raw_role", "role"}
+        )
+        three = frozenset({"movie_name", "movie_duration", "name"})
+        wh.distinct_hints = {
+            ("bronze", "actor_union"): {five, three},
+            ("stg", "employee_hub"): {frozenset({"emp_id"})},
+            ("stg", "movie_hub"): {frozenset({"movie_id"})},
+        }
+    return wh
 
 
 @query(
@@ -2410,6 +2434,12 @@ def pipeline_employee_data(spark, sf_dir):
     )
     mel = _materialize(mel)
     wh._stg["movie_emp_link"] = mel
+    # Freshly bootstrapped SCD2 over a key-distinct snapshot: exactly
+    # one (open) version per movie_emp_link_id, so the sat builder's
+    # membership probe can skip ITS key-dedup shuffle too.
+    wh.distinct_hints[("stg", "movie_emp_link")] = {
+        frozenset({"movie_emp_link_id"})
+    }
     s = wh.read("stg", "emp_movie_l_sat")
     # The sat is deliberately NOT checkpointed: its only consumer is the
     # mart's filter_latest (rows + 1-row max agg), and re-running the
@@ -2419,6 +2449,12 @@ def pipeline_employee_data(spark, sf_dir):
     wh._stg["emp_movie_l_sat"] = scd2_apply(
         None, s, "movie_emp_role_id", ["movie_emp_link_id", "description", "role"], _SCD2_T0
     )
+    # Bootstrapped sat: one open version per movie_emp_role_id (the
+    # builder output is key-unique by md5 construction) — lets the mart
+    # elide its final output dedup.
+    wh.distinct_hints[("stg", "emp_movie_l_sat")] = {
+        frozenset({"movie_emp_role_id"})
+    }
     return _marts.build_employee_data(wh)
 
 
@@ -17320,79 +17356,79 @@ def hll_overlap_audience_events(spark, sf_dir):
 # at sf0.001 + sf0.01, transcript in ORACLE_LOCAL_r04.txt) lead the
 # round-5 prefix.
 _PRIORITY_PREFIX = [
-    # --- changed this round (r6): re-verify under the driver ---
-    # covariance: the -0.0 canonicalization (verdict r5 task #1 —
-    # driver-red two rounds; done-gate is a green r6 row).
-    "covariance_matrix_embeddings",
-    # employee pipeline: rewired to the shared wide-distinct actor
-    # projection (verdict r5 task #4).
+    # --- round-7 rotation: ALL 43 queries that have never appeared in
+    # --- a driver-checked prefix (verdict r6 task #1 — closing this
+    # --- list makes the union of CORRECTNESS_r1..r7 samples cover the
+    # --- entire 287-query surface), then the 7 riskiest
+    # --- changed-this-round queries.
+    "ab_test_lift",
+    "association_rules_parts",
+    "attribution_position_events",
+    "audio_decode_stats",
+    "bigram_logprob_docs",
+    "chisq_event_dow",
+    "cohort_retention_events",
+    "compaction_plan_orders",
+    "ctr_wilson_bounds",
+    "cumulative_unique_users_daily",
+    "cusum_changepoint_daily",
+    "daily_revenue_trend",
+    "dau_wau_stickiness",
+    "dedup_token_loss_report",
+    "diff_in_diff_events",
+    "duplicate_chunk_spans",
+    "equidepth_bins_orders",
+    "funnel_latency_percentiles",
+    "fuzzy_match_part_names",
+    "gap_fill_user_hours",
+    "gaps_islands_orders",
+    "hazard_table_users",
+    "heaps_law_vocab_growth",
+    "hll_overlap_audience_events",
+    "hll_rollup_lattice",
+    "inverted_index_postings",
+    "k_anonymity_audit_customers",
+    "neardup_source_matrix",
+    "ngram_containment_pairs",
+    "out_of_order_stats_events",
+    "packing_efficiency_audit",
+    "rolling_revenue_range_frame",
+    "session_paths_events",
+    "simhash_hamming_pairs",
+    "simhash_hamming_pairs_collapsed",
+    "skew_report_lineitem",
+    "stratified_topk_docs",
+    "time_decayed_engagement",
+    "trailing_window_anomalies",
+    "triplet_mining_embeddings",
+    "user_event_entropy",
+    "winsorize_lineitem_prices",
+    "yoy_growth_monthly",
+    # --- changed this round (r7), riskiest first ---
+    # employee pipeline: declared-uniqueness DISTINCT elisions
+    # (plans/core.known_distinct) rewired its whole plan.
     "pipeline_employee_data",
-    # hll_register_maxes concat_ws→concat + NULL-key drop (ADVICE r5).
-    "hll_distinct_audit",
-    "hll_incremental_merge_audit",
-    # bitemporal: NULL valid_to now open-ended (ADVICE r5).
-    "bitemporal_snapshot_orders",
-    # gram_power_iteration gained the decimal(25,0) overflow guard.
-    "pca_top_component_embeddings",
-    # --- never driver-checked (74-query backlog, verdict r5 task #5);
-    # --- highest-value names first as listed in the verdict ---
-    "jaccard_prefix_join_docs",
-    "jaccard_prefix_join_collapsed",
-    "hybrid_search_rrf",
-    "curate_corpus_end_to_end",
-    "entity_clusters_parts",
-    "gdpr_erasure_cascade",
-    "knn_graph_embeddings",
-    "mad_outliers_lineitem",
-    "markov_transitions_events",
-    "dq_report_orders",
-    "incremental_neardup_ingest",
-    "semantic_dedup_keep",
-    "pagerank_parts_copurchase",
-    "triangle_counts_parts",
-    "bfs_khop_parts",
-    "cms_heavy_hitters_events",
-    "pareto_frontier_parts",
-    "psi_drift_orders",
-    "zorder_pruning_audit",
-    "spearman_price_size_parts",
-    "version_diff_orders",
-    "incremental_agg_from_cdf",
-    "table_checksum_orders",
-    "scd2_validity_audit",
-    "survivorship_golden_docs",
-    "hard_negative_mining",
-    "mmr_rerank_topk",
-    "matryoshka_recall_audit",
-    "tfidf_topk_docs",
-    "bpe_train_merges_docs",
-    "bpe_pair_counts_docs",
-    "vocab_coverage_docs",
-    "vocab_truncate_docs",
-    "select_token_budget_docs",
-    "leakage_safe_split_events",
-    "quality_calibrated_filter",
-    "quantize_embeddings_int8",
-    "pq_codes_embeddings",
-    "mixture_sample_domains",
-    "neardup_labels_persisted",
-    "weighted_sample_pps_docs",
-    "twap_events",
-    "interval_overlap_sessions",
-    "corpus_report_by_source",
+    # rule-#6 integer-space conversions of decimal-sum parity math
+    # (daily_revenue_trend + heaps_law + hll_* oracles also changed and
+    # are covered above).
+    "q17_small_quantity_revenue",
+    "incremental_mart_merge",
+    "readability_docs",
+    "js_divergence_sources",
+    "bootstrap_ci_lineitem",
+    "trimmed_mean_lineitem",
 ]
-# still never-driver-sampled after this rotation (locally oracle-green;
-# round-7 rotation candidates — 30 names): cohort_retention_events,
-# compaction_plan_orders, ngram_containment_pairs, stratified_topk_docs,
-# fuzzy_match_part_names, trailing_window_anomalies, gap_fill_user_hours,
-# cumulative_unique_users_daily, winsorize_lineitem_prices,
-# inverted_index_postings, dau_wau_stickiness, session_paths_events,
-# ctr_wilson_bounds, ab_test_lift, skew_report_lineitem,
-# time_decayed_engagement, association_rules_parts, user_event_entropy,
-# equidepth_bins_orders, duplicate_chunk_spans, chisq_event_dow,
-# daily_revenue_trend, cusum_changepoint_daily, funnel_latency_percentiles,
-# out_of_order_stats_events, gaps_islands_orders, yoy_growth_monthly,
-# bigram_logprob_docs, hazard_table_users, diff_in_diff_events
+# Changed this round but NOT rotated in (slots exhausted by the
+# 43-query backlog; all are locally oracle-green at sf0.001+sf0.01 and
+# r6-or-earlier driver-green, and each change class has an in-prefix
+# representative): cms_heavy_hitters_events + cms_join_size_audit (CMS
+# _bucket concat_ws→concat — an algebraic identity for the non-null
+# keys both queries use, pinned by tests/test_sketch_nullable_keys.py),
+# hll_distinct_audit + hll_incremental_merge_audit (oracle template
+# gained WHERE key IS NOT NULL — same template as the in-prefix
+# hll_rollup_lattice / hll_overlap_audience_events),
+# pipeline_emp_movie_l_sat + pipeline_movie_employee_link (same
+# known_distinct elisions as the in-prefix pipeline_employee_data).
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 

@@ -25,6 +25,26 @@ from ..functions.keys import hash_key
 from ..functions.parsing import explode_genres_json, explode_genres_split
 
 
+def known_distinct(wh, key: tuple[str, str], cols: set[str]) -> bool:
+    """Caller-declared uniqueness hint — the warehouse-level analogue of
+    a PK/UNIQUE constraint, which Spark has no way to infer.
+
+    A caller that KNOWS a table is already distinct on ``cols`` (e.g. a
+    pre-deduplicated shared bronze projection, or a freshly bootstrapped
+    SCD2 table whose key is one-row-per-key by construction) registers
+    ``wh.distinct_hints[(schema, table)] = {frozenset(cols), ...}``;
+    builders then elide the corresponding DISTINCT — a full-width
+    shuffle of the table — because ``distinct`` of an
+    already-distinct set is the identity.  At 100 TB a redundant
+    all-columns exchange over a fact-sized frame is one of the largest
+    avoidable costs in a vault load, and real warehouses solve it
+    exactly this way (declared constraints driving dedup elimination).
+    With no hint registered, behavior is unchanged.
+    """
+    hints = getattr(wh, "distinct_hints", None)
+    return bool(hints) and frozenset(cols) in hints.get(key, set())
+
+
 def _movie_raw_union(wh, cols: dict[str, F.Column | str]) -> DataFrame:
     """UNION (dedup) of the two movie raw tables over a projection."""
     parts = []
@@ -161,21 +181,21 @@ def build_movie_emp_link(wh) -> DataFrame:
     hubs; key ``md5(movie_id||emp_id)``."""
     a = wh.bronze("actor_raw_data_imdb")
     b = wh.bronze("actor_raw_data_metacritic")
-    t1 = (
-        a.select(
+    t1 = a.select(
+        F.col("movie_name").alias("movie_nm"),
+        F.col("movie_duration").cast("int").alias("duration"),
+        "name",
+    ).unionByName(
+        b.select(
             F.col("movie_name").alias("movie_nm"),
             F.col("movie_duration").cast("int").alias("duration"),
             "name",
         )
-        .unionByName(
-            b.select(
-                F.col("movie_name").alias("movie_nm"),
-                F.col("movie_duration").cast("int").alias("duration"),
-                "name",
-            )
-        )
-        .distinct()
     )
+    if not known_distinct(
+        wh, ("bronze", "actor_union"), {"movie_name", "movie_duration", "name"}
+    ):
+        t1 = t1.distinct()
     t2 = t1.select(
         hash_key("movie_nm", "duration").alias("movie_id"),
         F.md5("name").alias("emp_id"),
@@ -186,11 +206,22 @@ def build_movie_emp_link(wh) -> DataFrame:
         t2.join(emp_hub, "emp_id", "inner")
         .join(movie_hub, "movie_id", "inner")
     )
-    return joined.select(
+    out = joined.select(
         hash_key("movie_id", "emp_id").alias("movie_emp_link_id"),
         "movie_id",
         "emp_id",
-    ).distinct()
+    )
+    # Output dedup elidable when (a) t1 was distinct on its 3-col grain
+    # (md5 keys are then injectively derived → pairs distinct) and (b)
+    # both hub membership probes are declared unique on their keys
+    # (joins preserve cardinality) — the link set is already distinct.
+    if not (
+        known_distinct(wh, ("bronze", "actor_union"), {"movie_name", "movie_duration", "name"})
+        and known_distinct(wh, ("stg", "employee_hub"), {"emp_id"})
+        and known_distinct(wh, ("stg", "movie_hub"), {"movie_id"})
+    ):
+        out = out.distinct()
+    return out
 
 
 def build_emp_movie_l_sat(wh) -> DataFrame:
@@ -201,35 +232,58 @@ def build_emp_movie_l_sat(wh) -> DataFrame:
     ``description``."""
     a = wh.bronze("actor_raw_data_imdb")
     b = wh.bronze("actor_raw_data_metacritic")
-    t1 = (
-        a.select(
+    t1 = a.select(
+        "movie_name",
+        F.col("movie_duration").cast("int").alias("dur"),
+        "name",
+        "raw_role",
+        "role",
+    ).unionByName(
+        b.select(
             "movie_name",
             F.col("movie_duration").cast("int").alias("dur"),
             "name",
             "raw_role",
             "role",
         )
-        .unionByName(
-            b.select(
-                "movie_name",
-                F.col("movie_duration").cast("int").alias("dur"),
-                "name",
-                "raw_role",
-                "role",
-            )
-        )
-        .distinct()
     )
+    # UNION-dedup: elidable (identity) when the caller declared the
+    # actor union pre-distinct on exactly this grain — saves a
+    # full-width shuffle of the fact-sized frame (see known_distinct).
+    if not known_distinct(
+        wh,
+        ("bronze", "actor_union"),
+        {"movie_name", "movie_duration", "name", "raw_role", "role"},
+    ):
+        t1 = t1.distinct()
     t3 = t1.select(
         hash_key(hash_key("movie_name", "dur"), F.md5("name")).alias("link_id"),
         "raw_role",
         "role",
-    ).distinct()
-    links = wh.read("stg", "movie_emp_link").select("movie_emp_link_id").distinct()
+    )
+    # (link_id, raw_role, role) is an injective image of the 3-col
+    # grain (link_id determines (movie, dur, name) under md5), so t3 is
+    # already distinct whenever the actor union was distinct on it.
+    t3_distinct = known_distinct(
+        wh, ("bronze", "actor_union"), {"movie_name", "movie_duration", "name"}
+    )
+    if not t3_distinct:
+        t3 = t3.distinct()
+    links = wh.read("stg", "movie_emp_link").select("movie_emp_link_id")
+    links_unique = known_distinct(
+        wh, ("stg", "movie_emp_link"), {"movie_emp_link_id"}
+    )
+    if not links_unique:
+        links = links.distinct()
     joined = t3.join(links, t3.link_id == links.movie_emp_link_id, "inner")
-    return joined.select(
+    out = joined.select(
         hash_key("movie_emp_link_id", "raw_role", "role").alias("movie_emp_role_id"),
         "movie_emp_link_id",
         F.col("raw_role").alias("description"),
         "role",
-    ).distinct()
+    )
+    # distinct t3 x unique links → joined (and its injective projection)
+    # is already a set; the output dedup shuffle is then the identity.
+    if not (t3_distinct and links_unique):
+        out = out.distinct()
+    return out

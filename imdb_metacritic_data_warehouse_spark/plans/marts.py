@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.parsing import strip_parens
+from .core import known_distinct
 from ..operators.argmax import arg_max
 from ..operators.rank import global_row_number
 from ..operators.snapshots import filter_latest, filter_top_snapshots
@@ -27,14 +28,26 @@ def build_employee_data(wh) -> DataFrame:
         eh.join(mel, "emp_id", "inner")
         .join(emls, "movie_emp_link_id", "inner")
     )
-    return joined.select(
+    out = joined.select(
         emls.movie_emp_role_id,
         eh.emp_nm.alias("name"),
         emls.role.alias("role"),
         F.when(emls.description == "NaN", F.lit(""))
         .otherwise(strip_parens(emls.description))
         .alias("role_description"),
-    ).distinct()
+    )
+    # Final dedup elidable under declared key uniqueness (see
+    # plans/core.known_distinct): unique hub × one-open-version link ×
+    # unique-role-id sat → every joined row carries a distinct
+    # movie_emp_role_id, so DISTINCT is the identity and its
+    # full-output shuffle can be skipped.
+    if not (
+        known_distinct(wh, ("stg", "employee_hub"), {"emp_id"})
+        and known_distinct(wh, ("stg", "movie_emp_link"), {"movie_emp_link_id"})
+        and known_distinct(wh, ("stg", "emp_movie_l_sat"), {"movie_emp_role_id"})
+    ):
+        out = out.distinct()
+    return out
 
 
 def build_movie_data(wh) -> DataFrame:

@@ -48,21 +48,19 @@ def synth_actor_dedup(spark, sf_dir):
 
 
 def wh_dd(spark, sf_dir):
-    dd = eq._materialize(synth_actor_dedup(spark, sf_dir))
-    empty = dd.filter(F.lit(False))
-    return eq._ShimWarehouse(
-        spark,
-        {
-            "movie_raw_data_imdb": lambda: eq._synth_movie_raw(spark, sf_dir)[0],
-            "movie_raw_data_metacritic": lambda: eq._synth_movie_raw(spark, sf_dir)[1],
-            "actor_raw_data_imdb": lambda: dd,
-            "actor_raw_data_metacritic": lambda: empty,
-        },
-    )
+    """r7: route through _actor_wh so variants inherit the declared
+    distinct_hints (bronze actor_union) like production does."""
+    return eq._actor_wh(spark, sf_dir, dedup_actor=True)
 
 
 def v_current(spark, sf_dir):
     return eq.pipeline_employee_data(spark, sf_dir)
+
+
+def _mel_hint(wh):
+    wh.distinct_hints[("stg", "movie_emp_link")] = {
+        frozenset({"movie_emp_link_id"})
+    }
 
 
 def _finish(wh):
@@ -71,6 +69,7 @@ def _finish(wh):
                       ["movie_id", "emp_id"], eq._SCD2_T0)
     )
     wh._stg["movie_emp_link"] = mel
+    _mel_hint(wh)
     sat = eq._materialize(
         eq.scd2_apply(None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
                       ["movie_emp_link_id", "description", "role"], eq._SCD2_T0)
@@ -105,9 +104,34 @@ def v_dd_nosatmat(spark, sf_dir):
                       ["movie_id", "emp_id"], eq._SCD2_T0)
     )
     wh._stg["movie_emp_link"] = mel
+    _mel_hint(wh)
     wh._stg["emp_movie_l_sat"] = eq.scd2_apply(
         None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
         ["movie_emp_link_id", "description", "role"], eq._SCD2_T0
+    )
+    return _marts.build_employee_data(wh)
+
+
+def v_dd_satlazy(spark, sf_dir):
+    """nosatmat but the sat is LAZILY localCheckpointed: filter_latest's
+    broadcast max-agg job computes the chain once and persists the
+    blocks as a side effect; the rows branch then reads the blocks —
+    one chain execution, write amortized into the agg job."""
+    wh = wh_dd(spark, sf_dir)
+    wh._stg["employee_hub"] = eq._materialize(_core.build_employee_hub(wh))
+    mel = eq._materialize(
+        eq.scd2_apply(None, wh.read("stg", "movie_emp_link"), "movie_emp_link_id",
+                      ["movie_id", "emp_id"], eq._SCD2_T0)
+    )
+    wh._stg["movie_emp_link"] = mel
+    _mel_hint(wh)
+    sat = eq.scd2_apply(
+        None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
+        ["movie_emp_link_id", "description", "role"], eq._SCD2_T0
+    )
+    ck = sat.localCheckpoint(eager=False)
+    wh._stg["emp_movie_l_sat"] = ck.select(
+        *[F.col(c).alias(c) for c in ck.columns]
     )
     return _marts.build_employee_data(wh)
 
@@ -148,6 +172,7 @@ VARIANTS = {
     "dd": v_dd,
     "dd_bcast": v_dd_bcast,
     "dd_nosatmat": v_dd_nosatmat,
+    "dd_satlazy": v_dd_satlazy,
     "dd_noemphub": v_dd_noemphub,
     "dd_nomelmat": v_dd_nomelmat,
 }
