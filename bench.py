@@ -285,6 +285,10 @@ HEADLINE = [
     "packing_efficiency_audit",
     "simhash_hamming_pairs_collapsed",
     "hll_overlap_audience_events",
+    # round-7 wave 14
+    "rerank_agreement_audit",
+    "ngram_novelty_batch",
+    "curriculum_mixture_schedule",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

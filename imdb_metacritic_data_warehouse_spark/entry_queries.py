@@ -17331,6 +17331,357 @@ def hll_overlap_audience_events(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-7 wave 14 (verdict r6 task #7): rerank agreement audit over the
+# dense retrieval stage, n-gram novelty scoring of an incoming batch
+# against the base corpus, and an epoch-by-epoch mixture curriculum
+# schedule from the temperature weights.
+
+
+# Cross-encoder-style rerank AGREEMENT AUDIT — the eval a retrieval
+# team runs before paying for a reranker: take the first-stage dense
+# top-k, rescore it with the (expensive, exact) second-stage scorer,
+# and quantify how much the order actually changes.  The second-stage
+# proxy here is exact lexical overlap with the query document (the
+# container has no model; the Spark-side plumbing — candidate join,
+# bounded rerank, rank-agreement math — is the real artifact).  All
+# agreement metrics are EXACT integer/rational statistics of the two
+# rank vectors (Kendall tau from concordant-pair counts, Spearman rho
+# from Σd², footrule from Σ|d|, top-5 overlap), so the oracle is
+# hash-exact.  Scale shape: first stage is the corpus-sized scan
+# (cosine_topk's one-pass broadcast-query scoring); everything after
+# operates on the FIXED k=20 candidate rows — windows there are
+# bounded by construction.
+@query(
+    "rerank_agreement_audit",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 5
+    ),
+    cand AS (
+      SELECT vec_id AS doc_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS dr
+      FROM scored QUALIFY dr <= 20
+    ),
+    qtok AS (
+      SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS t
+      FROM documents WHERE doc_id = 5
+    ),
+    ctok AS (
+      SELECT c.doc_id, unnest(list_distinct(string_split(lower(d.text), ' '))) AS t
+      FROM cand c JOIN documents d USING (doc_id)
+    ),
+    ov AS (
+      SELECT c.doc_id,
+             COALESCE(o.n_overlap, 0) AS n_overlap
+      FROM cand c LEFT JOIN (
+        SELECT ctok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM ctok JOIN qtok ON ctok.t = qtok.t GROUP BY ctok.doc_id
+      ) o USING (doc_id)
+    ),
+    rr AS (
+      SELECT c.doc_id, c.dr, ov.n_overlap,
+             row_number() OVER (ORDER BY ov.n_overlap DESC, c.doc_id) AS rr
+      FROM cand c JOIN ov USING (doc_id)
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.dr < b.dr) = (a.rr < b.rr) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM rr a JOIN rr b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(20 AS BIGINT) AS n_candidates,
+           round((2.0 * pairs.c - pairs.np) / pairs.np, 6) AS kendall_tau,
+           round(1.0 - 6.0 * s.sd2 / (20.0 * (400.0 - 1.0)), 6) AS spearman_rho,
+           s.footrule,
+           s.top5_overlap
+    FROM pairs CROSS JOIN (
+      SELECT CAST(SUM((dr - rr) * (dr - rr)) AS BIGINT) AS sd2,
+             CAST(SUM(ABS(dr - rr)) AS BIGINT) AS footrule,
+             CAST(SUM(CASE WHEN dr <= 5 AND rr <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS top5_overlap
+      FROM rr
+    ) s
+    """,
+)
+def rerank_agreement_audit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    cand = cosine_topk(e, [5], k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("dr")
+    )
+    qtok = (
+        d.filter(F.col("doc_id") == 5)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .distinct()
+    )
+    ctok = (
+        cand.join(d, "doc_id")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .distinct()
+    )
+    ov = (
+        cand.join(
+            ctok.join(F.broadcast(qtok), "t")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", "dr", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+    )
+    # k=20 candidate rows: the unpartitioned window is bounded by the
+    # fixed candidate budget, not the corpus (same exception class as
+    # calendar-bounded series).
+    rr = ov.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("n_overlap"), F.asc("doc_id")))
+    )
+    rrm = _materialize(rr)
+    a = rrm.select(
+        F.col("doc_id").alias("ida"), F.col("dr").alias("dra"), F.col("rr").alias("rra")
+    )
+    b = rrm.select(
+        F.col("doc_id").alias("idb"), F.col("dr").alias("drb"), F.col("rr").alias("rrb")
+    )
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("dra") < F.col("drb")) == (F.col("rra") < F.col("rrb")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+        )
+    )
+    stats = rrm.agg(
+        F.sum((F.col("dr") - F.col("rr")) * (F.col("dr") - F.col("rr")))
+        .cast("bigint")
+        .alias("sd2"),
+        F.sum(F.abs(F.col("dr") - F.col("rr"))).cast("bigint").alias("footrule"),
+        F.sum(
+            F.when((F.col("dr") <= 5) & (F.col("rr") <= 5), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top5_overlap"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .select(
+            F.lit(20).cast("bigint").alias("n_candidates"),
+            F.round(
+                (F.lit(2.0) * F.col("c") - F.col("np")) / F.col("np"), 6
+            ).alias("kendall_tau"),
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0) * F.col("sd2") / (F.lit(20.0) * F.lit(399.0)),
+                6,
+            ).alias("spearman_rho"),
+            "footrule",
+            "top5_overlap",
+        )
+    )
+
+
+# N-gram NOVELTY of an incoming batch vs the base corpus — the
+# curriculum/acquisition signal ("how much of this crawl is genuinely
+# new text?") and the dedup-adjacent complement to contamination
+# checking: per new document, the share of its distinct 3-word
+# shingles that appear NOWHERE in the base corpus.  Exact integer
+# counts (distinct-shingle anti-membership), one hash-partitioned join
+# on the shingle string — the same shape as contamination_ngram_docs,
+# linear in corpus shingle volume at any scale.  Batch = doc_id % 5 = 0
+# (the incremental-ingest convention from incremental_neardup_ingest).
+@query(
+    "ngram_novelty_batch",
+    """
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tok
+    ),
+    dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+    base AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, s FROM dsh WHERE doc_id % 5 = 0)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN base.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN base.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM batch b LEFT JOIN base ON b.s = base.s
+    GROUP BY b.doc_id
+    """,
+)
+def ngram_novelty_batch(spark, sf_dir):
+    from .operators.text import shingle_rows
+
+    d = _t(spark, sf_dir, "documents")
+    dsh = shingle_rows(d, "doc_id", "text", n=3).distinct()
+    base = dsh.filter(F.col("doc_id") % 5 != 0).select("s").distinct()
+    batch = dsh.filter(F.col("doc_id") % 5 == 0)
+    return (
+        batch.join(base.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+# Epoch-by-epoch mixture CURRICULUM schedule — turning the temperature
+# weights into an executable per-epoch keep plan: epoch 1 samples
+# proportionally (tau=1), later epochs progressively flatten the
+# source mix (tau=0.7, then 0.5 — head sources shrink, tail sources
+# gain), each epoch drawing a quarter-corpus token budget.  Membership
+# is a deterministic integer rule — keep doc in epoch e iff
+# bucket(md5(doc:e)) * n_tokens(source) < target_tokens * 10000 — so
+# the kept SET (not just its size) is engine-portable; the only
+# transcendental (pow) goes through the round-to-ppm discipline proven
+# by temperature_mixture_weights_docs.  Scale: one scan for per-source
+# totals, one scan with a 3-row epoch broadcast for membership; no
+# windows, no per-source skew (bounds documented inline).
+@query(
+    "curriculum_mixture_schedule",
+    """
+    WITH feat AS (
+      SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM feat GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+    ep AS (SELECT * FROM (VALUES (1, 1.0), (2, 0.7), (3, 0.5)) e(epoch, tau)),
+    z AS (
+      SELECT ep.epoch, ep.tau, SUM(pow(CAST(s.n_tokens AS DOUBLE), ep.tau)) AS z
+      FROM s CROSS JOIN ep GROUP BY 1, 2
+    ),
+    targets AS (
+      SELECT z.epoch, s.source, s.n_tokens,
+             CAST((tot.total // 4)
+                  * CAST(round(pow(CAST(s.n_tokens AS DOUBLE), z.tau) / z.z
+                               * 1000000.0) AS BIGINT)
+                  // 1000000 AS BIGINT) AS target_tokens
+      FROM s CROSS JOIN z CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT t.epoch, t.source, t.n_tokens, t.target_tokens, f.n_tok,
+             CASE WHEN (CAST(CONCAT('0x', substr(md5(CAST(f.doc_id AS VARCHAR)
+                          || ':' || CAST(t.epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10000) * t.n_tokens
+                       < t.target_tokens * 10000
+                  THEN 1 ELSE 0 END AS keep
+      FROM feat f JOIN targets t ON f.source = t.source
+    )
+    SELECT epoch, source, n_tokens AS source_tokens, target_tokens,
+           CAST(SUM(keep) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(keep * n_tok) AS BIGINT) AS tokens_kept,
+           CASE WHEN target_tokens > 0
+                THEN round(CAST(SUM(keep * n_tok) AS DOUBLE) / target_tokens, 6)
+           END AS fill_ratio
+    FROM kept GROUP BY epoch, source, n_tokens, target_tokens
+    ORDER BY epoch, source
+    """,
+)
+def curriculum_mixture_schedule(spark, sf_dir):
+    from .operators.sampling import _BUCKETS, hash_bucket
+    from .operators.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    feat = d.select("doc_id", "source", token_count_ws(F.col("text")).alias("n_tok"))
+    s = feat.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    ep = spark.createDataFrame([(1, 1.0), (2, 0.7), (3, 0.5)], "epoch int, tau double")
+    z = (
+        s.crossJoin(F.broadcast(ep))
+        .groupBy("epoch", "tau")
+        .agg(F.sum(F.pow(F.col("n_tokens").cast("double"), F.col("tau"))).alias("z"))
+    )
+    ppm = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.col("tau")) / F.col("z")
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    # integer bounds: bucket < 1e4, n_tokens(source) < 1e13 at 100 TB →
+    # products < 1e17; budget*ppm < 2.5e12·1e6 — both inside int64.
+    targets = (
+        s.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "epoch",
+            "source",
+            "n_tokens",
+            F.expr("CAST(total div 4 AS BIGINT)").alias("budget"),
+            ppm.alias("ppm"),
+        )
+        .select(
+            "epoch",
+            "source",
+            "n_tokens",
+            F.expr("CAST(budget * ppm div 1000000 AS BIGINT)").alias("target_tokens"),
+        )
+    )
+    bucket = hash_bucket(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+        )
+    ).cast("long")
+    assert _BUCKETS == 10_000
+    kept = feat.join(F.broadcast(targets), "source").select(
+        "epoch",
+        "source",
+        "n_tokens",
+        "target_tokens",
+        "n_tok",
+        F.when(
+            bucket * F.col("n_tokens") < F.col("target_tokens") * F.lit(10000),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("epoch", "source", "n_tokens", "target_tokens")
+        .agg(
+            F.sum("keep").cast("bigint").alias("n_docs_kept"),
+            F.sum(F.col("keep") * F.col("n_tok")).cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "epoch",
+            "source",
+            F.col("n_tokens").alias("source_tokens"),
+            "target_tokens",
+            "n_docs_kept",
+            "tokens_kept",
+            F.when(
+                F.col("target_tokens") > 0,
+                F.round(
+                    F.col("tokens_kept").cast("double") / F.col("target_tokens"), 6
+                ),
+            ).alias("fill_ratio"),
+        )
+        .orderBy("epoch", "source")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
