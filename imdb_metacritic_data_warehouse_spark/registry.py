@@ -23,7 +23,19 @@ Load order is the reference's fixed dependency order
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+
+# Deployment-sized bucket count for bucketed silver tables.  Every
+# table sharing a bucket KEY must share the COUNT or their joins
+# re-shuffle, so this is one registry-level constant, not per-table.
+# Sizing rule (sources/bucketed.py): buckets ≈ data / a-few-hundred-MB,
+# rounded to a power of two; at the bench SF (0.1, ~540k link rows) 32
+# buckets meant 17k-row ≈ 1.5 MB files — pure per-file overhead, A/B'd
+# at 7.3s vs 5.7s for 8 buckets (NOTES round 7).  A 100 TB deployment
+# raises this via SPARK_GRAFT_NUM_BUCKETS (e.g. 4096) — one env knob
+# because the count is a physical-layout contract across tables.
+DEFAULT_NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_NUM_BUCKETS", "8"))
 
 
 @dataclass(frozen=True)
@@ -39,7 +51,7 @@ class TableSpec:
     # big silver tables sharing a bucket key joins co-located (no
     # Exchange) — the 100 TB layout for link ⋈ sat chains.
     bucket_key: str | None = None
-    num_buckets: int = 32
+    num_buckets: int = DEFAULT_NUM_BUCKETS
 
     @property
     def attrs(self) -> list[str]:
