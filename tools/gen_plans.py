@@ -52,8 +52,11 @@ CASES = [
     ("pca_top_component_embeddings", "Power iteration on the exact integer Gram: corpus touched once (dim^2-cell mapInPandas build); each round is a dim^2-sized broadcast join with exact decimal matvec."),
     ("bootstrap_ci_lineitem", "Poisson bootstrap: ONE md5 per row split into 32 replicate draws by bijective affine mixing; weights projected once, 64 bigint partial aggregates, no explode, no Sample/rand."),
     ("covariance_matrix_embeddings", "Order-free Gram: quantized int64 per-block matmuls inside mapInPandas, decimal(38,0) cell sums - bit-identical under any partition layout."),
-    ("pipeline_employee_data", "Round-6 rewiring: ONE shared wide-distinct actor checkpoint feeds all three stg builders (empty metacritic side vanishes under union-dedup); link checkpointed once; hub joins AQE-broadcast."),
+    ("pipeline_employee_data", "Round-7: declared-uniqueness hints elide every provably-identity DISTINCT (union-dedup, projection dedup, membership dedup, mart output dedup) on top of the round-6 shared actor checkpoint - 9 exchanges total, zero redundant ones."),
     ("simhash_hamming_pairs_collapsed", "Production simhash near-dup: sig-identical docs collapse to representatives with multiplicity BEFORE the 4x8-bit banded equi-join; popcount verify; no cartesian anywhere."),
+    ("rerank_agreement_audit", "First stage one broadcast-query corpus scan; everything after bounded by the FIXED k=20 candidate set (windows/pair joins on 20 rows)."),
+    ("ngram_novelty_batch", "Distinct-shingle anti-membership: one hash-partitioned left join on the shingle string; base set collapses map-side before the exchange."),
+    ("curriculum_mixture_schedule", "Two scans: per-source totals, then membership via a 3-row epoch broadcast and an integer hash rule - no windows, no per-source skew."),
     ("hll_rollup_lattice", "One fine-grain register build (map-side MAX collapses to <= groups*256 rows), MAX-merged up the lattice; direct coarse registers bit-equal by commutativity."),
     ("rolling_revenue_range_frame", "RANGE frame over the per-(nation, day) aggregate - the window runs nation-partitioned on a calendar-bounded series, never over fact rows."),
     ("triplet_mining_embeddings", "5 anchors broadcast into one corpus scan; hardest positive/negative via round-6-score windows partitioned by anchor."),
