@@ -289,6 +289,8 @@ HEADLINE = [
     "rerank_agreement_audit",
     "ngram_novelty_batch",
     "curriculum_mixture_schedule",
+    "decontamination_split_audit",
+    "cluster_purity_embeddings",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -17682,6 +17682,244 @@ def curriculum_mixture_schedule(spark, sf_dir):
     )
 
 
+# Train/eval DECONTAMINATION audit — the composed "is my eval split
+# clean?" check every LLM data team runs: hash-split the corpus 90/10
+# (deterministic md5 bucket — the leakage_safe_split convention), then
+# flag an eval document as contaminated when at least HALF of its
+# distinct 3-word shingles also occur in the train split.  The
+# threshold is the INTEGER rule 2·n_hit >= n_shingles (no float
+# compare), all counts exact, one rounded rate per source — hash-exact
+# oracle.  Scale shape: the train shingle set collapses map-side
+# before one hash-partitioned membership join; same linear shape as
+# ngram_novelty_batch / contamination_ngram_docs.
+@query(
+    "decontamination_split_audit",
+    """
+    WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tok
+    ),
+    split AS (
+      SELECT doc_id, source, shingles,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS b
+      FROM sh
+    ),
+    train AS (
+      SELECT DISTINCT unnest(list_distinct(shingles)) AS s FROM split WHERE b < 9000
+    ),
+    ev AS (
+      SELECT doc_id, source, unnest(list_distinct(shingles)) AS s
+      FROM split WHERE b >= 9000
+    ),
+    per_doc AS (
+      SELECT e.doc_id, e.source,
+             CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM ev e LEFT JOIN train t ON e.s = t.s
+      GROUP BY e.doc_id, e.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(CAST(SUM(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def decontamination_split_audit(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+    from .operators.text import shingle_rows
+
+    d = _t(spark, sf_dir, "documents")
+    dsh = shingle_rows(d.select("doc_id", "source", "text"), "doc_id", "text", n=3)
+    # shingle_rows keys rows by doc_id only — re-attach source and the
+    # split bucket by joining back the doc-level frame (broadcast-sized
+    # per-doc metadata vs the shingle stream would be wrong at scale;
+    # an equi-join on doc_id co-partitions with the distinct below).
+    meta = d.select("doc_id", "source", hash_bucket(F.col("doc_id")).alias("b"))
+    dsh = dsh.distinct().join(meta, "doc_id")
+    train = dsh.filter(F.col("b") < 9000).select("s").distinct()
+    ev = dsh.filter(F.col("b") >= 9000)
+    per_doc = (
+        ev.join(train.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    contaminated = F.when(2 * F.col("n_hit") >= F.col("n_sh"), 1).otherwise(0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_docs"),
+            F.sum(contaminated).cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.sum(contaminated).cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# Sign-hash cluster PURITY / NMI against labels — the cluster-quality
+# evaluation every embedding-space curation step needs: bucket each
+# vector by the sign pattern of its first 8 dimensions (a fixed
+# axis-aligned LSH — deterministic, engine-portable: float sign
+# compares on the stored values) and score the bucketing against the
+# labeled classes.  Purity is exact integer arithmetic
+# (Σ_c max_l n_cl / N); NMI's entropies use ln only under round-6 on
+# exact count ratios (the ln-discipline).  Scale: one scan → (bucket,
+# label) contingency (≤ 256·|labels| cells), everything after is
+# cell-sized.
+@query(
+    "cluster_purity_embeddings",
+    """
+    WITH b AS (
+      SELECT vec_id, label,
+             (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY bucket, label
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    bc AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY bucket),
+    lc AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nl FROM cells GROUP BY label),
+    pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM (
+        SELECT bucket, MAX(n) AS mx FROM cells GROUP BY bucket
+      )
+    ),
+    mi AS (
+      SELECT CAST(SUM(CAST(CAST(round(CAST(c.n AS DOUBLE) / tot.nn
+                 * round(ln(CAST(c.n AS DOUBLE) * tot.nn
+                            / (CAST(bc.nb AS DOUBLE) * lc.nl)), 6), 6)
+                 AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS i
+      FROM cells c JOIN bc USING (bucket) JOIN lc USING (label) CROSS JOIN tot
+    ),
+    hb AS (
+      SELECT -CAST(SUM(CAST(CAST(round(CAST(nb AS DOUBLE) / tot.nn
+                  * round(ln(CAST(nb AS DOUBLE) / tot.nn), 6), 6)
+                  AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS h
+      FROM bc CROSS JOIN tot
+    ),
+    hl AS (
+      SELECT -CAST(SUM(CAST(CAST(round(CAST(nl AS DOUBLE) / tot.nn
+                  * round(ln(CAST(nl AS DOUBLE) / tot.nn), 6), 6)
+                  AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS h
+      FROM lc CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bc) AS n_buckets,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lc) AS n_labels,
+           round(CAST(pur.hits AS DOUBLE) / tot.nn, 6) AS purity,
+           round(mi.i / sqrt(hb.h * hl.h), 6) AS nmi
+    FROM pur CROSS JOIN tot CROSS JOIN mi CROSS JOIN hb CROSS JOIN hl
+    """,
+)
+def cluster_purity_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(8):
+        term = F.when(F.col("embedding")[i] >= 0, F.lit(1 << (7 - i))).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    cells = (
+        e.select(bucket.alias("bucket"), "label")
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = _materialize(cells)  # contingency-sized; read by 5 branches
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    bc = cells.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("nb"))
+    lc = cells.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    pur = (
+        cells.groupBy("bucket")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("hits"))
+    )
+    def _sum6(term):
+        # round-6 terms carried as exact int64 1e-6 units: the sum is
+        # order-free, one shared double division (the repo's
+        # ln-discipline sum pattern).
+        units = (F.round(term, 6).cast("decimal(18,6)") * F.lit(1000000)).cast(
+            "long"
+        )
+        return F.sum(units).cast("double") / F.lit(1000000.0)
+
+    mi = (
+        cells.join(bc, "bucket")
+        .join(lc, "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            _sum6(
+                F.col("n").cast("double")
+                / F.col("nn")
+                * F.round(
+                    F.log(
+                        F.col("n").cast("double")
+                        * F.col("nn")
+                        / (F.col("nb").cast("double") * F.col("nl"))
+                    ),
+                    6,
+                )
+            ).alias("i")
+        )
+    )
+    hb = (
+        bc.crossJoin(F.broadcast(tot))
+        .agg(
+            (-_sum6(
+                F.col("nb").cast("double")
+                / F.col("nn")
+                * F.round(F.log(F.col("nb").cast("double") / F.col("nn")), 6)
+            )).alias("hb")
+        )
+    )
+    hl = (
+        lc.crossJoin(F.broadcast(tot))
+        .agg(
+            (-_sum6(
+                F.col("nl").cast("double")
+                / F.col("nn")
+                * F.round(F.log(F.col("nl").cast("double") / F.col("nn")), 6)
+            )).alias("hl")
+        )
+    )
+    nb_count = bc.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    nl_count = lc.agg(F.count(F.lit(1)).cast("bigint").alias("n_labels"))
+    return (
+        pur.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(nb_count))
+        .crossJoin(F.broadcast(nl_count))
+        .select(
+            "n_buckets",
+            "n_labels",
+            F.round(F.col("hits").cast("double") / F.col("nn"), 6).alias("purity"),
+            F.round(F.col("i") / F.sqrt(F.col("hb") * F.col("hl")), 6).alias("nmi"),
+        )
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -17780,6 +18018,10 @@ _PRIORITY_PREFIX = [
 # hll_rollup_lattice / hll_overlap_audience_events),
 # pipeline_emp_movie_l_sat + pipeline_movie_employee_link (same
 # known_distinct elisions as the in-prefix pipeline_employee_data).
+# The five wave-14 queries added this round (rerank_agreement_audit,
+# ngram_novelty_batch, curriculum_mixture_schedule,
+# decontamination_split_audit, cluster_purity_embeddings) are locally
+# oracle-green at sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 
