@@ -924,3 +924,48 @@ def test_rolling_range_frame_over_aggregate(spark):
     plan = _plan(QUERIES["rolling_revenue_range_frame"](spark, SF_DIR))
     for m in re.finditer(r"Window \[(.*?)\]", plan):
         assert "nation" in m.group(0)
+
+
+def test_gopher_filter_is_pure_aggregate(spark):
+    """The rule battery is one explode + two hash aggregates — zero
+    joins, zero windows: the whole filter must survive as map-side
+    combinable aggregation at any corpus size."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["gopher_quality_filter_docs"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_boilerplate_removal_no_cartesian_no_window(spark):
+    """Boilerplate removal is chunk-explode → fp aggregate → hash join
+    back → per-doc rollup; the dup-fp set is corpus-dependent so the
+    join must stay a real equi-join (no cartesian), and reassembly is
+    collect_list-in-aggregate, never a window."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["boilerplate_chunk_removal_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_isotropy_audit_post_gram_is_cell_sized(spark):
+    """Everything after the mapInPandas Gram build is d²-sized: the
+    scalar combines must be broadcast-nested-loop over 1-row frames,
+    never a shuffled cartesian."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["embedding_isotropy_audit"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_is_one_join_pass(spark):
+    """The multi-clause merge is ONE left equi-join (+ the insert
+    anti-join) — no windows, no cartesian, no per-row Python."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["cdc_apply_multi_clause_orders"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
