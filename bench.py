@@ -291,6 +291,13 @@ HEADLINE = [
     "curriculum_mixture_schedule",
     "decontamination_split_audit",
     "cluster_purity_embeddings",
+    # wave 15
+    "gopher_quality_filter_docs",
+    "kappa_quality_labelers_docs",
+    "boilerplate_chunk_removal_docs",
+    "embedding_isotropy_audit",
+    "cluster_safe_split_docs",
+    "cdc_apply_multi_clause_orders",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy
@@ -314,6 +321,7 @@ RUN_LAST = {
     "gdpr_erasure_cascade",
     "pipeline_employee_data",
     "jaccard_prefix_join_docs",
+    "cluster_safe_split_docs",
 }
 
 

@@ -99,3 +99,74 @@ def scd2_streaming_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def cdc_upsert_batch(
+    table: VersionedParquetTable,
+    batch_df: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """Apply one CDC micro-batch (op ∈ I/U/D, e.g. a Debezium-shaped
+    feed) to a versioned table with NET-EFFECT semantics:
+
+    1. compact to the LAST change per key by ``seq_col`` (a strictly
+       increasing per-key sequence — the log offset).  Intermediate
+       images within a batch are unobservable, exactly like a MERGE
+       from a change-log compaction;
+    2. normalize the surviving op against current table membership —
+       a D-then-I in one batch nets to an update of an existing row,
+       an upstream 'U' for a key this table never saw nets to an
+       insert (the rule production CDC sinks apply so replays and
+       op-mislabelled feeds stay idempotent);
+    3. apply via the batch multi-clause merge (one join pass).
+    """
+    from ..operators.cdc import apply_cdc_batch
+
+    payload = [c for c in batch_df.columns if c not in (op_col, seq_col)]
+    compact = (
+        batch_df.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload if c != key], F.col(op_col)),
+                F.col(seq_col),
+            ).alias("__last")
+        )
+        .select(key, "__last.*")
+    )
+    if not table.exists():
+        inserts = compact.filter(F.col(op_col) != "D").drop(op_col)
+        table.write(inserts)
+        return
+    base = table.read()
+    in_base = base.select(key).withColumn("__in_base", F.lit(1))
+    normalized = compact.join(in_base, key, "left").select(
+        *[F.col(c) for c in payload],
+        F.when(F.col(op_col) == "D", F.lit("D"))
+        .when(F.col("__in_base").isNotNull(), F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias(op_col),
+    )
+    table.write(apply_cdc_batch(base, normalized, key, op_col))
+
+
+def cdc_streaming_sink(
+    stream_df: DataFrame,
+    table: VersionedParquetTable,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    checkpoint: str | None = None,
+):
+    """Attach the net-effect CDC apply as a ``foreachBatch`` sink."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cdc_upsert_batch(table, batch_df, key, op_col, seq_col)
+
+    writer = stream_df.writeStream.foreachBatch(handle).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

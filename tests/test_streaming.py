@@ -579,3 +579,47 @@ def test_streaming_hll_merge_across_batches_and_replay_idempotent(spark, tmp_pat
         for r in hll_estimate(table.read(), ["grp"]).collect()
     }
     assert abs(est["a"] - 500) < 100 and abs(est["b"] - 50) < 15
+
+
+def test_streaming_cdc_sink_net_effect(spark, tmp_path):
+    """readStream of an op-tagged change log → foreachBatch net-effect
+    CDC apply: within-batch compaction by log offset, D-then-I nets to
+    a replace, op mislabels (U on an unseen key) normalize to inserts,
+    deletes really remove rows, and a later re-insert resurrects the key."""
+    from imdb_metacritic_data_warehouse_spark.streaming.upsert import (
+        cdc_streaming_sink,
+    )
+
+    src_dir = tmp_path / "cdc_src"
+    src_dir.mkdir()
+    tab = VersionedParquetTable(spark, str(tmp_path / "cdc_tables"), "acct")
+    schema = "k long, v string, op string, seq long"
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / fname))
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / fname))
+        q = cdc_streaming_sink(
+            stream, tab, "k", checkpoint=str(tmp_path / f"cdc_ckpt_{fname}")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_batch([(1, "a1", "I", 1), (2, "b1", "I", 2)], "b1")
+    run_batch(
+        [
+            (1, "a2", "U", 3),
+            (2, None, "D", 4),
+            (3, "c1", "I", 5),
+            (3, "c2", "U", 6),   # same-batch compaction: c2 wins, nets to I
+            (4, "d1", "U", 7),   # op mislabel: unseen key 'U' → insert
+        ],
+        "b2",
+    )
+    assert {r.k: r.v for r in tab.read().collect()} == {
+        1: "a2", 3: "c2", 4: "d1",
+    }
+    run_batch([(2, "b2", "I", 8), (2, None, "D", 9), (2, "b3", "I", 10)], "b3")
+    assert {r.k: r.v for r in tab.read().collect()} == {
+        1: "a2", 2: "b3", 3: "c2", 4: "d1",
+    }
