@@ -298,6 +298,10 @@ HEADLINE = [
     "embedding_isotropy_audit",
     "cluster_safe_split_docs",
     "cdc_apply_multi_clause_orders",
+    # wave 16
+    "asof_forward_tolerance_events",
+    "semiadditive_balance_monthly",
+    "reliability_diagram_docs",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

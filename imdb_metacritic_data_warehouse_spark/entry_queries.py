@@ -18504,6 +18504,262 @@ def cdc_apply_multi_clause_orders(spark, sf_dir):
     )
 
 
+# Forward as-of join with tolerance — pandas merge_asof parity
+# (operators/asof.py direction='forward', tolerance_seconds): for every
+# 'view' event, the NEXT 'purchase' by the same user within 2 hours —
+# the attribution/conversion-lag shape that backward as-of cannot
+# express.  Ties among equal-timestamp purchases break on the highest
+# event_id (right_tiebreak), mirrored in the oracle's max_by; the
+# per-user rollup keeps money in rule-#6 integer units.  Plan: one
+# union + one per-key window scan — never a θ-join, at any scale.
+@query(
+    "asof_forward_tolerance_events",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT v.event_id AS vid, v.user_id, v.ts,
+             (SELECT MIN(p.ts) FROM p
+              WHERE p.user_id = v.user_id AND p.ts >= v.ts) AS pts
+      FROM v
+    ),
+    mm AS (
+      SELECT vid, user_id, ts, pts,
+             CASE WHEN pts IS NOT NULL
+                   AND date_diff('second', ts, pts) <= 7200
+                  THEN 1 ELSE 0 END AS conv
+      FROM m
+    ),
+    pick AS (
+      SELECT mm.vid, mm.user_id, mm.conv,
+             CASE WHEN mm.conv = 1
+                  THEN date_diff('second', mm.ts, mm.pts) END AS lag_s,
+             CASE WHEN mm.conv = 1 THEN (
+               SELECT CAST(CAST(max_by(p.value, p.event_id) AS DECIMAL(18,4))
+                           * 10000 AS BIGINT)
+               FROM p WHERE p.user_id = mm.user_id AND p.ts = mm.pts
+             ) END AS punits
+      FROM mm
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           CAST(coalesce(SUM(lag_s), 0) AS BIGINT) AS sum_lag_s,
+           CAST(ROUND(CAST(coalesce(SUM(punits), 0) AS DOUBLE) / 10000.0, 2)
+                AS DOUBLE) AS converted_value
+    FROM pick GROUP BY user_id ORDER BY user_id
+    """,
+)
+def asof_forward_tolerance_events(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("pts"), "value", F.col("event_id").alias("pid")
+    )
+    j = asof_join(
+        views,
+        purch,
+        key="user_id",
+        right_payload=["pts", "value", "pid"],
+        direction="forward",
+        tolerance_seconds=7200,
+        right_tiebreak="pid",
+    )
+    conv = F.when(F.col("pts_asof").isNotNull(), 1).otherwise(0)
+    lag_s = F.col("pts_asof").cast("long") - F.col("ts").cast("long")
+    punits = (F.col("value_asof").cast("decimal(18,4)") * F.lit(10000)).cast("long")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.sum(conv).cast("bigint").alias("n_converted"),
+            F.coalesce(
+                F.sum(F.when(conv == 1, lag_s)), F.lit(0)
+            ).cast("bigint").alias("sum_lag_s"),
+            F.round(
+                F.coalesce(F.sum(F.when(conv == 1, punits)), F.lit(0)).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).cast("double").alias("converted_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Semi-additive closing-balance aggregate — the measure family SUM
+# cannot express (account balances, inventory levels, headcounts):
+# per (customer, month) the LAST order's value is that month's balance
+# snapshot, carried FORWARD through inactive months, then summed
+# across accounts per month.  Aggregating balances with SUM over time
+# double-counts; this is the month-end-closing semantics every finance
+# mart needs.  Deterministic last = max_by over (orderdate, orderkey);
+# money stays in rule-#6 integer units through the carry.  Scale: the
+# spine is |accounts|×|months| (dimension-sized, NOT fact-sized), the
+# carry-forward window is per-account over ≤|months| rows.
+@query(
+    "semiadditive_balance_monthly",
+    """
+    WITH o AS (
+      SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS m,
+             o_orderdate AS d, o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u
+      FROM orders
+    ),
+    ob AS (
+      SELECT c, m, u AS bal FROM (
+        SELECT c, m, u,
+               row_number() OVER (PARTITION BY c, m ORDER BY d DESC, k DESC) AS rn
+        FROM o
+      ) WHERE rn = 1
+    ),
+    months AS (SELECT DISTINCT m FROM o),
+    custs AS (SELECT DISTINCT c FROM o),
+    spine AS (SELECT c, m FROM custs CROSS JOIN months),
+    carried AS (
+      SELECT s.c, s.m,
+             last_value(ob.bal IGNORE NULLS) OVER (
+               PARTITION BY s.c ORDER BY s.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS bal
+      FROM spine s LEFT JOIN ob ON s.c = ob.c AND s.m = ob.m
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(COUNT(bal) AS BIGINT) AS n_accounts,
+           CAST(ROUND(CAST(SUM(bal) AS DOUBLE) / 10000.0, 2) AS DOUBLE)
+             AS closing_balance
+    FROM carried GROUP BY m ORDER BY month
+    """,
+)
+def semiadditive_balance_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        _units4("o_totalprice").alias("u"),
+    )
+    ob = o.groupBy("c", "m").agg(
+        F.expr("max_by(u, struct(d, k))").alias("bal")
+    )
+    ob = _materialize(ob)  # feeds the months spine AND the balance join
+    months = ob.select("m").distinct()
+    custs = ob.select("c").distinct()
+    spine = custs.crossJoin(F.broadcast(months))
+    carried = (
+        spine.join(ob, ["c", "m"], "left")
+        .withColumn(
+            "bal",
+            F.last("bal", ignorenulls=True).over(
+                Window.partitionBy("c")
+                .orderBy("m")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        carried.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("bal").cast("bigint").alias("n_accounts"),
+            F.round(F.sum("bal").cast("double") / F.lit(10000.0), 2)
+            .cast("double")
+            .alias("closing_balance"),
+        )
+        .orderBy("month")
+    )
+
+
+# Reliability diagram (calibration curve) for the heuristic quality
+# score against the Gopher rule-battery label — "when the scorer says
+# 0.7, how often does the battery actually pass?": the calibration
+# audit run before a cheap scorer gates an expensive pipeline stage.
+# Deciles are fixed-width on the 6-dp-rounded score (both engines
+# produce the identical rounded double, so binning cannot split);
+# mean predicted score per bin sums exact 1e-6 units.
+@query(
+    "reliability_diagram_docs",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS q FROM documents
+    ),
+    t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS nw,
+             CAST(SUM(cnt * length(w)) AS BIGINT) AS sumlen,
+             CAST(MAX(cnt) AS BIGINT) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN w IN ('the','a','of','to','and','in')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+      FROM c GROUP BY 1
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN nw >= 25 AND nw <= 100000
+                   AND 3 * nw <= sumlen AND sumlen <= 5 * nw
+                   AND 8 * mx <= nw AND 5 * nd >= 2 * nw
+                   AND nstop >= 2 THEN 1 ELSE 0 END AS y
+      FROM d
+    ),
+    binned AS (
+      SELECT least(CAST(floor(s.q * 10) AS INTEGER), 9) AS bin,
+             l.y,
+             CAST(CAST(s.q AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS qu
+      FROM scored s JOIN lab l ON s.doc_id = l.doc_id
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           round(CAST(SUM(qu) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_pred
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def reliability_diagram_docs(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    g = _gopher_per_doc(spark, sf_dir)
+    lab = g.select(
+        "doc_id",
+        F.when(
+            (F.col("nw") >= 25) & (F.col("nw") <= 100000)
+            & (3 * F.col("nw") <= F.col("sumlen"))
+            & (F.col("sumlen") <= 5 * F.col("nw"))
+            & (8 * F.col("mx") <= F.col("nw"))
+            & (5 * F.col("nd") >= 2 * F.col("nw"))
+            & (F.col("nstop") >= 2),
+            1,
+        ).otherwise(0).alias("y"),
+    )
+    binned = scored.join(lab, "doc_id").select(
+        F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "y",
+        (F.col("q").cast("decimal(9,6)") * F.lit(1000000)).cast("long").alias("qu"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+            F.round(
+                F.sum("qu").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("mean_pred"),
+        )
+        .orderBy("bin")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -18608,7 +18864,9 @@ _PRIORITY_PREFIX = [
 # wave-15 queries (gopher_quality_filter_docs,
 # kappa_quality_labelers_docs, boilerplate_chunk_removal_docs,
 # embedding_isotropy_audit, cluster_safe_split_docs,
-# cdc_apply_multi_clause_orders) are locally oracle-green at
+# cdc_apply_multi_clause_orders) and the three wave-16 queries
+# (asof_forward_tolerance_events, semiadditive_balance_monthly,
+# reliability_diagram_docs) are locally oracle-green at
 # sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -34,27 +34,46 @@ def asof_join(
     right_payload: list[str] | None = None,
     suffix: str = "_asof",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + the most recent right payload
-    at or before its timestamp (NULLs where no right row precedes).
+    """Left as-of join: every left row + the nearest right payload —
+    pandas ``merge_asof`` parity on a distributed plan.
+
+    ``direction='backward'`` (default) carries the most recent right
+    row at or BEFORE the left timestamp; ``'forward'`` the earliest at
+    or AFTER it (the "next purchase after this view" shape).
+    ``tolerance_seconds`` bounds the match: a carried payload further
+    than the tolerance from the left timestamp is nulled out, exactly
+    like ``merge_asof(tolerance=...)`` — the row survives, the match
+    does not.
 
     ``right_tiebreak`` names a right-side column that deterministically
     orders right rows sharing (key, ts) — the carried payload is the
     row with the HIGHEST tiebreak value.  Without it, duplicate right
     timestamps leave the carried payload plan-order-dependent (stable
     per run, but a differential flake against engines that resolve
-    ASOF ties their own way — ADVICE r3)."""
+    ASOF ties their own way — ADVICE r3).
+
+    Plan shape is direction-independent: one union + one per-key window
+    scan (never a θ-join) — forward simply scans time in reverse."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = right_payload or [c for c in right.columns if c not in (key, right_ts)]
     tie_type = dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int"
+    rts_type = dict(right.dtypes)[right_ts]
+    r_struct_type = (
+        "struct<"
+        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload)
+        + f",__rts:{rts_type}>"
+    )
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(tie_type).alias("__tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload) + ">"
-        ).alias("__r"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         F.col(key),
@@ -64,23 +83,39 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
         ).alias("__l"),
-        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(right_ts).alias("__rts")
+        ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts (tag 0 < 1): an exact
-    # tie means the right row IS visible to the left row (<= semantics).
-    # Among equal-(key, ts) right rows, ascending tiebreak puts the
-    # highest value last — last_value carries it.  Left rows' NULL tie
-    # sorts first WITHIN tag 1 (asc nulls-first default) — irrelevant,
-    # tag already orders them after every right row of the same ts.
+    # tie means the right row IS visible to the left row (<=/>= include
+    # equality in both directions).  Among equal-(key, ts) right rows,
+    # ascending tiebreak puts the highest value last — last_value
+    # carries it.  Left rows' NULL tie sorts first WITHIN tag 1 (asc
+    # nulls-first default) — irrelevant, tag already orders them after
+    # every right row of the same ts.  Forward direction reverses ONLY
+    # the time axis: the scan then meets right rows from the far future
+    # first and the last one seen before a left row is the nearest
+    # at-or-after match.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tie").asc())
+        .orderBy(ts_order, F.col("__is_left").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    matched = F.col("__last_r")
+    if tolerance_seconds is not None:
+        gap = (
+            F.col("__ts").cast("long") - F.col("__last_r.__rts").cast("long")
+            if direction == "backward"
+            else F.col("__last_r.__rts").cast("long") - F.col("__ts").cast("long")
+        )
+        matched = F.when(gap <= F.lit(int(tolerance_seconds)), F.col("__last_r"))
+    carried = carried.withColumn("__m", matched)
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__last_r.{c}").alias(f"{c}{suffix}") for c in payload
+        F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload
     ]
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)
 

@@ -165,3 +165,65 @@ def test_attribution_last_touch_with_planted_duplicate_ts_clicks(spark, tmp_path
         tuple(r) for r in con.execute(ORACLES["attribution_last_touch"]).fetchall()
     }
     assert spark_full == oracle_full
+
+
+def test_asof_join_forward_direction(spark):
+    left = _ts(
+        spark,
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"), (3, 2, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0), (1, "2024-01-01 12:00:00", 30.0)],
+        "user_id long, ts string, value double",
+    )
+    out = {
+        r.event_id: r.value_asof
+        for r in asof_join(left, right, "user_id", direction="forward").collect()
+    }
+    assert out[1] == 20.0   # earliest at/after 10:00
+    assert out[2] == 30.0   # exact tie at 12:00 is visible (>= semantics)
+    assert out[3] is None   # user 2 has no purchases
+
+
+def test_asof_join_tolerance_nulls_distant_matches(spark):
+    left = _ts(
+        spark,
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00")],
+        "event_id long, user_id long, ts string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 10.0)],
+        "user_id long, ts string, value double",
+    )
+    out = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, "user_id", tolerance_seconds=3600
+        ).collect()
+    }
+    assert out[1] == 10.0   # 30 min back: inside tolerance
+    assert out[2] is None   # 2.5 h back: row kept, match nulled
+
+    fwd = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, "user_id", direction="forward", tolerance_seconds=3600
+        ).collect()
+    }
+    assert fwd[1] is None and fwd[2] is None  # nothing at/after either
+
+
+def test_asof_join_forward_tiebreak(spark):
+    left = _ts(spark, [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string")
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 11:00:00", 5.0), (1, "2024-01-01 11:00:00", 7.0)],
+        "user_id long, ts string, value double",
+    )
+    out = asof_join(
+        left, right, "user_id", direction="forward", right_tiebreak="value"
+    ).collect()
+    assert out[0].value_asof == 7.0  # highest tiebreak among equal-ts rows

@@ -969,3 +969,28 @@ def test_cdc_apply_is_one_join_pass(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_forward_is_window_scan_not_theta_join(spark):
+    """Forward as-of with tolerance must keep the backward shape: one
+    union + one per-key window scan — never a θ-join or cartesian."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["asof_forward_tolerance_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_semiadditive_spine_is_dimension_sized(spark):
+    """The accounts×months spine builds from a BROADCAST months side
+    (the only nested-loop allowed); the carry-forward window partitions
+    by account — never an unpartitioned global window."""
+    import re
+
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["semiadditive_balance_monthly"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "c#" in m.group(0) or "c AS" in m.group(0) or "partitionBy" not in m.group(0)

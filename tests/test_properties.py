@@ -347,3 +347,52 @@ def test_bfs_model_check(spark, edges, hops):
                 want[m] = d + 1
                 q.append((m, d + 1))
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 10)),
+)
+def test_asof_join_forward_tolerance_model_check(spark, lefts, rights, tol):
+    from imdb_metacritic_data_warehouse_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, float(t)) for k, t in lefts], "k int, ts double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rights] or [(0, 0.0, 0)],
+        "k int, ts double, v int",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    if not rights:
+        rdf = rdf.filter(F.lit(False))
+    out = asof_join(
+        ldf, rdf, key="k", right_payload=["v"], direction="forward",
+        tolerance_seconds=tol,
+    ).collect()
+
+    def model(k, t):
+        cands = [(rt, v) for rk, rt, v in rights if rk == k and rt >= t]
+        if not cands:
+            return None
+        rt, v = min(cands)
+        if tol is not None and rt - t > tol:
+            return None
+        return v
+
+    assert len(out) == len(lefts)
+    got = sorted((r.k, r.ts.timestamp(), r.v_asof) for r in out)
+    want = sorted((k, float(t), model(k, t)) for k, t in lefts)
+    assert got == want
