@@ -302,6 +302,10 @@ HEADLINE = [
     "asof_forward_tolerance_events",
     "semiadditive_balance_monthly",
     "reliability_diagram_docs",
+    # wave 17
+    "hierarchy_rollup_parts",
+    "l_diversity_audit_customers",
+    "ndcg_retrieval_audit",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

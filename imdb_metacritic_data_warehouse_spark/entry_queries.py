@@ -18760,6 +18760,308 @@ def reliability_diagram_docs(spark, sf_dir):
     )
 
 
+# Recursive hierarchy rollup — subtree aggregates over a parent-child
+# forest (org charts, BOMs, category trees): the warehouse family a
+# recursive CTE serves in Postgres and Spark SQL cannot express
+# natively.  The hierarchy is the digit-prefix forest parent(k) =
+# k div 10 over partkeys (every ancestor of a live key is itself a
+# live key, depth = digits).  Spark-first trick: because the parent
+# function is ARITHMETIC, the full ancestor closure explodes from one
+# scan — transform(sequence) of digit truncations — so the "recursion"
+# is one explode + one aggregate (closure size N·log₁₀N), not an
+# iterative join loop.  The oracle runs the honest recursive CTE.
+@query(
+    "hierarchy_rollup_parts",
+    """
+    WITH RECURSIVE anc(a, node) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT a // 10, node FROM anc WHERE a >= 10
+    ),
+    v AS (
+      SELECT p_partkey AS node,
+             CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u
+      FROM part
+    ),
+    roll AS (
+      SELECT anc.a AS node,
+             CAST(COUNT(*) AS BIGINT) AS subtree_size,
+             CAST(SUM(v.u) AS BIGINT) AS uu
+      FROM anc JOIN v ON anc.node = v.node
+      GROUP BY anc.a
+    )
+    SELECT r.node,
+           CAST(length(CAST(r.node AS VARCHAR)) AS INTEGER) AS depth,
+           r.subtree_size,
+           CAST(ROUND(CAST(r.uu AS DOUBLE) / 10000.0, 2) AS DOUBLE)
+             AS subtree_value
+    FROM roll r
+    WHERE r.subtree_size > 1
+    ORDER BY r.node
+    """,
+)
+def hierarchy_rollup_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), _units4("p_retailprice").alias("u")
+    )
+    # ancestor chain by arithmetic: k, k div 10, k div 100, ... ≥ 1 —
+    # ONE codegen explode, no joins, no iteration.
+    closure = p.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 9),"
+                " i -> node div CAST(power(10, i) AS BIGINT)), x -> x >= 1)"
+            )
+        ).alias("anc"),
+        "u",
+    )
+    roll = closure.groupBy(F.col("anc").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+        F.sum("u").cast("bigint").alias("uu"),
+    )
+    return (
+        roll.filter(F.col("subtree_size") > 1)
+        .select(
+            "node",
+            F.length(F.col("node").cast("string")).cast("int").alias("depth"),
+            "subtree_size",
+            F.round(F.col("uu").cast("double") / F.lit(10000.0), 2)
+            .cast("double")
+            .alias("subtree_value"),
+        )
+        .orderBy("node")
+    )
+
+
+# l-diversity audit — k-anonymity's sibling (Machanavajjhala et al.
+# 2007): a quasi-identifier group can be k-large yet still leak when
+# every member shares one sensitive value.  QI = (nation, balance
+# band); sensitive = market segment; a group is risky when it carries
+# fewer than l = 3 DISTINCT sensitive values.  Same one-aggregate
+# audit shape as k_anonymity_audit_customers — integer counts only.
+@query(
+    "l_diversity_audit_customers",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS ldiv
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(3 AS INTEGER) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_l,
+           CAST(SUM(CASE WHEN ldiv < 3 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(ldiv) AS BIGINT) AS min_diversity,
+           CAST(MAX(ldiv) AS BIGINT) AS max_diversity,
+           round(CAST(SUM(CASE WHEN ldiv < 3 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS pct_rows_at_risk
+    FROM g
+    """,
+)
+def l_diversity_audit_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("ldiv"),
+    )
+    risky = F.col("ldiv") < 3
+    return g.agg(
+        F.lit(3).cast("int").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias("n_groups_below_l"),
+        F.sum(F.when(risky, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("ldiv").cast("bigint").alias("min_diversity"),
+        F.max("ldiv").cast("bigint").alias("max_diversity"),
+        F.round(
+            F.sum(F.when(risky, F.col("sz")).otherwise(0)).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("pct_rows_at_risk"),
+    )
+
+
+# nDCG@10 retrieval-quality audit — the standard graded-relevance
+# metric (Järvelin & Kekäläinen 2002) for the dense retriever, scored
+# against exact lexical-overlap grades (rel = min(|shared distinct
+# tokens| div 4, 3), gains 0/1/3/7): the eval number a retrieval stack
+# reports next to the rerank-agreement stats.  Discipline: each DCG
+# term is round-6'd then summed as exact int64 1e-6 units (order-free);
+# the ideal ranking ties break on doc_id so both engines build the
+# identical permutation.  Scale: 3 broadcast anchors × one corpus scan.
+@query(
+    "ndcg_retrieval_audit",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (5, 42, 99)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS r
+      FROM scored QUALIFY r <= 10
+    ),
+    qtok AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS t
+      FROM documents WHERE doc_id IN (5, 42, 99)
+    ),
+    ctok AS (
+      SELECT c.query_id, c.doc_id,
+             unnest(list_distinct(string_split(lower(d.text), ' '))) AS t
+      FROM cand c JOIN documents d USING (doc_id)
+    ),
+    ov AS (
+      SELECT c.query_id, c.doc_id, c.r, coalesce(o.n, 0) AS n_overlap
+      FROM cand c LEFT JOIN (
+        SELECT ctok.query_id, ctok.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ctok JOIN qtok
+          ON ctok.query_id = qtok.query_id AND ctok.t = qtok.t
+        GROUP BY 1, 2
+      ) o ON c.query_id = o.query_id AND c.doc_id = o.doc_id
+    ),
+    g AS (
+      SELECT query_id, doc_id, r,
+             CASE least(n_overlap // 4, 3)
+               WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7
+             END AS gain
+      FROM ov
+    ),
+    ig AS (
+      SELECT query_id, gain,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY gain DESC, doc_id) AS ir
+      FROM g
+    ),
+    agg AS (
+      SELECT g.query_id,
+             CAST(SUM(CASE WHEN g.gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             SUM(CAST(CAST(round(CAST(g.gain AS DOUBLE) * ln(2.0)
+                                 / ln(CAST(g.r + 1 AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS dcg_u
+      FROM g GROUP BY g.query_id
+    ),
+    iagg AS (
+      SELECT query_id,
+             SUM(CAST(CAST(round(CAST(gain AS DOUBLE) * ln(2.0)
+                                 / ln(CAST(ir + 1 AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS idcg_u
+      FROM ig GROUP BY query_id
+    )
+    SELECT a.query_id, a.n_rel,
+           round(CAST(a.dcg_u AS DOUBLE) / 1000000.0, 6) AS dcg10,
+           round(CAST(i.idcg_u AS DOUBLE) / 1000000.0, 6) AS idcg10,
+           CASE WHEN i.idcg_u > 0
+                THEN round(CAST(a.dcg_u AS DOUBLE) / CAST(i.idcg_u AS DOUBLE), 6)
+           END AS ndcg10
+    FROM agg a JOIN iagg i USING (query_id)
+    ORDER BY a.query_id
+    """,
+)
+def ndcg_retrieval_audit(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    anchors = [5, 42, 99]
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    cand = cosine_topk(e, anchors, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("r")
+    )
+    qtok = (
+        d.filter(F.col("doc_id").isin(anchors))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .distinct()
+    )
+    ctok = (
+        cand.join(d, "doc_id")
+        .select("query_id", "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .distinct()
+    )
+    ov = cand.join(
+        ctok.join(F.broadcast(qtok), ["query_id", "t"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+        ["query_id", "doc_id"],
+        "left",
+    ).select(
+        "query_id", "doc_id", "r", F.coalesce("n", F.lit(0)).alias("n_overlap")
+    )
+    rel = F.least(F.floor(F.col("n_overlap") / 4), F.lit(3)).cast("int")
+    g = ov.select(
+        "query_id",
+        "doc_id",
+        "r",
+        F.element_at(F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7)), rel + 1).alias(
+            "gain"
+        ),
+    )
+    g = _materialize(g)  # feeds the DCG agg AND the ideal re-ranking
+
+    def _term_u(gain_col, rank_col):
+        return (
+            F.round(
+                gain_col.cast("double") * F.log(F.lit(2.0))
+                / F.log((rank_col + 1).cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            * F.lit(1000000)
+        ).cast("long")
+
+    agg = g.groupBy("query_id").agg(
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).cast("bigint").alias("n_rel"),
+        F.sum(_term_u(F.col("gain"), F.col("r"))).alias("dcg_u"),
+    )
+    # the 10-row-per-query ideal re-rank: window bounded by the fixed
+    # candidate budget, not the corpus (rerank_agreement exception class)
+    ig = g.withColumn(
+        "ir",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("gain"), F.asc("doc_id"))
+        ),
+    )
+    iagg = ig.groupBy("query_id").agg(
+        F.sum(_term_u(F.col("gain"), F.col("ir"))).alias("idcg_u")
+    )
+    return (
+        agg.join(iagg, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(F.col("dcg_u").cast("double") / F.lit(1000000.0), 6).alias("dcg10"),
+            F.round(F.col("idcg_u").cast("double") / F.lit(1000000.0), 6).alias(
+                "idcg10"
+            ),
+            F.when(
+                F.col("idcg_u") > 0,
+                F.round(
+                    F.col("dcg_u").cast("double") / F.col("idcg_u").cast("double"), 6
+                ),
+            ).alias("ndcg10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -18864,9 +19166,11 @@ _PRIORITY_PREFIX = [
 # wave-15 queries (gopher_quality_filter_docs,
 # kappa_quality_labelers_docs, boilerplate_chunk_removal_docs,
 # embedding_isotropy_audit, cluster_safe_split_docs,
-# cdc_apply_multi_clause_orders) and the three wave-16 queries
+# cdc_apply_multi_clause_orders), the three wave-16 queries
 # (asof_forward_tolerance_events, semiadditive_balance_monthly,
-# reliability_diagram_docs) are locally oracle-green at
+# reliability_diagram_docs), and the three wave-17 queries
+# (hierarchy_rollup_parts, l_diversity_audit_customers,
+# ndcg_retrieval_audit) are locally oracle-green at
 # sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -994,3 +994,34 @@ def test_semiadditive_spine_is_dimension_sized(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Window \[(.*?)\]", plan):
         assert "c#" in m.group(0) or "c AS" in m.group(0) or "partitionBy" not in m.group(0)
+
+
+def test_hierarchy_rollup_is_explode_not_iteration(spark):
+    """The ancestor closure must come from ONE arithmetic explode — no
+    joins before the rollup aggregate, no windows, no iteration: the
+    recursion is pre-folded into the plan."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["hierarchy_rollup_parts"](spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_ndcg_anchors_broadcast(spark):
+    """3 fixed anchors must broadcast into the corpus scan — one pass,
+    no corpus self-shuffle, no cartesian.  The final ndcg plan reads
+    the graded candidates from a checkpoint (30 rows, materialized once
+    for the DCG + ideal branches), so the broadcast assertion runs on
+    the candidate stage itself."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+    from imdb_metacritic_data_warehouse_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cand_plan = _plan(cosine_topk(e, [5, 42, 99], k=10))
+    assert "BroadcastExchange" in cand_plan
+    assert "CartesianProduct" not in cand_plan
+
+    plan = _plan(QUERIES["ndcg_retrieval_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # graded candidates materialized once
