@@ -306,6 +306,7 @@ HEADLINE = [
     "hierarchy_rollup_parts",
     "l_diversity_audit_customers",
     "ndcg_retrieval_audit",
+    "t_closeness_audit_customers",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

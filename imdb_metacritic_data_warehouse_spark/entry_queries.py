@@ -19062,6 +19062,100 @@ def ndcg_retrieval_audit(spark, sf_dir):
     )
 
 
+# t-closeness audit — the third rung of the release-privacy ladder
+# (k-anonymity → l-diversity → t-closeness, Li et al. 2007): a QI
+# group can be large AND diverse yet still leak when its sensitive
+# distribution diverges from the table's.  For categorical sensitive
+# values the distance is total variation ½Σ|p_i − q_i|; the compare
+# stays EXACT by cross-multiplying to integers (|n_gi·N − N_i·n_g|
+# over 2·n_g·N) with one rounded double at the end.  Same scan shape
+# as the other privacy audits: one (QI, segment) contingency, then
+# cell-sized arithmetic.
+@query(
+    "t_closeness_audit_customers",
+    """
+    WITH cell AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_gs
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_nationkey, bal_band, CAST(SUM(n_gs) AS BIGINT) AS n_g
+      FROM cell GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT c_mktsegment, CAST(SUM(n_gs) AS BIGINT) AS n_s FROM cell GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_gs) AS BIGINT) AS n FROM cell),
+    dense AS (
+      SELECT g.c_nationkey, g.bal_band, g.n_g, s.c_mktsegment, s.n_s, t.n,
+             coalesce(c.n_gs, 0) AS n_gs
+      FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+      LEFT JOIN cell c
+        ON c.c_nationkey = g.c_nationkey AND c.bal_band = g.bal_band
+       AND c.c_mktsegment = s.c_mktsegment
+    ),
+    tdist AS (
+      SELECT c_nationkey, bal_band, MAX(n_g) AS n_g,
+             round(CAST(SUM(abs(n_gs * n - n_s * n_g)) AS DOUBLE)
+                   / (2.0 * MAX(n_g) * MAX(n)), 6) AS t
+      FROM dense GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_g) AS BIGINT) AS n_rows,
+           round(MAX(t), 6) AS max_t,
+           round(MIN(t), 6) AS min_t,
+           CAST(SUM(CASE WHEN t > 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_above_t,
+           CAST(SUM(CASE WHEN t > 0.35 THEN n_g ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM tdist
+    """,
+)
+def t_closeness_audit_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gs"))
+    cell = _materialize(cell)  # feeds group totals, segment totals, grand total
+    grp = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n_gs").cast("bigint").alias("n_g")
+    )
+    seg = cell.groupBy("c_mktsegment").agg(F.sum("n_gs").cast("bigint").alias("n_s"))
+    tot = cell.agg(F.sum("n_gs").cast("bigint").alias("n"))
+    dense = (
+        grp.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .withColumn("n_gs", F.coalesce("n_gs", F.lit(0)))
+    )
+    tdist = dense.groupBy("c_nationkey", "bal_band").agg(
+        F.max("n_g").alias("n_g"),
+        F.round(
+            F.sum(
+                F.abs(F.col("n_gs") * F.col("n") - F.col("n_s") * F.col("n_g"))
+            ).cast("double")
+            / (F.lit(2.0) * F.max("n_g") * F.max("n")),
+            6,
+        ).alias("t"),
+    )
+    above = F.col("t") > 0.35
+    return tdist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n_rows"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.round(F.min("t"), 6).alias("min_t"),
+        F.sum(F.when(above, 1).otherwise(0)).cast("bigint").alias("n_groups_above_t"),
+        F.sum(F.when(above, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -19170,8 +19264,8 @@ _PRIORITY_PREFIX = [
 # (asof_forward_tolerance_events, semiadditive_balance_monthly,
 # reliability_diagram_docs), and the three wave-17 queries
 # (hierarchy_rollup_parts, l_diversity_audit_customers,
-# ndcg_retrieval_audit) are locally oracle-green at
-# sf0.001/0.01/0.1 and LEAD the round-8 prefix.
+# ndcg_retrieval_audit, t_closeness_audit_customers) are locally
+# oracle-green at sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 
