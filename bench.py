@@ -307,6 +307,9 @@ HEADLINE = [
     "l_diversity_audit_customers",
     "ndcg_retrieval_audit",
     "t_closeness_audit_customers",
+    # wave 18
+    "fair_interleave_topk_docs",
+    "median_ci_lineitem",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

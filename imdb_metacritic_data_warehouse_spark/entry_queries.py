@@ -19156,6 +19156,126 @@ def t_closeness_audit_customers(spark, sf_dir):
     )
 
 
+# Fairness-constrained interleaved top-k — exposure-parity ranking
+# (round-robin across sources): pure quality ordering lets one source
+# monopolize the head of the list; interleaving by within-source rank
+# guarantees every source its slice of the top positions (the
+# diversity re-rank recommenders and corpus samplers apply).  Order =
+# (within-source rank, quality desc, doc_id) — fully deterministic.
+# Scale: the within-source window partitions by source; the global
+# LIMIT under ORDER BY plans as TakeOrderedAndProject (per-partition
+# top-k + merge — never a full global sort); only the 40 surviving
+# rows see the position window.
+@query(
+    "fair_interleave_topk_docs",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS q FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS src_rank
+      FROM scored
+    ),
+    top AS (
+      SELECT doc_id, source, q, src_rank
+      FROM ranked ORDER BY src_rank, q DESC, doc_id LIMIT 40
+    )
+    SELECT row_number() OVER (ORDER BY src_rank, q DESC, doc_id) AS position,
+           doc_id, source, src_rank, q AS quality
+    FROM top ORDER BY position
+    """,
+)
+def fair_interleave_topk_docs(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", quality_score(F.col("text")).alias("q"))
+    ranked = scored.withColumn(
+        "src_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+        ),
+    )
+    top = ranked.orderBy("src_rank", F.desc("q"), "doc_id").limit(40)
+    # 40-row frame: the unpartitioned position window is bounded by the
+    # fixed exposure budget, not the corpus (rerank exception class).
+    return top.withColumn(
+        "position",
+        F.row_number().over(Window.orderBy("src_rank", F.desc("q"), "doc_id")),
+    ).select("position", "doc_id", "source", "src_rank", F.col("q").alias("quality")).orderBy(
+        "position"
+    )
+
+
+# Distribution-free median CI — exact order-statistic bounds (the
+# binomial/normal-approximation rank interval every data-profiling
+# report should attach to its medians instead of a bare point
+# estimate).  Ranks come from the two-phase global row number (never a
+# single-reducer window); n-dependent rank cutoffs are computed with
+# the IDENTICAL double expression on both engines, and selecting by
+# RANK makes duplicate values harmless (any tie order yields the same
+# value at a given rank).
+@query(
+    "median_ci_lineitem",
+    """
+    WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
+    ),
+    ks AS (
+      SELECT n,
+             CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)
+               AS k_lo,
+             (n + 1) // 2 AS k_med
+      FROM n
+    )
+    SELECT ks.n, ks.k_lo,
+           ks.n - ks.k_lo + 1 AS k_hi,
+           MAX(CASE WHEN r.rn = ks.k_lo THEN r.x END) AS ci_lo,
+           MAX(CASE WHEN r.rn = ks.k_med THEN r.x END) AS median,
+           MAX(CASE WHEN r.rn = ks.n - ks.k_lo + 1 THEN r.x END) AS ci_hi
+    FROM ranked r CROSS JOIN ks
+    WHERE r.rn IN (ks.k_lo, ks.k_med, ks.n - ks.k_lo + 1)
+    GROUP BY ks.n, ks.k_lo
+    """,
+)
+def median_ci_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    ranked = global_row_number(li, [F.col("x")], out_col="rn")
+    ks = li.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        "n",
+        F.floor(
+            (F.col("n") - F.lit(1.959964) * F.sqrt(F.col("n").cast("double")))
+            / F.lit(2.0)
+        ).cast("bigint").alias("k_lo"),
+        ((F.col("n") + 1) / 2).cast("bigint").alias("k_med"),
+    )
+    picked = ranked.crossJoin(F.broadcast(ks)).filter(
+        (F.col("rn") == F.col("k_lo"))
+        | (F.col("rn") == F.col("k_med"))
+        | (F.col("rn") == F.col("n") - F.col("k_lo") + 1)
+    )
+    return picked.groupBy("n", "k_lo").agg(
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("x"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == F.col("k_med"), F.col("x"))).alias("median"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k_lo") + 1, F.col("x"))
+        ).alias("ci_hi"),
+    ).select(
+        "n",
+        "k_lo",
+        (F.col("n") - F.col("k_lo") + 1).alias("k_hi"),
+        "ci_lo",
+        "median",
+        "ci_hi",
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -19264,7 +19384,8 @@ _PRIORITY_PREFIX = [
 # (asof_forward_tolerance_events, semiadditive_balance_monthly,
 # reliability_diagram_docs), and the three wave-17 queries
 # (hierarchy_rollup_parts, l_diversity_audit_customers,
-# ndcg_retrieval_audit, t_closeness_audit_customers) are locally
+# ndcg_retrieval_audit, t_closeness_audit_customers), and the wave-18
+# pair (fair_interleave_topk_docs, median_ci_lineitem) are locally
 # oracle-green at sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -1025,3 +1025,24 @@ def test_ndcg_anchors_broadcast(spark):
     plan = _plan(QUERIES["ndcg_retrieval_audit"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # graded candidates materialized once
+
+
+def test_fair_interleave_topk_is_take_ordered(spark):
+    """The global LIMIT-under-ORDER-BY must plan as
+    TakeOrderedAndProject (per-partition top-k + merge), never a full
+    global Sort of the corpus; the only unpartitioned window runs over
+    the 40 surviving rows."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["fair_interleave_topk_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_median_ci_uses_two_phase_rank(spark):
+    """Rank assignment must go through the two-phase global row number
+    (range exchange + local rank), never a single-reducer
+    Window.orderBy over the fact table."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["median_ci_lineitem"](spark, SF_DIR))
+    assert "rangepartitioning" in plan
