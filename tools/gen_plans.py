@@ -61,6 +61,18 @@ CASES = [
     ("rolling_revenue_range_frame", "RANGE frame over the per-(nation, day) aggregate - the window runs nation-partitioned on a calendar-bounded series, never over fact rows."),
     ("triplet_mining_embeddings", "5 anchors broadcast into one corpus scan; hardest positive/negative via round-6-score windows partitioned by anchor."),
     ("heaps_law_vocab_growth", "Value-based checkpoints (max_id*k/10): no global rank, no window; one vocab-sized first-occurrence frame x 10 broadcast checkpoints."),
+    ("gopher_quality_filter_docs", "Rule battery = one token explode + two hash aggregates (both map-side combinable) + source rollup: zero joins, zero windows."),
+    ("boilerplate_chunk_removal_docs", "Non-overlapping chunk explode (zero-shuffle codegen) -> fp aggregate -> hash join back -> per-doc rollup with bounded collect_list; no cartesian."),
+    ("embedding_isotropy_audit", "mapInPandas integer Gram (dim^2-sized) + one dim-sized component-sum aggregate; all combines are broadcast 1-row joins."),
+    ("cluster_safe_split_docs", "LSH pairs materialized ONCE feeding CC + both crossing audits; split is one hash expression; label join is the only extra shuffle."),
+    ("cdc_apply_multi_clause_orders", "Full MERGE in one pass: one left equi-join on the key (delete filter + update coalesce inline) + one anti-join for inserts; no windows."),
+    ("asof_forward_tolerance_events", "Forward as-of keeps the backward shape: one union + one per-key window scan with the time axis reversed; tolerance nulls the carried struct - never a theta-join."),
+    ("semiadditive_balance_monthly", "Last-in-month via max_by; accounts x months spine from a BROADCAST months side; carry-forward window per account over <=|months| rows; dimension-sized throughout."),
+    ("hierarchy_rollup_parts", "Recursion pre-folded: ancestor closure = one arithmetic explode (transform(sequence) digit truncations), then one aggregate - zero joins, zero iteration."),
+    ("ndcg_retrieval_audit", "3 anchors broadcast into one corpus scan; graded candidates checkpointed once; DCG terms round-6'd then summed as int64 1e-6 units (order-free)."),
+    ("t_closeness_audit_customers", "One (QI, segment) contingency materialized once; group/segment/grand totals + densify all cell-sized; exact cross-multiplied integers."),
+    ("fair_interleave_topk_docs", "Within-source rank window partitioned by source; global cut plans as TakeOrderedAndProject (per-partition top-k + merge); position window only over the 40 survivors."),
+    ("median_ci_lineitem", "Order-statistic selection through the two-phase global rank (range exchange + local rank + broadcast offsets); rank cutoffs broadcast from a 1-row aggregate."),
 ]
 
 
