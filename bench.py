@@ -310,6 +310,19 @@ HEADLINE = [
     # wave 18
     "fair_interleave_topk_docs",
     "median_ci_lineitem",
+    # wave 19
+    "hits_suppliers_parts",
+    "modularity_brand_copurchase",
+    "item_cf_cosine_parts",
+    # wave 20
+    "winnowing_fingerprints_docs",
+    "dsir_selection_docs",
+    "naive_bayes_lang_docs",
+    "spell_candidates_docs",
+    "cdc_chunk_dedup_docs",
+    # wave 21
+    "ecod_outliers_embeddings",
+    "textrank_keywords_docs",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy
@@ -321,6 +334,9 @@ HEADLINE = [
 RUN_LAST = {
     "pagerank_parts_copurchase",
     "ppr_parts_seeded",
+    "hits_suppliers_parts",
+    "modularity_brand_copurchase",
+    "item_cf_cosine_parts",
     "kcore_parts_copurchase",
     "label_propagation_parts",
     "adamic_adar_parts",

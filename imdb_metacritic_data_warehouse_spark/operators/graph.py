@@ -447,3 +447,58 @@ def label_propagation(
         if r % 2 == 1:
             lab = lab.localCheckpoint(eager=True)
     return lab
+
+
+def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS hubs & authorities over a directed bipartite edge list
+    (src → dst), e.g. supplier → supplied-part: a good hub points at
+    good authorities and vice versa (Kleinberg's mutual-reinforcement
+    update, the companion importance signal to PageRank's random walk).
+
+    Differential-test formulation: the classic update renormalizes the
+    score vectors every half-step (an L2 or L1 division whose float
+    low bits depend on summation order).  Run UNNORMALIZED instead —
+
+        a_k(d) = Σ_{s→d} h_{k-1}(s)        h_0 ≡ 1
+        h_k(s) = Σ_{s→d} a_k(d)
+
+    — and every score is an exact 64-bit INTEGER (normalization only
+    changes scale, never ranking), so any partition layout and either
+    engine produce bit-identical scores; the caller divides by the
+    integer total ONCE at the end (a single correctly-rounded double
+    division).  Integer headroom: scores grow like (d̄_s·d̄_d)^iters —
+    ~2.7e11 at sf0.1's supplier⋈part density, 1000× under int64.  For
+    graphs dense enough to overflow (score bound ≥ 2^62), renormalize
+    per round like production HITS and give up bit-parity — the knob
+    is documented here rather than silently applied.
+
+    Scale shape per half-step: one edges⋈scores join keyed on the
+    scored side + one aggregate keyed on the other side — node-keyed
+    shuffles only, no global state; `iters` is small and fixed so the
+    DuckDB oracle unrolls the same algebra.  Returns
+    (node, role['hub'|'authority'], score bigint).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    hubs = edges.select(F.col("src").alias("node")).distinct()
+    h = hubs.select("node", F.lit(1).cast("long").alias("score"))
+    a = None
+    for _ in range(iters):
+        a = (
+            edges.join(
+                h.select(F.col("node").alias("src"), "score"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            edges.join(
+                a.select(F.col("node").alias("dst"), "score"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    return h.select("node", F.lit("hub").alias("role"), "score").unionByName(
+        a.select("node", F.lit("authority").alias("role"), "score")
+    )

@@ -779,3 +779,55 @@ def readability_score(text_col: str = "text"):
         "n_syllables": syllables.cast("bigint"),
         "score": score,
     }
+
+
+def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, w: int = 4):
+    """MOSS winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03): hash every word ``n``-gram, then from each
+    window of ``w`` consecutive hashes keep the minimum (rightmost on
+    ties).  Guarantees: any shared substring of ≥ w+n−1 words yields at
+    least one shared fingerprint, and ≥ 1 fingerprint is kept per w
+    consecutive positions (density ~2/(w+1)).
+
+    Rightmost-min tie rule folded into ONE integer key per position —
+    hash·2²⁰ + (2²⁰−1−pos) — so min() IS (min hash, max pos); 40-bit
+    hashes keep the key < 2⁶⁰ (docs assumed < 2²⁰ words; chunk longer
+    docs upstream).  Windows partition by document (per-doc sequence
+    length bounds the task — the shingle_rows discipline).  Returns
+    distinct (doc_id, fph) rows.
+    """
+    from pyspark.sql import Window
+
+    words = tokens(F.col(text_col))
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("w0", k).over(wo).alias(f"w{k}") for k in range(1, n)]
+    sh = (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("doc_id"),
+                F.posexplode(words).alias("pos", "w0"))
+        .select("doc_id", "pos", "w0", *lead_cols)
+        .filter(F.col(f"w{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", *[f"w{k}" for k in range(n)])),
+                    1, 10,
+                ), 16, 10,
+            ).cast("long").alias("h"),
+        )
+    )
+    key = (F.col("h") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))).alias("key")
+    k = sh.select(
+        "doc_id", "pos", key,
+        F.max("pos").over(Window.partitionBy("doc_id")).alias("max_pos"),
+    )
+    frame = wo.rowsBetween(Window.currentRow, w - 1)
+    return (
+        k.filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+        .select("doc_id", F.min("key").over(frame).alias("mk"))
+        .select("doc_id", F.expr("mk div 1048576").alias("fph"))
+        .distinct()
+    )

@@ -1046,3 +1046,55 @@ def test_median_ci_uses_two_phase_rank(spark):
 
     plan = _plan(QUERIES["median_ci_lineitem"](spark, SF_DIR))
     assert "rangepartitioning" in plan
+
+
+def test_wave19_21_no_cartesian_and_bounded_windows(spark):
+    """Wave 19–21 plan audit: no cartesian/nested-loop joins anywhere;
+    every Window is either partitioned (per-doc / per-dim / per-anchor
+    bounded sets) or the two-phase rank's __pid offset scan; the
+    global top-k cuts plan as TakeOrderedAndProject, not a global
+    sort."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    for name in [
+        "hits_suppliers_parts",
+        "modularity_brand_copurchase",
+        "item_cf_cosine_parts",
+        "winnowing_fingerprints_docs",
+        "dsir_selection_docs",
+        "naive_bayes_lang_docs",
+        "spell_candidates_docs",
+        "cdc_chunk_dedup_docs",
+        "ecod_outliers_embeddings",
+        "textrank_keywords_docs",
+    ]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        for part, order in _window_nodes(plan):
+            if part.strip():
+                continue
+            # single-list Window nodes with no sort direction are
+            # partition-only (e.g. max(pos) OVER (PARTITION BY doc));
+            # the helper can't tell them from global ordered windows
+            if " ASC" not in order and " DESC" not in order:
+                continue
+            assert "__pid" in order, (name, order)
+
+
+def test_hits_and_ecod_global_cut_is_take_ordered(spark):
+    """The per-role / top-25 cuts must be TakeOrderedAndProject (bounded
+    k through every partition), never a full global Sort + Limit."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    for name in ["hits_suppliers_parts", "ecod_outliers_embeddings"]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_dsir_selection_rank_is_two_phase(spark):
+    """DSIR's top-10% selection ranks the whole raw pool — must go
+    through the range-partitioned two-phase global_row_number."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["dsir_selection_docs"](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower()
