@@ -323,6 +323,15 @@ HEADLINE = [
     # wave 21
     "ecod_outliers_embeddings",
     "textrank_keywords_docs",
+    # wave 22
+    "wasserstein_drift_orders",
+    "hill_tail_index_orders",
+    "mrr_retrieval_audit",
+    "shapley_source_valuation_docs",
+    # wave 23
+    "isotonic_calibration_docs",
+    "bradley_terry_brands",
+    "frequent_triples_parts",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -19721,7 +19721,10 @@ def dsir_selection_docs(spark, sf_dir):
             "source",
             (
                 F.conv(
-                    F.substring(F.md5(F.concat_ws(" ", "w0", "w1")), 1, 15),
+                    F.substring(
+                        F.md5(F.concat(F.col("w0"), F.lit(" "), F.col("w1"))),
+                        1, 15,
+                    ),
                     16,
                     10,
                 ).cast("long")
@@ -20013,8 +20016,8 @@ def spell_candidates_docs(spark, sf_dir):
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        ":", F.col("doc_id").cast("string"),
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"),
                         F.col("pos").cast("string"),
                     )
                 ), 1, 8,
@@ -20138,7 +20141,7 @@ def cdc_chunk_dedup_docs(spark, sf_dir):
     cut_hash = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(" ", F.lag("w", 1).over(w), F.col("w"))),
+                F.md5(F.concat(F.lag("w", 1).over(w), F.lit(" "), F.col("w"))),
                 1, 15,
             ), 16, 10,
         ).cast("long") % 8
@@ -20399,6 +20402,943 @@ def textrank_keywords_docs(spark, sf_dir):
         ranks.select(F.col("node").alias("word"), F.round("pr", 8).alias("score"))
         .orderBy(F.desc("score"), F.asc("word"))
         .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 22 — distribution drift as a true metric, heavy-tail
+# profiling, the retrieval hit-rate panel beside nDCG, and exact
+# Shapley data-source valuation over submodular shingle coverage.
+
+# Wasserstein-1 (earth-mover) drift between two order periods — the
+# metric drift monitors should report next to KS/PSI/JS: unlike KS
+# (sup of the CDF gap) or binned PSI, W1 integrates the FULL CDF gap
+# in price units, so "how far did the distribution move in dollars" is
+# answered directly.  Exact discipline: W1 = Σ_i |C1_i·n2 − C2_i·n1|
+# ·Δv_i / (n1·n2) over the value-level breakpoint table — every factor
+# an exact integer (prices as 1e-4 units), accumulated in
+# decimal(38,0) (|C1·n2−C2·n1| ≤ n1·n2 needs decimal(26,0) headroom
+# ×Δv ≤ 1e12 stays under 1e38), ONE double conversion at the end
+# (scale-0 decimal→double rounds once in both engines — the rule-#6
+# double-rounding only bites at scale > 0).  Scale: the heavy
+# reduction is the value-level groupBy; rank + both cumulative counts
+# ride ONE fused range exchange (rank.global_prefix, the N-ary
+# two-phase primitive), and ordered adjacency (Δv) is an equi-join on
+# rn+1, never a global window.  Per-priority groups plus an ALL row.
+@query(
+    "wasserstein_drift_orders",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS grp0,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             CASE WHEN year(o_orderdate) BETWEEN 1995 AND 1997 THEN 1 ELSE 0 END AS b1,
+             CASE WHEN year(o_orderdate) BETWEEN 1998 AND 2000 THEN 1 ELSE 0 END AS b2
+      FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+    ),
+    u AS (
+      SELECT grp0 AS grp, v, b1, b2 FROM o
+      UNION ALL SELECT 'ALL', v, b1, b2 FROM o
+    ),
+    vl AS (
+      SELECT grp, v, CAST(SUM(b1) AS BIGINT) AS c1, CAST(SUM(b2) AS BIGINT) AS c2
+      FROM u GROUP BY grp, v
+    ),
+    cum AS (
+      SELECT grp, v,
+             SUM(c1) OVER (PARTITION BY grp ORDER BY v) AS cc1,
+             SUM(c2) OVER (PARTITION BY grp ORDER BY v) AS cc2,
+             LEAD(v) OVER (PARTITION BY grp ORDER BY v) AS v_next
+      FROM vl
+    ),
+    tot AS (
+      SELECT grp, CAST(SUM(b1) AS BIGINT) AS n1, CAST(SUM(b2) AS BIGINT) AS n2,
+             CAST(SUM(b1 * v) AS BIGINT) AS s1, CAST(SUM(b2 * v) AS BIGINT) AS s2
+      FROM u GROUP BY grp
+    ),
+    num AS (
+      SELECT c.grp,
+             SUM(CAST(abs(CAST(c.cc1 AS DECIMAL(19,0)) * t.n2
+                          - CAST(c.cc2 AS DECIMAL(19,0)) * t.n1) AS DECIMAL(26,0))
+                 * CAST(c.v_next - c.v AS DECIMAL(12,0))) AS w1num
+      FROM cum c JOIN tot t USING (grp)
+      WHERE c.v_next IS NOT NULL
+      GROUP BY c.grp
+    )
+    SELECT t.grp, t.n1 AS n_base, t.n2 AS n_curr,
+           round(CAST(t.s1 AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * 10000.0), 6)
+             AS mean_base,
+           round(CAST(t.s2 AS DOUBLE) / (CAST(t.n2 AS DOUBLE) * 10000.0), 6)
+             AS mean_curr,
+           round(CAST(n.w1num AS DOUBLE)
+                 / (CAST(t.n1 * t.n2 AS DOUBLE) * 10000.0), 6) AS w1_price
+    FROM tot t JOIN num n USING (grp)
+    ORDER BY t.grp
+    """,
+)
+def wasserstein_drift_orders(spark, sf_dir):
+    from .operators.rank import global_prefix
+
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    base = o.filter(yr.between(1995, 2000)).select(
+        F.col("o_orderpriority").alias("grp0"),
+        _units4("o_totalprice").alias("v"),
+        F.when(yr.between(1995, 1997), 1).otherwise(0).alias("b1"),
+        F.when(yr.between(1998, 2000), 1).otherwise(0).alias("b2"),
+    )
+    u = base.select(F.col("grp0").alias("grp"), "v", "b1", "b2").unionByName(
+        base.select(F.lit("ALL").alias("grp"), "v", "b1", "b2")
+    )
+    u = _materialize(u)  # feeds the value-level table AND the totals
+    vl = u.groupBy("grp", "v").agg(
+        F.sum("b1").cast("long").alias("c1"), F.sum("b2").cast("long").alias("c2")
+    )
+    tot = u.groupBy("grp").agg(
+        F.sum("b1").cast("long").alias("n1"),
+        F.sum("b2").cast("long").alias("n2"),
+        F.sum(F.col("b1") * F.col("v")).cast("long").alias("s1"),
+        F.sum(F.col("b2") * F.col("v")).cast("long").alias("s2"),
+    )
+    # group-start offsets under the same (grp, v) total order the fused
+    # prefix pass uses: a 6-row post-aggregation window, not a data one
+    goff = tot.select(
+        "grp",
+        F.coalesce(
+            F.sum("n1").over(
+                Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("g1"),
+        F.coalesce(
+            F.sum("n2").over(
+                Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("g2"),
+    )
+    gp = global_prefix(vl, [F.col("grp"), F.col("v")], ["c1", "c2"], rn_col="rn")
+    gp = _materialize(gp)  # both the adjacency join sides read it
+    nxt = gp.select(
+        F.col("grp").alias("g2nd"), (F.col("rn") - 1).alias("rn"),
+        F.col("v").alias("v_next"),
+    )
+    adj = (
+        gp.join(nxt, "rn")
+        .filter(F.col("grp") == F.col("g2nd"))
+        .join(F.broadcast(goff), "grp")
+        .join(F.broadcast(tot.select("grp", "n1", "n2")), "grp")
+    )
+    diff = F.abs(
+        (F.col("cum_c1") - F.col("g1")).cast("decimal(19,0)") * F.col("n2")
+        - (F.col("cum_c2") - F.col("g2")).cast("decimal(19,0)") * F.col("n1")
+    )
+    num = adj.groupBy("grp").agg(
+        F.sum(
+            diff.cast("decimal(26,0)")
+            * (F.col("v_next") - F.col("v")).cast("decimal(12,0)")
+        ).alias("w1num")
+    )
+    return (
+        tot.join(num, "grp")
+        .select(
+            "grp",
+            F.col("n1").alias("n_base"),
+            F.col("n2").alias("n_curr"),
+            F.round(
+                F.col("s1").cast("double") / (F.col("n1").cast("double") * 10000.0), 6
+            ).alias("mean_base"),
+            F.round(
+                F.col("s2").cast("double") / (F.col("n2").cast("double") * 10000.0), 6
+            ).alias("mean_curr"),
+            F.round(
+                F.col("w1num").cast("double")
+                / ((F.col("n1") * F.col("n2")).cast("double") * 10000.0),
+                6,
+            ).alias("w1_price"),
+        )
+        .orderBy("grp")
+    )
+
+
+# Hill tail-index estimator — the standard heavy-tail exponent profile
+# (is this column Pareto-ish, and how heavy?) that sizes skew-handling
+# decisions: a small α̂ on a join key predicts stragglers long before a
+# shuffle falls over.  Estimated at three k cutoffs so the stability
+# of the estimate is part of the report.  Discipline: order statistics
+# come from the two-phase global rank (descending, orderkey
+# tie-break); each term is round(ln(x_i / x_(k+1)), 6) — one
+# correctly-rounded division, ln only under round-6 on values — summed
+# as int64 1e-6 units; α̂ = k·1e6/Σu is one final division.
+@query(
+    "hill_tail_index_orders",
+    """
+    WITH ranked AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             row_number() OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC,
+                                o_orderkey) AS rn
+      FROM orders
+    ),
+    th AS (
+      SELECT rn - 1 AS k, x AS x_k1 FROM ranked WHERE rn IN (201, 501, 1001)
+    ),
+    terms AS (
+      SELECT th.k, th.x_k1,
+             SUM(CAST(CAST(round(ln(r.x / th.x_k1), 6) AS DECIMAL(18,6))
+                      * 1000000 AS BIGINT)) AS sum_u,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM ranked r JOIN th ON r.rn <= th.k
+      GROUP BY th.k, th.x_k1
+    )
+    SELECT k, x_k1 AS x_threshold, n_terms,
+           round(CAST(sum_u AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000.0), 6)
+             AS mean_log_excess,
+           round(CAST(k AS DOUBLE) * 1000000.0 / CAST(sum_u AS DOUBLE), 6)
+             AS alpha_hill
+    FROM terms ORDER BY k
+    """,
+)
+def hill_tail_index_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x"), F.col("o_orderkey")
+    )
+    ranked = global_row_number(
+        o, [F.col("x").desc(), F.col("o_orderkey").asc()], out_col="rn"
+    ).filter(F.col("rn") <= 1001)
+    ranked = _materialize(ranked)  # thresholds AND terms read it
+    th = ranked.filter(F.col("rn").isin(201, 501, 1001)).select(
+        (F.col("rn") - 1).alias("k"), F.col("x").alias("x_k1")
+    )
+    terms = (
+        ranked.join(F.broadcast(th), F.col("rn") <= F.col("k"))
+        .groupBy("k", "x_k1")
+        .agg(
+            F.sum(
+                (
+                    F.round(F.log(F.col("x") / F.col("x_k1")), 6)
+                    .cast("decimal(18,6)")
+                    * F.lit(1000000)
+                ).cast("long")
+            ).alias("sum_u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    return terms.select(
+        "k",
+        F.col("x_k1").alias("x_threshold"),
+        "n_terms",
+        F.round(
+            F.col("sum_u").cast("double") / (F.col("k").cast("double") * 1000000.0), 6
+        ).alias("mean_log_excess"),
+        F.round(
+            F.col("k").cast("double") * 1000000.0 / F.col("sum_u").cast("double"), 6
+        ).alias("alpha_hill"),
+    ).orderBy("k")
+
+
+# MRR / precision@10 / recall@10 — the binary-relevance hit-rate panel
+# beside nDCG (graded) and rerank agreement (rank correlation): MRR is
+# what autocomplete/lookup surfaces report, and recall@k needs the
+# CORPUS-WIDE relevant count, not just the retrieved slice — one extra
+# corpus scan against the broadcast anchor-token sets.  Relevance
+# reuses nDCG's exact lexical-overlap grade (relevant ⇔ ≥4 shared
+# distinct tokens, gain ≥ 1): every number here is a ratio of exact
+# integers (1/rank, hits/10, hits/corpus-relevant — single
+# correctly-rounded divisions under round-6).
+@query(
+    "mrr_retrieval_audit",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (5, 42, 99)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS r
+      FROM scored QUALIFY r <= 10
+    ),
+    qtok AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS t
+      FROM documents WHERE doc_id IN (5, 42, 99)
+    ),
+    atok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS t
+      FROM documents
+    ),
+    ov AS (
+      SELECT qtok.query_id, atok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM atok JOIN qtok ON atok.t = qtok.t
+      WHERE atok.doc_id <> qtok.query_id
+      GROUP BY qtok.query_id, atok.doc_id
+    ),
+    corpus AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_corpus
+      FROM ov WHERE n_overlap >= 4 GROUP BY query_id
+    ),
+    hits AS (
+      SELECT c.query_id,
+             CAST(SUM(CASE WHEN o.n_overlap >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_10,
+             MIN(CASE WHEN o.n_overlap >= 4 THEN c.r END) AS first_rel_rank
+      FROM cand c LEFT JOIN ov o
+        ON c.query_id = o.query_id AND c.doc_id = o.doc_id
+      GROUP BY c.query_id
+    )
+    SELECT h.query_id, h.n_rel_10, h.first_rel_rank, co.n_rel_corpus,
+           round(CASE WHEN h.first_rel_rank IS NULL THEN 0.0
+                      ELSE 1.0 / CAST(h.first_rel_rank AS DOUBLE) END, 6)
+             AS reciprocal_rank,
+           round(CAST(h.n_rel_10 AS DOUBLE) / 10.0, 6) AS precision_at_10,
+           round(CAST(h.n_rel_10 AS DOUBLE) / CAST(co.n_rel_corpus AS DOUBLE), 6)
+             AS recall_at_10
+    FROM hits h JOIN corpus co USING (query_id)
+    ORDER BY h.query_id
+    """,
+)
+def mrr_retrieval_audit(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    anchors = [5, 42, 99]
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    cand = cosine_topk(e, anchors, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("r")
+    )
+    qtok = (
+        d.filter(F.col("doc_id").isin(anchors))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .distinct()
+    )
+    atok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).distinct()
+    ov = (
+        atok.join(F.broadcast(qtok), "t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    ov = _materialize(ov)  # corpus recall AND the top-10 hit join read it
+    corpus = ov.filter(F.col("n_overlap") >= 4).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel_corpus")
+    )
+    hits = (
+        cand.join(ov, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("n_overlap") >= 4, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel_10"),
+            F.min(F.when(F.col("n_overlap") >= 4, F.col("r"))).alias(
+                "first_rel_rank"
+            ),
+        )
+    )
+    return (
+        hits.join(corpus, "query_id")
+        .select(
+            "query_id",
+            "n_rel_10",
+            "first_rel_rank",
+            "n_rel_corpus",
+            F.round(
+                F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel_rank").cast("double")
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+            F.round(F.col("n_rel_10").cast("double") / 10.0, 6).alias(
+                "precision_at_10"
+            ),
+            F.round(
+                F.col("n_rel_10").cast("double")
+                / F.col("n_rel_corpus").cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# Exact Shapley valuation of data sources — "what is each source
+# WORTH to the corpus?", the data-valuation question behind training
+# mixture decisions, answered with the actual Shapley axioms instead
+# of a leave-one-out heuristic.  The coalition value is distinct
+# 3-shingle coverage — submodular, and computable for ALL 2^k
+# coalitions in ONE corpus pass: per shingle, a k-bit source-group
+# membership mask; cov(S) = Σ cnt[mask] over masks intersecting S.
+# With k=5 source groups the mask table is ≤31 rows, coalitions 32 —
+# everything after the corpus-scan reduction is broadcast-sized.
+# Shapley_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (cov(S∪c)−cov(S)); scaled
+# by k!=120 every weight and marginal is an exact int64 — ZERO float
+# ops before the two final display divisions.  Efficiency axiom
+# (Σ shapley = cov(U)) is pinned by the unit test.
+@query(
+    "shapley_source_valuation_docs",
+    """
+    WITH tok AS (
+      SELECT CAST(substr(source, 4) AS INT) % 5 AS g,
+             string_split(lower(text), ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT substr(md5(s), 1, 15) AS h, g
+      FROM (
+        SELECT g,
+               unnest(list_transform(range(1, len(words) - 1),
+                                     i -> array_to_string(words[i:i+2], ' ')))
+                 AS s
+        FROM tok WHERE len(words) >= 3
+      )
+    ),
+    m AS (
+      SELECT h, CAST(SUM(1 << g) AS BIGINT) AS mask FROM sh GROUP BY h
+    ),
+    mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY mask),
+    subsets AS (SELECT CAST(range AS BIGINT) AS s FROM range(32)),
+    cov AS (
+      SELECT s.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS cov
+      FROM subsets s LEFT JOIN mc ON (mc.mask & s.s) <> 0
+      GROUP BY s.s
+    ),
+    ch AS (SELECT CAST(range AS BIGINT) AS c FROM range(5)),
+    pairs AS (
+      SELECT ch.c, cov0.s,
+             CASE bit_count(cov0.s)
+               WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 6
+               ELSE 24 END AS w,
+             covc.cov - cov0.cov AS marg
+      FROM ch
+      JOIN cov cov0 ON (cov0.s & (1 << ch.c)) = 0
+      JOIN cov covc ON covc.s = (cov0.s | (1 << ch.c))
+    ),
+    shap AS (
+      SELECT c, CAST(SUM(w * marg) AS BIGINT) AS shap_u120
+      FROM pairs GROUP BY c
+    ),
+    grand AS (SELECT cov AS total_cov FROM cov WHERE s = 31)
+    SELECT 'g' || CAST(sh.c AS VARCHAR) AS source_group,
+           solo.cov AS solo_coverage,
+           g.total_cov - loo.cov AS marginal_to_grand,
+           sh.shap_u120,
+           round(CAST(sh.shap_u120 AS DOUBLE) / 120.0, 6) AS shapley_value,
+           round(CAST(sh.shap_u120 AS DOUBLE)
+                 / (120.0 * CAST(g.total_cov AS DOUBLE)), 6) AS shapley_share
+    FROM shap sh
+    JOIN cov solo ON solo.s = (1 << sh.c)
+    JOIN cov loo ON loo.s = (31 - (1 << sh.c))
+    CROSS JOIN grand g
+    ORDER BY source_group
+    """,
+)
+def shapley_source_valuation_docs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        d.select(
+            "doc_id",
+            (F.expr("CAST(substr(source, 4) AS INT)") % 5).alias("g"),
+            F.posexplode(words).alias("pos", "w1"),
+        )
+        .select(
+            "doc_id", "g", "w1",
+            F.lead("w1", 1).over(wo).alias("w2"),
+            F.lead("w1", 2).over(wo).alias("w3"),
+        )
+        .filter(F.col("w3").isNotNull())
+        .select(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("w1"), F.lit(" "), F.col("w2"), F.lit(" "),
+                        F.col("w3"),
+                    )
+                ),
+                1, 15,
+            ).alias("h"),
+            "g",
+        )
+        .distinct()
+    )
+    m = (
+        sh.select("h", F.expr("shiftleft(1, g)").alias("bit"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.sum("bit").cast("long").alias("mask"))
+    )
+    mc = m.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    spark_ = d.sparkSession
+    subsets = spark_.range(32).select(F.col("id").alias("s"))
+    cov = (
+        F.broadcast(subsets)
+        .join(mc, F.expr("(mask & s) <> 0"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("cov"))
+    )
+    cov = _materialize(cov)  # 32 rows; read by pairs, solo, loo, grand
+    ch = spark_.range(5).select(F.col("id").alias("c"))
+    pairs = (
+        F.broadcast(ch)
+        .join(cov.alias("cov0"), F.expr("(cov0.s & shiftleft(1, c)) = 0"))
+        .select("c", F.col("cov0.s").alias("s0"), F.col("cov0.cov").alias("cov_s"))
+        .join(
+            cov.alias("covc"),
+            F.expr("covc.s = (s0 | shiftleft(1, c))"),
+        )
+        .select(
+            "c",
+            F.element_at(
+                F.array(F.lit(24), F.lit(6), F.lit(4), F.lit(6), F.lit(24)),
+                F.bit_count(F.col("s0")).cast("int") + 1,
+            ).alias("w"),
+            (F.col("covc.cov") - F.col("cov_s")).alias("marg"),
+        )
+    )
+    shap = pairs.groupBy("c").agg(
+        F.sum(F.col("w") * F.col("marg")).cast("long").alias("shap_u120")
+    )
+    solo = cov.select(F.col("s").alias("solo_s"), F.col("cov").alias("solo_coverage"))
+    loo = cov.select(F.col("s").alias("loo_s"), F.col("cov").alias("loo_cov"))
+    grand = cov.filter(F.col("s") == 31).select(F.col("cov").alias("total_cov"))
+    return (
+        shap.join(F.broadcast(solo), F.expr("solo_s = shiftleft(1, c)"))
+        .join(F.broadcast(loo), F.expr("loo_s = (31 - shiftleft(1, c))"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.concat(F.lit("g"), F.col("c").cast("string")).alias("source_group"),
+            "solo_coverage",
+            (F.col("total_cov") - F.col("loo_cov")).alias("marginal_to_grand"),
+            "shap_u120",
+            F.round(F.col("shap_u120").cast("double") / 120.0, 6).alias(
+                "shapley_value"
+            ),
+            F.round(
+                F.col("shap_u120").cast("double")
+                / (120.0 * F.col("total_cov").cast("double")),
+                6,
+            ).alias("shapley_share"),
+        )
+        .orderBy("source_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 23 — isotonic calibration (PAV), Bradley-Terry
+# preference strengths, frequent 3-itemsets.
+
+# Isotonic calibration of the quality scorer via Pool-Adjacent-
+# Violators — the monotone regression that turns the reliability
+# diagram into a usable calibration MAP (what Platt/isotonic layers do
+# after a cheap classifier).  On the 10-bin decile grid PAV has the
+# closed minimax form fitted(k) = max_{i<=k} min_{j>=k} pool(i,j)
+# (pool = pooled positive rate over bins i..j) — 55 intervals, all
+# broadcast-sized after the corpus reduction.  Parity: every pool is
+# ONE correctly-rounded division of exact int64 sums (bit-identical
+# both engines), and min/max over identical doubles is exact — no
+# rounding needed before the display round-6.
+@query(
+    "isotonic_calibration_docs",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS q FROM documents
+    ),
+    t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS nw,
+             CAST(SUM(cnt * length(w)) AS BIGINT) AS sumlen,
+             CAST(MAX(cnt) AS BIGINT) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN w IN ('the','a','of','to','and','in')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+      FROM c GROUP BY 1
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN nw >= 25 AND nw <= 100000
+                   AND 3 * nw <= sumlen AND sumlen <= 5 * nw
+                   AND 8 * mx <= nw AND 5 * nd >= 2 * nw
+                   AND nstop >= 2 THEN 1 ELSE 0 END AS y
+      FROM d
+    ),
+    dec AS (
+      SELECT least(CAST(floor(s.q * 10) AS INTEGER), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(l.y) AS BIGINT) AS n_pos
+      FROM scored s JOIN lab l ON s.doc_id = l.doc_id
+      GROUP BY 1
+    ),
+    ivals AS (
+      SELECT a.bin AS i, b.bin AS j,
+             CAST(SUM(m.n) AS BIGINT) AS nn,
+             CAST(SUM(m.n_pos) AS BIGINT) AS pp
+      FROM dec a JOIN dec b ON a.bin <= b.bin
+      JOIN dec m ON m.bin BETWEEN a.bin AND b.bin
+      GROUP BY a.bin, b.bin
+    ),
+    mins AS (
+      SELECT iv.i, k.bin AS k,
+             MIN(CAST(iv.pp AS DOUBLE) / CAST(iv.nn AS DOUBLE)) AS minpool
+      FROM ivals iv JOIN dec k ON iv.i <= k.bin AND k.bin <= iv.j
+      GROUP BY iv.i, k.bin
+    ),
+    fit AS (SELECT k AS bin, MAX(minpool) AS fitted FROM mins GROUP BY k)
+    SELECT d.bin, d.n, d.n_pos,
+           round(CAST(d.n_pos AS DOUBLE) / CAST(d.n AS DOUBLE), 6) AS raw_rate,
+           round(f.fitted, 6) AS fitted_rate
+    FROM dec d JOIN fit f USING (bin)
+    ORDER BY d.bin
+    """,
+)
+def isotonic_calibration_docs(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    g = _gopher_per_doc(spark, sf_dir)
+    lab = g.select(
+        "doc_id",
+        F.when(
+            (F.col("nw") >= 25) & (F.col("nw") <= 100000)
+            & (3 * F.col("nw") <= F.col("sumlen"))
+            & (F.col("sumlen") <= 5 * F.col("nw"))
+            & (8 * F.col("mx") <= F.col("nw"))
+            & (5 * F.col("nd") >= 2 * F.col("nw"))
+            & (F.col("nstop") >= 2),
+            1,
+        ).otherwise(0).alias("y"),
+    )
+    dec = (
+        scored.join(lab, "doc_id")
+        .groupBy(
+            F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    dec = _materialize(dec)  # <=10 rows; feeds intervals, mins and output
+    a = dec.select(F.col("bin").alias("i"))
+    b = dec.select(F.col("bin").alias("j"))
+    m = dec.select(F.col("bin").alias("mid"), "n", "n_pos")
+    ivals = (
+        F.broadcast(a)
+        .join(b, F.col("i") <= F.col("j"))
+        .join(
+            F.broadcast(m),
+            (F.col("mid") >= F.col("i")) & (F.col("mid") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum("n_pos").cast("bigint").alias("pp"),
+        )
+    )
+    ks = dec.select(F.col("bin").alias("k"))
+    mins = (
+        ivals.join(
+            F.broadcast(ks), (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j"))
+        )
+        .groupBy("i", "k")
+        .agg(F.min(F.col("pp").cast("double") / F.col("nn").cast("double")).alias("mp"))
+    )
+    fit = mins.groupBy(F.col("k").alias("bin")).agg(F.max("mp").alias("fitted"))
+    return (
+        dec.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
+            .alias("raw_rate"),
+            F.round("fitted", 6).alias("fitted_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# Bradley-Terry preference strengths — the pairwise-comparison model
+# behind preference-data pipelines (RLHF reward modeling, ranking from
+# A/B outcomes), fit with two unrolled minorize-maximize iterations:
+# p_i ← W_i / Σ_j n_ij/(p_i+p_j).  Contests: within an order, the
+# brand with the higher exact spend beats the lower (ties skipped —
+# exact integer spends).  Parity discipline: every per-iteration sum
+# folds its ≤24 neighbor terms in brand order via the SAME left fold
+# (Spark aggregate() ≡ DuckDB list_reduce — the Holt-fold precedent);
+# each term is one correctly-rounded division of identical doubles
+# (p's are round-6 from the previous iteration), so the folds are
+# bit-identical.  Scale: contests reduce to a brand-pair matrix (≤
+# brands², dimension-sized) in one map-side pair expansion bounded by
+# ≤7 lines/order — the iterations never touch the fact table again.
+@query(
+    "bradley_terry_brands",
+    """
+    WITH ob AS (
+      SELECT l.l_orderkey AS o, p.p_brand AS b,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS spend
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT CASE WHEN a.spend > b.spend THEN a.b ELSE b.b END AS wb,
+             CASE WHEN a.spend > b.spend THEN b.b ELSE a.b END AS lb
+      FROM ob a JOIN ob b ON a.o = b.o AND a.b < b.b
+      WHERE a.spend <> b.spend
+    ),
+    dw AS (SELECT wb, lb, CAST(COUNT(*) AS BIGINT) AS w_ij FROM c GROUP BY 1, 2),
+    np AS (
+      SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij FROM (
+        SELECT wb AS i, lb AS j, w_ij AS n FROM dw
+        UNION ALL SELECT lb, wb, w_ij FROM dw
+      ) GROUP BY 1, 2
+    ),
+    wins AS (
+      SELECT np.i, CAST(COALESCE(MAX(wsum.w), 0) AS BIGINT) AS w,
+             CAST(SUM(np.n_ij) AS BIGINT) AS contests
+      FROM np LEFT JOIN (
+        SELECT wb, CAST(SUM(w_ij) AS BIGINT) AS w FROM dw GROUP BY 1
+      ) wsum ON np.i = wsum.wb
+      GROUP BY np.i
+    ),
+    s1 AS (
+      SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(n_ij AS DOUBLE) / 2.0 ORDER BY j)), (a, b) -> a + b) AS s
+      FROM np GROUP BY i
+    ),
+    p1 AS (
+      SELECT w.i, round(CAST(w.w AS DOUBLE) / s1.s, 6) AS p
+      FROM wins w JOIN s1 ON w.i = s1.i
+    ),
+    s2 AS (
+      SELECT np.i, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(np.n_ij AS DOUBLE) / (pi.p + pj.p) ORDER BY np.j)),
+               (a, b) -> a + b) AS s
+      FROM np JOIN p1 pi ON np.i = pi.i JOIN p1 pj ON np.j = pj.i
+      GROUP BY np.i
+    ),
+    p2 AS (
+      SELECT w.i, round(CAST(w.w AS DOUBLE) / s2.s, 6) AS p
+      FROM wins w JOIN s2 ON w.i = s2.i
+    )
+    SELECT w.i AS brand, w.contests, w.w AS wins,
+           p1.p AS strength_1, p2.p AS strength_2
+    FROM wins w JOIN p1 ON w.i = p1.i JOIN p2 ON w.i = p2.i
+    ORDER BY strength_2 DESC, brand
+    """,
+)
+def bradley_terry_brands(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .agg(F.sum(_units4("l_extendedprice")).cast("long").alias("spend"))
+    )
+    per = ob.groupBy("o").agg(
+        F.sort_array(F.collect_list(F.struct("b", "spend"))).alias("bs")
+    )
+    # in-task pair expansion bounded by <=7 lines/order (graph-edge
+    # discipline) -> directed win counts at brand-pair grain
+    c = per.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) ->"
+                " transform(slice(bs, i + 2, size(bs)), y -> struct("
+                " CASE WHEN x.spend > y.spend THEN x.b ELSE y.b END AS wb,"
+                " CASE WHEN x.spend > y.spend THEN y.b ELSE x.b END AS lb,"
+                " x.spend = y.spend AS tie))))"
+            )
+        ).alias("p")
+    ).filter(~F.col("p.tie")).select("p.wb", "p.lb")
+    dw = c.groupBy("wb", "lb").agg(F.count(F.lit(1)).cast("long").alias("w_ij"))
+    dw = _materialize(dw)  # brand-pair matrix: wins, np, and both folds
+    np_ = (
+        dw.select(F.col("wb").alias("i"), F.col("lb").alias("j"), F.col("w_ij").alias("n"))
+        .unionByName(
+            dw.select(F.col("lb").alias("i"), F.col("wb").alias("j"),
+                      F.col("w_ij").alias("n"))
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("long").alias("n_ij"))
+    )
+    np_ = _materialize(np_)
+    wsum = dw.groupBy(F.col("wb").alias("i")).agg(
+        F.sum("w_ij").cast("long").alias("wnum")
+    )
+    wins = (
+        np_.groupBy("i")
+        .agg(F.sum("n_ij").cast("long").alias("contests"))
+        .join(wsum, "i", "left")
+        .select("i", F.coalesce("wnum", F.lit(0)).cast("long").alias("w"), "contests")
+    )
+    wins = _materialize(wins)
+
+    def _fold_sum(df_terms):
+        """Ordered left fold of (j, term) in brand order — the exact
+        twin of the oracle's list_reduce(list_prepend(0.0, list(...)))."""
+        return (
+            df_terms.groupBy("i")
+            .agg(F.sort_array(F.collect_list(F.struct("j", "term"))).alias("ts"))
+            .select(
+                "i",
+                F.aggregate(
+                    "ts", F.lit(0.0), lambda acc, x: acc + x["term"]
+                ).alias("s"),
+            )
+        )
+
+    s1 = _fold_sum(
+        np_.select("i", "j", (F.col("n_ij").cast("double") / F.lit(2.0)).alias("term"))
+    )
+    p1 = wins.join(s1, "i").select(
+        "i", F.round(F.col("w").cast("double") / F.col("s"), 6).alias("p")
+    )
+    p1 = _materialize(p1)  # both sides of the second-iteration join
+    s2 = _fold_sum(
+        np_.join(p1.select(F.col("i"), F.col("p").alias("p_i")), "i")
+        .join(
+            p1.select(F.col("i").alias("j"), F.col("p").alias("p_j")), "j"
+        )
+        .select(
+            "i", "j",
+            (F.col("n_ij").cast("double") / (F.col("p_i") + F.col("p_j"))).alias(
+                "term"
+            ),
+        )
+    )
+    p2 = wins.join(s2, "i").select(
+        "i", F.round(F.col("w").cast("double") / F.col("s"), 6).alias("p")
+    )
+    return (
+        wins.join(p1.select("i", F.col("p").alias("strength_1")), "i")
+        .join(p2.select("i", F.col("p").alias("strength_2")), "i")
+        .select(
+            F.col("i").alias("brand"), "contests", F.col("w").alias("wins"),
+            "strength_1", "strength_2",
+        )
+        .orderBy(F.desc("strength_2"), "brand")
+    )
+
+
+# Frequent 3-itemsets with lift — the market-basket step past the
+# existing pair rules (association_rules_parts): triple support needs
+# the cubic expansion BOUNDED IN-TASK (sorted distinct brands per
+# order, <=7 -> <=35 triples emitted map-side; never a 3-way shuffle
+# self-join at fact scale — that is the oracle's job).  Lift vs the
+# independence baseline is computed as a FIXED chain of
+# correctly-rounded double ops ((supp/s_a)·(n/s_b)·(n/s_c)) — exact
+# int products would overflow 2^53 at large N, the chained form is
+# bit-identical at any magnitude.  Deterministic top-20 cut.
+@query(
+    "frequent_triples_parts",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
+    s1 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY 1),
+    t3 AS (
+      SELECT a.b AS ba, b.b AS bb, c.b AS bc, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM ob a
+      JOIN ob b ON a.o = b.o AND a.b < b.b
+      JOIN ob c ON b.o = c.o AND b.b < c.b
+      GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT ba, bb, bc, supp,
+             row_number() OVER (ORDER BY supp DESC, ba, bb, bc) AS rnk
+      FROM t3 QUALIFY rnk <= 20
+    )
+    SELECT t.rnk, t.ba, t.bb, t.bc, t.supp,
+           round(((CAST(t.supp AS DOUBLE) / CAST(sa.s AS DOUBLE))
+                  * (CAST(nn.n AS DOUBLE) / CAST(sb.s AS DOUBLE)))
+                 * (CAST(nn.n AS DOUBLE) / CAST(sc.s AS DOUBLE)), 6) AS lift
+    FROM top t
+    JOIN s1 sa ON t.ba = sa.b
+    JOIN s1 sb ON t.bb = sb.b
+    JOIN s1 sc ON t.bc = sc.b
+    CROSS JOIN nn
+    ORDER BY t.rnk
+    """,
+)
+def frequent_triples_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    ob = _materialize(ob)  # triples, singles and the order count read it
+    nn = ob.agg(F.countDistinct("o").cast("long").alias("n"))
+    s1 = ob.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    per = ob.groupBy("o").agg(F.sort_array(F.collect_set("b")).alias("bs"))
+    t3 = (
+        per.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " flatten(transform(slice(bs, i + 2, size(bs)), (y, j) ->"
+                    " transform(slice(bs, i + j + 3, size(bs)),"
+                    " z -> struct(x AS ba, y AS bb, z AS bc))))))"
+                )
+            ).alias("t")
+        )
+        .select("t.ba", "t.bb", "t.bc")
+        .groupBy("ba", "bb", "bc")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    )
+    top = (
+        t3.orderBy(F.desc("supp"), "ba", "bb", "bc")
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("supp"), "ba", "bb", "bc")
+            ),
+        )
+    )
+    return (
+        top.join(F.broadcast(s1.select(F.col("b").alias("ba"),
+                                       F.col("s").alias("s_a"))), "ba")
+        .join(F.broadcast(s1.select(F.col("b").alias("bb"),
+                                    F.col("s").alias("s_b"))), "bb")
+        .join(F.broadcast(s1.select(F.col("b").alias("bc"),
+                                    F.col("s").alias("s_c"))), "bc")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "rnk", "ba", "bb", "bc", "supp",
+            F.round(
+                (
+                    (F.col("supp").cast("double") / F.col("s_a").cast("double"))
+                    * (F.col("n").cast("double") / F.col("s_b").cast("double"))
+                )
+                * (F.col("n").cast("double") / F.col("s_c").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("rnk")
     )
 
 

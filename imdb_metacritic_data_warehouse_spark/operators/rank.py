@@ -71,3 +71,78 @@ def global_row_number(
         .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )
+
+
+def global_prefix(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_cols: list[str],
+    rn_col: str | None = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Row number + inclusive prefix sums of several columns under ONE
+    total order through ONE range exchange (the fused N-ary twin of
+    ``global_row_number`` / ``packing.global_cumsum`` — ECDF-style
+    consumers need rank AND two cumulative counts, and three separate
+    two-phase passes would shuffle the same frame three times).
+
+    Prefix sums come back as ``cum_<value_col>`` (long).  Same
+    correctness constraint as the single-value primitives: persist()
+    pins ONE execution of the sampled range exchange so the local and
+    offsets branches can never see different partition bounds.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).persist()
+    # __pid must be STAMPED as a column once, and every window spec must
+    # reference the COLUMN: with several WindowExec nodes in one chain, a
+    # raw spark_partition_id() inside the second window's partitionBy is
+    # re-evaluated AFTER the first window's exchange re-laid rows out —
+    # local sums then group by post-shuffle partition ids, silently
+    # corrupting the prefix (caught by wasserstein_drift's first oracle
+    # run; the single-window primitives above never hit this).
+    local = parted.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy(F.col("__pid"))
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if rn_col is not None:
+        local = local.withColumn(
+            "__local_rn",
+            F.row_number().over(
+                Window.partitionBy(F.col("__pid")).orderBy(*order_cols)
+            ),
+        )
+    for v in value_cols:
+        local = local.withColumn(f"__local_{v}", F.sum(v).over(w))
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum(v).alias(f"__tot_{v}") for v in value_cols
+    ]
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__pid")
+        .agg(*aggs)
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off_rn"),
+            *[
+                F.coalesce(F.sum(f"__tot_{v}").over(woff), F.lit(0)).alias(
+                    f"__off_{v}"
+                )
+                for v in value_cols
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    if rn_col is not None:
+        out = out.withColumn(
+            rn_col, (F.col("__local_rn") + F.col("__off_rn")).cast("long")
+        )
+    for v in value_cols:
+        out = out.withColumn(
+            f"cum_{v}", (F.col(f"__local_{v}") + F.col(f"__off_{v}")).cast("long")
+        )
+    drop = ["__pid", "__off_rn"] + (
+        ["__local_rn"] if rn_col is not None else []
+    ) + [c for v in value_cols for c in (f"__local_{v}", f"__off_{v}")]
+    return out.drop(*drop)

@@ -813,7 +813,10 @@ def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
             "pos",
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws(" ", *[f"w{k}" for k in range(n)])),
+                    F.md5(F.concat(*[
+                        c for k in range(n)
+                        for c in ([F.lit(" ")] if k else []) + [F.col(f"w{k}")]
+                    ])),
                     1, 10,
                 ), 16, 10,
             ).cast("long").alias("h"),

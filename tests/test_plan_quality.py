@@ -1098,3 +1098,78 @@ def test_dsir_selection_rank_is_two_phase(spark):
 
     plan = _plan(QUERIES["dsir_selection_docs"](spark, SF_DIR))
     assert "rangepartitioning" in plan.lower()
+
+
+def test_wave22_plan_audit(spark):
+    """Wave-22 plan audit.  wasserstein: the ECDF ranks+cumsums ride ONE
+    fused range exchange (rank.global_prefix) — rangepartitioning must
+    appear, no cartesian joins, and the only ordered UNPARTITIONED
+    windows are the __pid offset scan plus the 6-row per-priority
+    totals frame (order on grp — post-aggregation, dimension-sized).
+    hill: two-phase rank (rangepartitioning), the k-threshold join is
+    broadcast.  mrr: anchor token sets broadcast into the corpus scan.
+    shapley: the coalition algebra is all broadcast-sized (≤32-row
+    frames); the corpus-scale reduction is the shingle distinct."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["wasserstein_drift_orders"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan.lower()
+    for part, order in _window_nodes(plan):
+        if part.strip():
+            continue
+        if " ASC" not in order and " DESC" not in order:
+            continue
+        assert "__pid" in order or "grp" in order, order
+
+    plan = _plan(QUERIES["hill_tail_index_orders"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan
+
+    plan = _plan(QUERIES["mrr_retrieval_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+    plan = _plan(QUERIES["shapley_source_valuation_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_wave23_plan_audit(spark):
+    """Wave-23 plan audit.  isotonic: corpus reduces to a <=10-row
+    decile frame (materialized once — Scan ExistingRDD), the PAV
+    interval algebra is broadcast-sized.  bradley_terry: contests
+    reduce to the brand-pair matrix map-side (in-task pair expansion —
+    no fact-scale self-join), the MM folds run over dimension-sized
+    frames.  frequent_triples: the cubic expansion is in-task
+    (flatten/transform over per-order baskets, never a 3-way
+    shuffle self-join), the top-20 cut plans as
+    TakeOrderedAndProject."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["isotonic_calibration_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+    plan = _plan(QUERIES["bradley_terry_brands"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # pair matrix materialized once
+    # the part-dim broadcast happens BEFORE the pair-matrix checkpoint
+    # (NOTES: _materialize hides upstream BroadcastExchange — gate the
+    # pre-checkpoint stage)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    from pyspark.sql import functions as FF
+
+    ob_plan = _plan(
+        li.join(
+            FF.broadcast(pt.select("p_partkey", "p_brand")),
+            li.l_partkey == FF.col("p_partkey"),
+        ).groupBy("l_orderkey", "p_brand").count()
+    )
+    assert "BroadcastExchange" in ob_plan
+
+    plan = _plan(QUERIES["frequent_triples_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
