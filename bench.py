@@ -332,6 +332,11 @@ HEADLINE = [
     "isotonic_calibration_docs",
     "bradley_terry_brands",
     "frequent_triples_parts",
+    # wave 24
+    "km_survival_users",
+    "page_hinkley_daily",
+    "linear_interp_user_hours",
+    "quantile_normalize_embeddings",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

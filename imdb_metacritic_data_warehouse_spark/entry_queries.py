@@ -21342,6 +21342,484 @@ def frequent_triples_parts(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave 24 — Kaplan-Meier survival curve, Page-Hinkley drift,
+# linear gap interpolation, quantile normalization.
+
+# Kaplan-Meier SURVIVAL CURVE — the product-limit estimator S(t) =
+# Π_{s<=t}(1 − d_s/n_s) completing hazard_table_users (which stops at
+# per-day hazards).  The prefix PRODUCT over the calendar spine is the
+# one shape no cumulative window expresses; exp(Σ ln) is banned for
+# parity (ln/exp are not correctly rounded).  Spark-first answer: the
+# spine is calendar-bounded (the cusum argument), so the whole curve
+# folds inside ONE array — prefix products via aggregate(slice(...)) —
+# an O(days²) fold on a dimension-sized array, bit-identical to
+# DuckDB's list_reduce twin because float multiplication is correctly
+# rounded and both engines fold in ascending day order.
+@query(
+    "km_survival_users",
+    """
+    WITH life AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT MIN(fd) AS d0, MAX(ld) AS d1 FROM life),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    ),
+    starts AS (SELECT fd AS d, COUNT(*) AS ns FROM life GROUP BY fd),
+    ends AS (SELECT ld AS d, COUNT(*) AS ne FROM life GROUP BY ld),
+    cum AS (
+      SELECT s.d,
+             SUM(COALESCE(st.ns, 0)) OVER (ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             SUM(COALESCE(en.ne, 0)) OVER (ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+             COALESCE(en.ne, 0) AS churned
+      FROM spine s
+      LEFT JOIN starts st ON s.d = st.d
+      LEFT JOIN ends en ON s.d = en.d
+    ),
+    rows_ AS (
+      SELECT d, CAST(cs - (ce - churned) AS BIGINT) AS at_risk,
+             CAST(churned AS BIGINT) AS churned,
+             1.0 - CAST(churned AS DOUBLE) / (cs - (ce - churned)) AS factor
+      FROM cum
+    ),
+    arr AS (
+      SELECT list(struct_pack(d := d, at_risk := at_risk,
+                              churned := churned, factor := factor)
+                  ORDER BY d) AS a
+      FROM rows_
+    ),
+    curve AS (
+      SELECT unnest(list_transform(range(1, len(a) + 1), i -> struct_pack(
+               d := a[i].d, at_risk := a[i].at_risk, churned := a[i].churned,
+               factor := a[i].factor,
+               surv := list_reduce(
+                 list_prepend(CAST(1 AS DOUBLE),
+                              list_transform(a[1:i], z -> z.factor)),
+                 (p, q) -> p * q)))) AS r
+      FROM arr
+    )
+    SELECT CAST(r.d AS VARCHAR) AS day, r.at_risk, r.churned,
+           round(1.0 - r.factor, 6) AS hazard,
+           round(r.surv, 6) AS survival
+    FROM curve ORDER BY day
+    """,
+)
+def km_survival_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    life = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    life = _materialize(life)  # bounds, starts and ends all read it
+    bounds = life.agg(F.min("fd").alias("d0"), F.max("ld").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    starts = life.groupBy(F.col("fd").alias("d")).agg(F.count(F.lit(1)).alias("ns"))
+    ends = life.groupBy(F.col("ld").alias("d")).agg(F.count(F.lit(1)).alias("ne"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        spine.join(starts, "d", "left")
+        .join(ends, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce("ns", F.lit(0))).over(wcum).alias("cs"),
+            F.sum(F.coalesce("ne", F.lit(0))).over(wcum).alias("ce"),
+            F.coalesce("ne", F.lit(0)).alias("churned"),
+        )
+    )
+    at_risk = F.col("cs") - (F.col("ce") - F.col("churned"))
+    rows_ = cum.select(
+        "d",
+        at_risk.cast("bigint").alias("at_risk"),
+        F.col("churned").cast("bigint").alias("churned"),
+        (F.lit(1.0) - F.col("churned").cast("double") / at_risk).alias("factor"),
+    )
+    one = rows_.agg(
+        F.sort_array(
+            F.collect_list(F.struct("d", "at_risk", "churned", "factor"))
+        ).alias("a")
+    )
+    curve = one.select(
+        F.explode(
+            F.expr(
+                "transform(a, (x, i) -> struct("
+                " x.d AS d, x.at_risk AS at_risk, x.churned AS churned,"
+                " x.factor AS factor,"
+                " aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),"
+                "           (acc, y) -> acc * y.factor) AS surv))"
+            )
+        ).alias("r")
+    )
+    return curve.select(
+        F.col("r.d").cast("string").alias("day"),
+        F.col("r.at_risk").alias("at_risk"),
+        F.col("r.churned").alias("churned"),
+        F.round(F.lit(1.0) - F.col("r.factor"), 6).alias("hazard"),
+        F.round(F.col("r.surv"), 6).alias("survival"),
+    ).orderBy("day")
+
+
+# Page-Hinkley mean-drift detector over daily revenue — the sequential
+# changepoint test beside CUSUM (which tests against the GLOBAL mean;
+# PH tests each day against the RUNNING mean, the online-monitoring
+# form).  m_T = Σ_{t<=T}(x_t − μ̂_t − δ), PH_T = max_{s<=T} m_s − m_T,
+# alarm when PH > λ.  Parity: the per-day deviations are quotients of
+# exact int64s with ARBITRARY denominators t, so no rounding scale is
+# tie-free (rule #4 — the first draft round-6'd them and hit exact
+# half-way splits at sf0.01); instead the raw deviations (identical
+# doubles: one correctly-rounded division chain) fold to prefix sums
+# inside ONE calendar-bounded array, ascending-day left folds both
+# engines reproduce bit-identically (the km_survival discipline), and
+# the max/alarm compare those identical doubles directly.
+@query(
+    "page_hinkley_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS xu
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT d, xu,
+             row_number() OVER (ORDER BY d) AS t,
+             SUM(xu) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS su
+      FROM daily
+    ),
+    devs AS (
+      SELECT d, t, su,
+             CAST(xu * t - su AS DOUBLE) / CAST(t AS DOUBLE) / 10000.0
+               - 100.0 AS dev
+      FROM seq
+    ),
+    arr AS (
+      SELECT list(struct_pack(d := d, t := t, su := su, dev := dev)
+                  ORDER BY d) AS a
+      FROM devs
+    ),
+    m AS (
+      SELECT unnest(list_transform(range(1, len(a) + 1), i -> struct_pack(
+               d := a[i].d, t := a[i].t, su := a[i].su,
+               m_val := list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(a[1:i], z -> z.dev)),
+                 (p, q) -> p + q)))) AS r
+      FROM arr
+    ),
+    ph AS (
+      SELECT r.d AS d, r.t AS t, r.su AS su, r.m_val AS m_val,
+             MAX(r.m_val) OVER (ORDER BY r.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+      FROM m
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST((su * 100) // (t * 10000) AS BIGINT) AS running_mean_cents,
+           round(m_val / 1000000.0, 6) AS m_stat_mm,
+           round((mx - m_val) / 1000000.0, 6) AS ph_stat_mm,
+           CASE WHEN mx - m_val > 5000.0 THEN 1 ELSE 0 END AS is_alarm
+    FROM ph ORDER BY day
+    """,
+)
+def page_hinkley_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(_units4("o_totalprice")).cast("long").alias("xu")
+    )
+    wday = Window.orderBy("d")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "d", "xu",
+        F.row_number().over(wday).alias("t"),
+        F.sum("xu").over(wcum).alias("su"),
+    )
+    devs = seq.select(
+        "d", "t", "su",
+        (
+            (F.col("xu") * F.col("t") - F.col("su")).cast("double")
+            / F.col("t").cast("double")
+            / F.lit(10000.0)
+            - F.lit(100.0)
+        ).alias("dev"),
+    )
+    one = devs.agg(
+        F.sort_array(F.collect_list(F.struct("d", "t", "su", "dev"))).alias("a")
+    )
+    m = one.select(
+        F.explode(
+            F.expr(
+                "transform(a, (x, i) -> struct("
+                " x.d AS d, x.t AS t, x.su AS su,"
+                " aggregate(slice(a, 1, i + 1), CAST(0.0 AS DOUBLE),"
+                "           (acc, y) -> acc + y.dev) AS m_val))"
+            )
+        ).alias("r")
+    ).select("r.d", "r.t", "r.su", "r.m_val")
+    ph = m.select(
+        "d", "t", "su", "m_val", F.max("m_val").over(wcum).alias("mx")
+    )
+    # display scales chosen so the rounding grid stays ORDERS OF
+    # MAGNITUDE above the double's ulp at the value's magnitude (m ~1e8
+    # dollars: ulp 1.5e-8 vs a 1e-6 grid collided once per ~100 rows at
+    # sf0.1 — engines' round() split within-ulp boundary cases); in
+    # millions the ratio is ~1e-8.  The alarm compares the RAW
+    # identical doubles, so it is exact at any scale.
+    return ph.select(
+        F.col("d").cast("string").alias("day"),
+        # running mean as floor-truncated integer cents: su/t is a
+        # rational with arbitrary denominator, so ANY float rounding
+        # scale has pinned half-way ties (rule #4) — integer floor
+        # division is exact in both engines
+        F.expr("CAST((su * 100) DIV (t * 10000) AS BIGINT)").alias(
+            "running_mean_cents"
+        ),
+        F.round(F.col("m_val") / F.lit(1000000.0), 6).alias("m_stat_mm"),
+        F.round((F.col("mx") - F.col("m_val")) / F.lit(1000000.0), 6)
+        .alias("ph_stat_mm"),
+        F.when(F.col("mx") - F.col("m_val") > F.lit(5000.0), 1)
+        .otherwise(0).alias("is_alarm"),
+    ).orderBy("day")
+
+
+# Linear interpolation across sensor gaps — the resampling twin of
+# gap_fill_user_hours (carry-forward): missing hours take the value on
+# the straight line between the neighboring observations, the standard
+# time-series regularization before feature extraction.  Exact
+# discipline: observed hourly values are exact int64 1e-4-unit sums
+# with counts; the interpolation is ONE fixed chain of
+# correctly-rounded double ops (pv + (nv−pv)·(k/g)) — identical both
+# engines at any magnitude; per-user report sums round-6 values as
+# int64 1e-6 units (order-free).
+@query(
+    "linear_interp_user_hours",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                  AS BIGINT) AS su
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.h, CAST(epoch(s.h) // 3600 AS BIGINT) AS hi,
+             y.n, y.su
+      FROM spine s LEFT JOIN hourly y ON s.user_id = y.user_id AND s.h = y.h
+    ),
+    carried AS (
+      SELECT user_id, h, hi, n, su,
+             last_value(CASE WHEN n IS NOT NULL
+                             THEN struct_pack(hi := hi, su := su, n := n) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             first_value(CASE WHEN n IS NOT NULL
+                              THEN struct_pack(hi := hi, su := su, n := n) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM joined
+    ),
+    filled AS (
+      SELECT user_id, h,
+             CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             round(CASE WHEN n IS NOT NULL
+               THEN CAST(su AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+               ELSE (CAST(prev.su AS DOUBLE) / CAST(prev.n AS DOUBLE)
+                     + (CAST(nxt.su AS DOUBLE) / CAST(nxt.n AS DOUBLE)
+                        - CAST(prev.su AS DOUBLE) / CAST(prev.n AS DOUBLE))
+                       * (CAST(hi - prev.hi AS DOUBLE)
+                          / CAST(nxt.hi - prev.hi AS DOUBLE))) / 10000.0
+             END, 6) AS v
+      FROM carried
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(observed) AS BIGINT) AS n_observed,
+           CAST(COUNT(*) - SUM(observed) AS BIGINT) AS n_interpolated,
+           round(CAST(SUM(CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_filled
+    FROM filled GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def linear_interp_user_hours(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_units4("value")).cast("long").alias("su"),
+    )
+    hourly = _materialize(hourly)  # feeds bounds AND the join probe
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h",
+        F.floor(F.unix_timestamp("h") / 3600).cast("long").alias("hi"),
+        "n", "su",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(F.col("n").isNotNull(), F.struct("hi", "su", "n"))
+    carried = joined.select(
+        "user_id", "h", "hi", "n", "su",
+        F.last(obs, ignorenulls=True).over(wprev).alias("prev"),
+        F.first(obs, ignorenulls=True).over(wnext).alias("nxt"),
+    )
+    pv = F.col("prev.su").cast("double") / F.col("prev.n").cast("double")
+    nv = F.col("nxt.su").cast("double") / F.col("nxt.n").cast("double")
+    frac = (F.col("hi") - F.col("prev.hi")).cast("double") / (
+        F.col("nxt.hi") - F.col("prev.hi")
+    ).cast("double")
+    filled = carried.select(
+        "user_id", "h",
+        F.when(F.col("n").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.round(
+            F.when(
+                F.col("n").isNotNull(),
+                F.col("su").cast("double") / F.col("n").cast("double") / 10000.0,
+            ).otherwise((pv + (nv - pv) * frac) / 10000.0),
+            6,
+        ).alias("v"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("observed").cast("bigint").alias("n_observed"),
+            (F.count(F.lit(1)) - F.sum("observed")).cast("bigint")
+            .alias("n_interpolated"),
+            F.round(
+                F.sum(
+                    (F.col("v").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_filled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Quantile normalization of embedding dimensions — the feature-prep
+# transform (classic in bioinformatics, used on feature columns before
+# quantization) that forces every dimension onto the SAME distribution:
+# the rank-r value of each dim becomes the cross-dim average of rank-r
+# values.  Spark-first: per-dim ranks need NO per-dim window (64
+# partitions = skew cliff) — ONE two-phase global rank over
+# (dim, value, vec_id), then rank_in_dim = rn − dim·N because every
+# dim has exactly N values (arithmetic, no join).  Values quantize to
+# the 1e-7 integer grid (finer than float32 resolution — the exact-Gram
+# discipline), so profiles and shift sums are exact integers.
+@query(
+    "quantile_normalize_embeddings",
+    """
+    WITH x AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(floor(CAST(u.v AS DOUBLE) * 10000000 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding::DOUBLE[], (v, i) ->
+                 struct_pack(v := v, i := i - 1))) AS u
+        FROM embeddings
+      )
+    ),
+    r AS (
+      SELECT dim, q,
+             row_number() OVER (PARTITION BY dim ORDER BY q, vec_id) AS rk
+      FROM (SELECT vec_id, dim, q FROM x)
+    ),
+    prof AS (
+      SELECT rk, CAST(SUM(q) AS BIGINT) AS psum FROM r GROUP BY rk
+    ),
+    shifted AS (
+      SELECT r.dim, r.q, p.psum,
+             abs(r.q * 64 - p.psum) AS shift_u
+      FROM r JOIN prof p ON r.rk = p.rk
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 10000000.0, 6) AS mean_raw,
+           round(CAST(SUM(psum) AS DOUBLE) / 64.0 / COUNT(*) / 10000000.0, 6)
+             AS mean_normalized,
+           round(CAST(SUM(shift_u) AS DOUBLE) / 64.0 / COUNT(*) / 10000000.0, 6)
+             AS mean_abs_shift
+    FROM shifted GROUP BY dim ORDER BY dim
+    """,
+)
+def quantile_normalize_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("v").cast("double") * 10000000 + F.lit(0.5))
+        .cast("long").alias("q"),
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    ranked = global_row_number(
+        x, [F.col("dim"), F.col("q"), F.col("vec_id")], out_col="rn"
+    )
+    # rank_in_dim = rn − dim·N: every dim holds exactly N values, so the
+    # per-dim rank is pure arithmetic over the ONE global range exchange
+    r = ranked.crossJoin(F.broadcast(n_vec)).select(
+        "dim", "q", (F.col("rn") - F.col("dim") * F.col("nv")).alias("rk")
+    )
+    r = _materialize(r)  # profile AND the shift join read it
+    prof = r.groupBy("rk").agg(F.sum("q").cast("long").alias("psum"))
+    shifted = r.join(prof, "rk").select(
+        "dim", "q", "psum", F.abs(F.col("q") * 64 - F.col("psum")).alias("shift_u")
+    )
+    return (
+        shifted.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(10000000.0), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum("psum").cast("double") / F.lit(64.0) / F.count(F.lit(1))
+                / F.lit(10000000.0),
+                6,
+            ).alias("mean_normalized"),
+            F.round(
+                F.sum("shift_u").cast("double") / F.lit(64.0) / F.count(F.lit(1))
+                / F.lit(10000000.0),
+                6,
+            ).alias("mean_abs_shift"),
+        )
+        .orderBy("dim")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -21457,7 +21935,13 @@ _PRIORITY_PREFIX = [
 # (winnowing_fingerprints_docs, dsir_selection_docs,
 # naive_bayes_lang_docs, spell_candidates_docs, cdc_chunk_dedup_docs)
 # and the wave-21 pair (ecod_outliers_embeddings,
-# textrank_keywords_docs) are locally oracle-green at
+# textrank_keywords_docs), the wave-22 quartet
+# (wasserstein_drift_orders, hill_tail_index_orders,
+# mrr_retrieval_audit, shapley_source_valuation_docs), the wave-23
+# trio (isotonic_calibration_docs, bradley_terry_brands,
+# frequent_triples_parts) and the wave-24 quartet (km_survival_users,
+# page_hinkley_daily, linear_interp_user_hours,
+# quantile_normalize_embeddings) are locally oracle-green at
 # sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

@@ -1173,3 +1173,26 @@ def test_wave23_plan_audit(spark):
     plan = _plan(QUERIES["frequent_triples_parts"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wave24_plan_audit(spark):
+    """Wave-24 plan audit.  km/page_hinkley: corpus reduces to a
+    calendar-bounded series whose prefix folds live inside ONE array
+    (no data-scale windows; the only ordered unpartitioned windows run
+    over the day spine).  linear_interp: all windows are per-user.
+    quantile_normalize: per-dim ranks ride ONE two-phase range
+    exchange (rangepartitioning), never a 64-partition window."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    for name in ["km_survival_users", "page_hinkley_daily"]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+    plan = _plan(QUERIES["linear_interp_user_hours"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for part, order in _window_nodes(plan):
+        assert part.strip(), order  # every window is user-partitioned
+
+    plan = _plan(QUERIES["quantile_normalize_embeddings"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan.lower()
