@@ -337,6 +337,9 @@ HEADLINE = [
     "page_hinkley_daily",
     "linear_interp_user_hours",
     "quantile_normalize_embeddings",
+    # wave 25
+    "logrank_test_users",
+    "holt_winters_daily",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -21820,6 +21820,296 @@ def quantile_normalize_embeddings(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave 25 — log-rank cohort comparison, Holt-Winters seasonal
+# smoothing.
+
+# Log-rank test — "do these two cohorts churn at the same rate?", the
+# standard survival-curve comparison completing the KM family (hazard
+# table → survival curve → two-sample test).  Cohorts split by the
+# engine-portable content hash.  Per event day: observed churn d_A vs
+# expected d·n_A/n under the null, variance the hypergeometric term.
+# The per-day terms are rationals with arbitrary denominators — no
+# rounding scale is tie-free (rule #4) — so, like page_hinkley, the
+# calendar-bounded series folds RAW identical doubles inside one
+# array, in ascending day order, on both engines; only the final
+# statistic is rounded.
+@query(
+    "logrank_test_users",
+    """
+    WITH life AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS fd, MAX(CAST(ts AS DATE)) AS ld,
+             CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < 5000
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT MIN(fd) AS d0, MAX(ld) AS d1 FROM life),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    ),
+    starts AS (
+      SELECT fd AS d, COUNT(*) AS ns, CAST(SUM(in_a) AS BIGINT) AS ns_a
+      FROM life GROUP BY fd
+    ),
+    ends AS (
+      SELECT ld AS d, COUNT(*) AS ne, CAST(SUM(in_a) AS BIGINT) AS ne_a
+      FROM life GROUP BY ld
+    ),
+    cum AS (
+      SELECT s.d,
+             SUM(COALESCE(st.ns, 0)) OVER w AS cs,
+             SUM(COALESCE(en.ne, 0)) OVER w AS ce,
+             SUM(COALESCE(st.ns_a, 0)) OVER w AS cs_a,
+             SUM(COALESCE(en.ne_a, 0)) OVER w AS ce_a,
+             COALESCE(en.ne, 0) AS dd,
+             COALESCE(en.ne_a, 0) AS dd_a
+      FROM spine s
+      LEFT JOIN starts st ON s.d = st.d
+      LEFT JOIN ends en ON s.d = en.d
+      WINDOW w AS (ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    terms AS (
+      SELECT d,
+             CAST(dd AS BIGINT) AS dd, CAST(dd_a AS BIGINT) AS dd_a,
+             CAST(cs - (ce - dd) AS BIGINT) AS n,
+             CAST(cs_a - (ce_a - dd_a) AS BIGINT) AS n_a
+      FROM cum
+      WHERE dd > 0 AND cs - (ce - dd) > 1
+    ),
+    devs AS (
+      SELECT d, dd_a,
+             CAST(dd AS DOUBLE) * CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE) AS e_a,
+             CAST(dd AS DOUBLE) * (CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n - dd AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS v_a
+      FROM terms
+    ),
+    arr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dd_a) AS BIGINT) AS o_a,
+             list(e_a ORDER BY d) AS es,
+             list(v_a ORDER BY d) AS vs
+      FROM devs
+    ),
+    folded AS (
+      SELECT n_days, o_a,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), es),
+                         (p, q) -> p + q) AS e_sum,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+                         (p, q) -> p + q) AS v_sum
+      FROM arr
+    )
+    SELECT n_days, o_a AS observed_a,
+           round(e_sum, 6) AS expected_a,
+           round((CAST(o_a AS DOUBLE) - e_sum) * (CAST(o_a AS DOUBLE) - e_sum)
+                 / v_sum, 6) AS chi2_logrank
+    FROM folded
+    """,
+)
+def logrank_test_users(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    e = _events(spark, sf_dir)
+    life = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    ).select(
+        "user_id", "fd", "ld",
+        F.when(hash_bucket(F.col("user_id")) < 5000, 1).otherwise(0).alias("in_a"),
+    )
+    life = _materialize(life)
+    bounds = life.agg(F.min("fd").alias("d0"), F.max("ld").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    starts = life.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("in_a").cast("long").alias("ns_a")
+    )
+    ends = life.groupBy(F.col("ld").alias("d")).agg(
+        F.count(F.lit(1)).alias("ne"), F.sum("in_a").cast("long").alias("ne_a")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        spine.join(starts, "d", "left")
+        .join(ends, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce("ns", F.lit(0))).over(wcum).alias("cs"),
+            F.sum(F.coalesce("ne", F.lit(0))).over(wcum).alias("ce"),
+            F.sum(F.coalesce("ns_a", F.lit(0))).over(wcum).alias("cs_a"),
+            F.sum(F.coalesce("ne_a", F.lit(0))).over(wcum).alias("ce_a"),
+            F.coalesce("ne", F.lit(0)).alias("dd"),
+            F.coalesce("ne_a", F.lit(0)).alias("dd_a"),
+        )
+    )
+    n = F.col("cs") - (F.col("ce") - F.col("dd"))
+    n_a = F.col("cs_a") - (F.col("ce_a") - F.col("dd_a"))
+    terms = cum.filter((F.col("dd") > 0) & (n > 1)).select(
+        "d",
+        F.col("dd").cast("long").alias("dd"),
+        F.col("dd_a").cast("long").alias("dd_a"),
+        n.cast("long").alias("n"),
+        n_a.cast("long").alias("n_a"),
+    )
+    ratio = F.col("n_a").cast("double") / F.col("n").cast("double")
+    devs = terms.select(
+        "d", "dd_a",
+        (F.col("dd").cast("double") * ratio).alias("e_a"),
+        (
+            F.col("dd").cast("double") * ratio * (F.lit(1.0) - ratio)
+            * ((F.col("n") - F.col("dd")).cast("double")
+               / (F.col("n") - 1).cast("double"))
+        ).alias("v_a"),
+    )
+    arr = devs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dd_a").cast("bigint").alias("o_a"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, e_a))), s -> s.e_a)"
+        ).alias("es"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, v_a))), s -> s.v_a)"
+        ).alias("vs"),
+    )
+    folded = arr.select(
+        "n_days", "o_a",
+        F.expr(
+            "aggregate(es, CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+        ).alias("e_sum"),
+        F.expr(
+            "aggregate(vs, CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+        ).alias("v_sum"),
+    )
+    diff = F.col("o_a").cast("double") - F.col("e_sum")
+    return folded.select(
+        "n_days",
+        F.col("o_a").alias("observed_a"),
+        F.round(F.col("e_sum"), 6).alias("expected_a"),
+        F.round(diff * diff / F.col("v_sum"), 6).alias("chi2_logrank"),
+    )
+
+
+# Holt-Winters additive triple exponential smoothing — the seasonal
+# extension of holt_forecast (level+trend) over the DAILY revenue
+# series with weekly seasonality: the state is [level, trend,
+# s_next..s_next+6] and each step both updates and ROTATES the
+# seasonal window.  Same fold discipline: one calendar-bounded
+# per-series array, the identical left fold on both engines (state as
+# a 9-double array), every intermediate bit-equal; init is the classic
+# first-week average (l0 = mean week 1, b0 = 0, s_i = y_i − l0).
+# α=0.5, β=0.3, γ=0.2 as exact binary-fraction-free literals is fine:
+# constants parse to identical doubles.
+@query(
+    "holt_winters_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    ser AS (
+      SELECT list(CAST(cents AS DOUBLE) ORDER BY d) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    ),
+    init AS (
+      SELECT ys, n_days,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), ys[1:7]),
+                         (p, q) -> p + q) / 7.0 AS l0
+      FROM ser WHERE n_days >= 21
+    ),
+    fit AS (
+      SELECT n_days, l0,
+             list_reduce(
+               list_prepend(
+                 [l0, CAST(0 AS DOUBLE),
+                  ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0,
+                  ys[5] - l0, ys[6] - l0, ys[7] - l0],
+                 list_transform(ys[8:], y -> [y])),
+               (acc, x) -> [
+                 0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                 0.3 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                        - acc[1]) + 0.7 * acc[2],
+                 acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                 0.2 * (x[1] - (0.5 * (x[1] - acc[3])
+                                + 0.5 * (acc[1] + acc[2])))
+                   + 0.8 * acc[3]
+               ]) AS st
+      FROM init
+    )
+    SELECT n_days,
+           round(st[1] / 100.0, 4) AS level,
+           round(st[2] / 100.0, 4) AS trend,
+           round(st[3] / 100.0, 4) AS season_next,
+           round((st[1] + st[2] + st[3]) / 100.0, 4) AS forecast_next
+    FROM fit
+    """,
+)
+def holt_winters_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ser = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cents))), "
+            "s -> CAST(s.cents AS DOUBLE))"
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    init = ser.filter(F.col("n_days") >= 21).select(
+        "ys", "n_days",
+        F.expr(
+            "aggregate(slice(ys, 1, 7), CAST(0.0 AS DOUBLE),"
+            " (p, q) -> p + q) / 7.0D"
+        ).alias("l0"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(slice(ys, 8, size(ys) - 7), y -> array(y)),
+          array(l0, CAST(0.0 AS DOUBLE),
+                element_at(ys, 1) - l0, element_at(ys, 2) - l0,
+                element_at(ys, 3) - l0, element_at(ys, 4) - l0,
+                element_at(ys, 5) - l0, element_at(ys, 6) - l0,
+                element_at(ys, 7) - l0),
+          (acc, x) -> array(
+            0.5D * (element_at(x, 1) - element_at(acc, 3))
+              + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+            0.3D * ((0.5D * (element_at(x, 1) - element_at(acc, 3))
+                     + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))
+                    - element_at(acc, 1)) + 0.7D * element_at(acc, 2),
+            element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
+            element_at(acc, 7), element_at(acc, 8), element_at(acc, 9),
+            0.2D * (element_at(x, 1)
+                    - (0.5D * (element_at(x, 1) - element_at(acc, 3))
+                       + 0.5D * (element_at(acc, 1) + element_at(acc, 2))))
+              + 0.8D * element_at(acc, 3)
+          )
+        )
+        """
+    )
+    return init.select("n_days", fold.alias("st")).select(
+        "n_days",
+        F.round(F.element_at("st", 1) / F.lit(100.0), 4).alias("level"),
+        F.round(F.element_at("st", 2) / F.lit(100.0), 4).alias("trend"),
+        F.round(F.element_at("st", 3) / F.lit(100.0), 4).alias("season_next"),
+        F.round(
+            (
+                F.element_at("st", 1)
+                + F.element_at("st", 2)
+                + F.element_at("st", 3)
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("forecast_next"),
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -21941,7 +22231,8 @@ _PRIORITY_PREFIX = [
 # trio (isotonic_calibration_docs, bradley_terry_brands,
 # frequent_triples_parts) and the wave-24 quartet (km_survival_users,
 # page_hinkley_daily, linear_interp_user_hours,
-# quantile_normalize_embeddings) are locally oracle-green at
+# quantile_normalize_embeddings) and the wave-25 pair
+# (logrank_test_users, holt_winters_daily) are locally oracle-green at
 # sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

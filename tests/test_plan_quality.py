@@ -1196,3 +1196,15 @@ def test_wave24_plan_audit(spark):
     plan = _plan(QUERIES["quantile_normalize_embeddings"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_wave25_plan_audit(spark):
+    """Wave-25 plan audit: both queries reduce the fact table to a
+    calendar-bounded series and fold INSIDE one array — no
+    cartesian joins; the only ordered unpartitioned windows run over
+    the day spine (post-aggregation, bounded)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    for name in ["logrank_test_users", "holt_winters_daily"]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
