@@ -340,6 +340,10 @@ HEADLINE = [
     # wave 25
     "logrank_test_users",
     "holt_winters_daily",
+    # wave 26
+    "cka_quantization_audit",
+    "seasonal_anomaly_monthly",
+    "neardup_cluster_tightness",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

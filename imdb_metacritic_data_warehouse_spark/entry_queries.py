@@ -22110,6 +22110,455 @@ def holt_winters_daily(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave 26 — representation-similarity audit (linear CKA) of
+# int8 quantization.
+
+# Linear CKA between the embedding matrix X and its int8 symmetric
+# (de)quantization Y — the representation-similarity number
+# (Kornblith et al. 2019) that answers "did quantization preserve the
+# GEOMETRY, not just the values?": CKA = ||Cxy||²_F /
+# (||Cxx||_F·||Cyy||_F) over column-centered cross-covariances.
+# Exact discipline: both matrices quantize to the SAME 1e-4 metric
+# grid (the metric is defined on the grid, so coarseness is not
+# error); the three Gram grids are exact integers from ONE
+# mapInPandas block-matmul pass (operators/similarity.cka_grids — the
+# gram_upper_cells scale shape: dim²·blocks through the shuffle,
+# never dim²·N); centered cells N·G − S_i·S_j are exact decimals; the
+# three Frobenius sums fold the identical cell doubles in (i,j) order
+# inside one dim²-bounded array on both engines.
+@query(
+    "cka_quantization_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    comp AS (
+      SELECT vec_id, g.i AS i,
+             CAST(floor(v[g.i] * 10000.0 + 0.5) AS BIGINT) AS qx,
+             CAST(floor((floor(v[g.i] * 127.0 + 0.5) / 127.0) * 10000.0
+                        + 0.5) AS BIGINT) AS qy
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    ),
+    sums AS (
+      SELECT i, CAST(SUM(qx) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(qy) AS DECIMAL(38,0)) AS sy
+      FROM comp GROUP BY i
+    ),
+    grids AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(a.qx * b.qx) AS DECIMAL(38,0)) AS gxx,
+             CAST(SUM(a.qx * b.qy) AS DECIMAL(38,0)) AS gxy,
+             CAST(SUM(a.qy * b.qy) AS DECIMAL(38,0)) AS gyy
+      FROM comp a JOIN comp b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g.i, g.j,
+             CAST(CAST(nn.n AS DECIMAL(10,0)) * g.gxx - si.sx * sj.sx
+                  AS DOUBLE) AS cxx,
+             CAST(CAST(nn.n AS DECIMAL(10,0)) * g.gxy - si.sx * sj.sy
+                  AS DOUBLE) AS cxy,
+             CAST(CAST(nn.n AS DECIMAL(10,0)) * g.gyy - si.sy * sj.sy
+                  AS DOUBLE) AS cyy
+      FROM grids g
+      JOIN sums si ON g.i = si.i
+      JOIN sums sj ON g.j = sj.i
+      CROSS JOIN n nn
+    ),
+    arrs AS (
+      SELECT list(cxx * cxx ORDER BY i, j) AS axx,
+             list(cxy * cxy ORDER BY i, j) AS axy,
+             list(cyy * cyy ORDER BY i, j) AS ayy
+      FROM cells
+    ),
+    folded AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), axx), (p,q) -> p + q)
+          AS fxx,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), axy), (p,q) -> p + q)
+          AS fxy,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), ayy), (p,q) -> p + q)
+          AS fyy
+      FROM arrs
+    )
+    SELECT nn.n AS n_vecs,
+           round(f.fxy / (sqrt(f.fxx) * sqrt(f.fyy)), 6) AS cka,
+           round(sqrt(f.fyy) / sqrt(f.fxx), 6) AS energy_ratio
+    FROM folded f CROSS JOIN n nn
+    """,
+)
+def cka_quantization_audit(spark, sf_dir):
+    from .operators.similarity import cka_grids
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = cka_grids(e, "embedding", scale=10**4, quant_levels=127)
+    g = _materialize(g)  # the three grids and both sum vectors read it
+    sums = (
+        g.filter(F.col("grid") == "sx")
+        .select("i", F.col("s").alias("sx"))
+        .join(
+            g.filter(F.col("grid") == "sy").select("i", F.col("s").alias("sy")),
+            "i",
+        )
+    )
+    si = sums.select(F.col("i"), F.col("sx").alias("sx_i"), F.col("sy").alias("sy_i"))
+    sj = sums.select(
+        F.col("i").alias("j"), F.col("sx").alias("sx_j"), F.col("sy").alias("sy_j")
+    )
+    nd = F.col("n").cast("decimal(10,0)")
+    cells = (
+        g.filter(F.col("grid").isin("xx", "xy", "yy"))
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "grid", "i", "j",
+            F.when(
+                F.col("grid") == "xx",
+                (nd * F.col("s") - F.col("sx_i") * F.col("sx_j")).cast("double"),
+            )
+            .when(
+                F.col("grid") == "xy",
+                (nd * F.col("s") - F.col("sx_i") * F.col("sy_j")).cast("double"),
+            )
+            .otherwise(
+                (nd * F.col("s") - F.col("sy_i") * F.col("sy_j")).cast("double")
+            )
+            .alias("c"),
+        )
+    )
+    folded = (
+        cells.groupBy("grid")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(i, j, c))),"
+                " s -> s.c * s.c), CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+            ).alias("f")
+        )
+    )
+    wide = folded.groupBy().pivot("grid", ["xx", "xy", "yy"]).agg(F.first("f"))
+    return (
+        wide.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.round(
+                F.col("xy") / (F.sqrt(F.col("xx")) * F.sqrt(F.col("yy"))), 6
+            ).alias("cka"),
+            F.round(F.sqrt(F.col("yy")) / F.sqrt(F.col("xx")), 6).alias(
+                "energy_ratio"
+            ),
+        )
+    )
+
+
+# Seasonal-residual anomaly detection — the composition that turns
+# seasonal_decompose_monthly into a monitor: detrend + deseasonalize,
+# then flag months whose remainder exceeds 3·1.4826·MAD (the robust
+# z-score every metrics pipeline wants instead of a stddev rule that
+# the anomalies themselves inflate).  Remainders are identical doubles
+# on both engines (exact-int devs minus one shared division); medians
+# come from explicit order-statistic ranks over the calendar-bounded
+# series ((MIN+MAX)/2 of the two middles — the theil_sen discipline);
+# the flag compares identical doubles, no rounding in the decision.
+@query(
+    "seasonal_anomaly_monthly",
+    """
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS x,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS moy,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT a.x, a.moy, a.cents,
+             CAST(SUM(CASE WHEN abs(b.x - a.x) = 6 THEN b.cents
+                           ELSE 2 * b.cents END) AS BIGINT) AS trend_x24,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM m a JOIN m b ON b.x BETWEEN a.x - 6 AND a.x + 6
+      GROUP BY a.x, a.moy, a.cents
+    ),
+    full_tr AS (
+      SELECT x, moy, cents, 24 * cents - trend_x24 AS dev_x24
+      FROM tr WHERE n_terms = 13
+    ),
+    seas AS (
+      SELECT moy, CAST(SUM(dev_x24) AS DOUBLE) / COUNT(*) AS seasonal_x24
+      FROM full_tr GROUP BY moy
+    ),
+    rem AS (
+      SELECT f.x, f.cents,
+             CAST(f.dev_x24 AS DOUBLE) - s.seasonal_x24 AS r
+      FROM full_tr f JOIN seas s ON f.moy = s.moy
+    ),
+    rk AS (
+      SELECT x, cents, r,
+             row_number() OVER (ORDER BY r, x) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM rem
+    ),
+    med1 AS (
+      SELECT (MIN(CASE WHEN rn = (n + 1) // 2 THEN r END)
+              + MAX(CASE WHEN rn = (n + 2) // 2 THEN r END)) / 2.0 AS med
+      FROM rk
+    ),
+    ad AS (
+      SELECT k.x, k.cents, k.r, md.med, abs(k.r - md.med) AS adev
+      FROM rk k CROSS JOIN med1 md
+    ),
+    adrk AS (
+      SELECT x, cents, r, med, adev,
+             row_number() OVER (ORDER BY adev, x) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM ad
+    ),
+    med2 AS (
+      SELECT (MIN(CASE WHEN rn = (n + 1) // 2 THEN adev END)
+              + MAX(CASE WHEN rn = (n + 2) // 2 THEN adev END)) / 2.0 AS mad
+      FROM adrk
+    )
+    SELECT a.x AS month_idx, a.cents,
+           round(a.r, 6) AS remainder_x24,
+           round(a.adev / (1.4826 * m2.mad) / 3.0, 6) AS severity,
+           CASE WHEN a.adev > 3.0 * 1.4826 * m2.mad THEN 1 ELSE 0 END
+             AS is_anomaly
+    FROM adrk a CROSS JOIN med2 m2
+    ORDER BY month_idx
+    """,
+)
+def seasonal_anomaly_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("int")
+    m = o.groupBy(
+        x.alias("x"), F.month("o_orderdate").cast("int").alias("moy")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    m = _materialize(m)  # both sides of the moving-average self-join
+    a = m.select(F.col("x").alias("xa"), "moy", F.col("cents").alias("ca"))
+    b = m.select(F.col("x").alias("xb"), F.col("cents").alias("cb_"))
+    tr = (
+        a.join(
+            F.broadcast(b),
+            (F.col("xb") >= F.col("xa") - 6) & (F.col("xb") <= F.col("xa") + 6),
+        )
+        .groupBy("xa", "moy", "ca")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("xb") - F.col("xa")) == 6, F.col("cb_"))
+                .otherwise(F.lit(2) * F.col("cb_"))
+            ).cast("bigint").alias("trend_x24"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    full_tr = tr.filter(F.col("n_terms") == 13).select(
+        F.col("xa").alias("x"), "moy", F.col("ca").alias("cents"),
+        (F.lit(24) * F.col("ca") - F.col("trend_x24")).alias("dev_x24"),
+    )
+    seas = full_tr.groupBy("moy").agg(
+        (F.sum("dev_x24").cast("double") / F.count(F.lit(1))).alias("seasonal_x24")
+    )
+    rem = full_tr.join(F.broadcast(seas), "moy").select(
+        "x", "cents",
+        (F.col("dev_x24").cast("double") - F.col("seasonal_x24")).alias("r"),
+    )
+    rem = _materialize(rem)  # bounded series (<=85 rows)
+    wall = Window.orderBy("r", "x")
+    rk = rem.select(
+        "x", "cents", "r",
+        F.row_number().over(wall).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    med1 = rk.agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("r")
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 2) / 2), F.col("r")
+                    )
+                )
+            )
+            / 2.0
+        ).alias("med")
+    )
+    ad = rk.crossJoin(F.broadcast(med1)).select(
+        "x", "cents", "r", "med", F.abs(F.col("r") - F.col("med")).alias("adev")
+    )
+    wad = Window.orderBy("adev", "x")
+    adrk = ad.select(
+        "x", "cents", "r", "med", "adev",
+        F.row_number().over(wad).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    med2 = adrk.agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                        F.col("adev"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 2) / 2),
+                        F.col("adev"),
+                    )
+                )
+            )
+            / 2.0
+        ).alias("mad")
+    )
+    return (
+        adrk.crossJoin(F.broadcast(med2))
+        .select(
+            F.col("x").alias("month_idx"),
+            "cents",
+            F.round(F.col("r"), 6).alias("remainder_x24"),
+            F.round(
+                F.col("adev") / (F.lit(1.4826) * F.col("mad")) / F.lit(3.0), 6
+            ).alias("severity"),
+            F.when(
+                F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+            ).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+# Near-dup cluster TIGHTNESS audit — closes the dedup quality loop:
+# the LSH+CC pipeline asserts "these docs are near-duplicates"; this
+# measures whether the claim holds, by exact Jaccard over every
+# intra-cluster pair of small clusters (size 2..12 — the pair count is
+# bounded by the cluster cap, the Σ|c|² discipline).  Every number is
+# an exact integer: the tight test is the cross-multiplied threshold
+# 5·|∩| >= 3·|∪| (θ=0.6, float-free), and the minimum similarity is
+# integer-floored parts-per-million — no rounding anywhere (Jaccard
+# ratios have arbitrary denominators, rule #4).  Labels recomputed by
+# the oracle's recursive CTE; Spark serves the committed CC labels.
+@query(
+    "neardup_cluster_tightness",
+    f"""
+    WITH RECURSIVE {{corpus}},
+    dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+    sig AS (SELECT doc_id, {{sig}} AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(sig[b.range*3+1 : b.range*3+3], '|')) AS band_sig
+      FROM sig, range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    labels AS (SELECT n AS node, MIN(m) AS cluster FROM reach GROUP BY n),
+    sizes AS (SELECT cluster, COUNT(*) AS sz FROM labels GROUP BY cluster),
+    members AS (
+      SELECT l.node, l.cluster, s.sz
+      FROM labels l JOIN sizes s USING (cluster)
+      WHERE s.sz BETWEEN 2 AND 12
+    ),
+    pr AS (
+      SELECT a.sz, a.node AS da, b.node AS db,
+             CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+             CAST(len(sa.s) + len(sb.s)
+                  - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+      FROM members a
+      JOIN members b ON a.cluster = b.cluster AND a.node < b.node
+      JOIN dsh sa ON sa.doc_id = a.node
+      JOIN dsh sb ON sb.doc_id = b.node
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN 5 * inter >= 3 * uni THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tight,
+           CAST(SUM(inter) AS BIGINT) AS sum_inter,
+           CAST(SUM(uni) AS BIGINT) AS sum_union,
+           CAST(MIN((1000000 * inter) // uni) AS BIGINT) AS min_jacc_ppm
+    FROM pr GROUP BY sz ORDER BY cluster_size
+    """.format(corpus=_MINHASH_CORPUS_SQL, sig=_MINHASH_SIG_SQL),
+)
+def neardup_cluster_tightness(spark, sf_dir):
+    from .operators.text import shingle_rows
+
+    labels = _neardup_labels_cached(spark, sf_dir).select("node", "cluster")
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    members = labels.join(
+        sizes.filter(F.col("sz").between(2, 12)), "cluster"
+    )
+    corpus = _minhash_corpus(spark, sf_dir)
+    dsh = shingle_rows(corpus, "doc_id", "text").distinct()
+    dsh = _materialize(dsh)  # set sizes AND both pair sides read it
+    nsz = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nsh"))
+    pairs = (
+        members.select("cluster", "sz", F.col("node").alias("da"))
+        .join(
+            members.select("cluster", F.col("node").alias("db")), "cluster"
+        )
+        .filter(F.col("da") < F.col("db"))
+    )
+    inter = (
+        pairs.join(dsh.select(F.col("doc_id").alias("da"), "s"), "da")
+        .join(dsh.select(F.col("doc_id").alias("db"), "s"), ["db", "s"])
+        .groupBy("sz", "da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    pr = (
+        pairs.join(inter, ["sz", "da", "db"], "left")
+        .join(nsz.select(F.col("doc_id").alias("da"), F.col("nsh").alias("na")), "da")
+        .join(nsz.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nb")), "db")
+        .select(
+            "sz",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).alias("uni"),
+        )
+    )
+    return (
+        pr.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(5 * F.col("inter") >= 3 * F.col("uni"), 1).otherwise(0)
+            ).cast("bigint").alias("n_tight"),
+            F.sum("inter").cast("bigint").alias("sum_inter"),
+            F.sum("uni").cast("bigint").alias("sum_union"),
+            F.min(F.expr("(1000000 * inter) DIV uni")).cast("bigint")
+            .alias("min_jacc_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -22231,8 +22680,10 @@ _PRIORITY_PREFIX = [
 # trio (isotonic_calibration_docs, bradley_terry_brands,
 # frequent_triples_parts) and the wave-24 quartet (km_survival_users,
 # page_hinkley_daily, linear_interp_user_hours,
-# quantile_normalize_embeddings) and the wave-25 pair
-# (logrank_test_users, holt_winters_daily) are locally oracle-green at
+# quantile_normalize_embeddings), the wave-25 pair
+# (logrank_test_users, holt_winters_daily) and the wave-26 trio
+# (cka_quantization_audit, seasonal_anomaly_monthly,
+# neardup_cluster_tightness) are locally oracle-green at
 # sf0.001/0.01/0.1 and LEAD the round-8 prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)

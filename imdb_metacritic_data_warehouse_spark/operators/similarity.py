@@ -851,3 +851,71 @@ def gram_power_iteration(
         )
     final_w = matvec(v)
     return v.select(F.col("j").alias("i"), "vint").join(final_w, "i")
+
+
+def cka_grids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+    quant_levels: int = 127,
+) -> DataFrame:
+    """Sufficient statistics for a linear-CKA comparison between an
+    embedding column X and its int8 symmetric (de)quantization Y =
+    round(x·L)/L: the three FULL integer Gram grids Gxx, Gxy
+    (asymmetric), Gyy on the shared metric grid
+    q(v) = floor(v·scale + 0.5), plus per-dim column sums Sx/Sy —
+    everything a centered ||·||_F needs, in ONE mapInPandas pass
+    (posexplode² would push dim²·N rows through the shuffle; this
+    ships dim²·blocks — the gram_upper_cells discipline).
+
+    Output rows are tagged: grid ∈ {'xx','xy','yy'} with (i, j, s) 
+    1-based, and grid ∈ {'sx','sy'} carrying column sums in (i, s)
+    with j = 0.  All sums are exact integers accumulated in
+    decimal(38,0) — layout-invariant by construction.  The coarse
+    default scale (1e4, vs the covariance grid's 1e7) keeps the
+    downstream centered cells N·G − S·S inside decimal(38,0) to
+    ~10⁴× the test corpus; the metric is DEFINED on this grid, so
+    both engines quantize identically and coarseness is not error.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            Y = np.floor(X * quant_levels + 0.5) / quant_levels
+            QX = np.floor(X * scale + 0.5).astype(np.int64)
+            QY = np.floor(Y * scale + 0.5).astype(np.int64)
+            maxq = int(max(np.abs(QX).max(), np.abs(QY).max())) or 1
+            block = max(1, min(len(QX), (2**62) // (maxq * maxq)))
+            d = QX.shape[1]
+            ff = np.indices((d, d)).reshape(2, -1)
+            for s in range(0, len(QX), block):
+                BX, BY = QX[s : s + block], QY[s : s + block]
+                for tag, G in (
+                    ("xx", BX.T @ BX), ("xy", BX.T @ BY), ("yy", BY.T @ BY)
+                ):
+                    yield pd.DataFrame(
+                        {"grid": tag, "i": ff[0] + 1, "j": ff[1] + 1,
+                         "s": G.reshape(-1)}
+                    )
+                yield pd.DataFrame(
+                    {"grid": "sx", "i": np.arange(1, d + 1), "j": 0,
+                     "s": BX.sum(axis=0)}
+                )
+                yield pd.DataFrame(
+                    {"grid": "sy", "i": np.arange(1, d + 1), "j": 0,
+                     "s": BY.sum(axis=0)}
+                )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, schema="grid string, i int, j int, s long")
+        .groupBy("grid", "i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+    )

@@ -1208,3 +1208,25 @@ def test_wave25_plan_audit(spark):
     for name in ["logrank_test_users", "holt_winters_daily"]:
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_wave26_plan_audit(spark):
+    """Wave-26 plan audit.  cka: the only corpus-scale work is the ONE
+    mapInPandas block-matmul (ArrowEvalPython / MapInPandas node), all
+    downstream frames are dim²-bounded; no cartesian joins.
+    seasonal_anomaly: the moving-average self-join is broadcast; the
+    unpartitioned windows run over the <=85-row monthly series.
+    tightness: pair expansion is bounded by the cluster-size cap —
+    no cartesian, and the shingle-set frame is materialized once."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["cka_quantization_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["seasonal_anomaly_monthly"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+    plan = _plan(QUERIES["neardup_cluster_tightness"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
