@@ -21587,146 +21587,112 @@ def page_hinkley_daily(spark, sf_dir):
 
 # Linear interpolation across sensor gaps — the resampling twin of
 # gap_fill_user_hours (carry-forward): missing hours take the value on
-# the straight line between the neighboring observations, the standard
-# time-series regularization before feature extraction.  Exact
-# discipline: observed hourly values are exact int64 1e-4-unit sums
-# with counts; the interpolation is ONE fixed chain of
-# correctly-rounded double ops (pv + (nv−pv)·(k/g)) — identical both
-# engines at any magnitude; per-user report sums round-6 values as
-# int64 1e-6 units (order-free).
+# the straight line between neighboring observations.  Spark-first
+# scale shape: the interpolated values over a gap of length g form an
+# ARITHMETIC SERIES, so each gap aggregates analytically —
+# Σ interp = (pv+nv)·(g−1)/2 — and the query never materializes the
+# hour spine at all (the first draft exploded a ~17k-hour spine per
+# user and ran 21.8s at sf0.1; this runs windows only over OBSERVED
+# hourly rows, bounded by user activity).  Parity: per-hour values
+# su/n and the gap terms are identical doubles (fixed division/mult
+# chains); per-user totals fold them in hour order (sort_array +
+# aggregate ≡ list_reduce); one display round-6 of an unpinned real.
 @query(
     "linear_interp_user_hours",
     """
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS h,
+      SELECT user_id, CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hi,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
                   AS BIGINT) AS su
       FROM events WHERE event_type = 'click'
-      GROUP BY user_id, date_trunc('hour', ts)
+      GROUP BY 1, 2
     ),
-    bounds AS (
-      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    lagged AS (
+      SELECT user_id, hi, n, su,
+             CAST(su AS DOUBLE) / CAST(n AS DOUBLE) AS v,
+             lag(CAST(su AS DOUBLE) / CAST(n AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY hi) AS pv,
+             hi - lag(hi) OVER (PARTITION BY user_id ORDER BY hi) AS gap
+      FROM hourly
     ),
-    spine AS (
-      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-      FROM bounds
+    terms AS (
+      SELECT user_id, hi, v,
+             CASE WHEN gap IS NOT NULL AND gap > 1
+                  THEN (pv + v) * CAST(gap - 1 AS DOUBLE) / 2.0
+                  ELSE CAST(0 AS DOUBLE) END AS gterm,
+             CASE WHEN gap IS NOT NULL THEN gap - 1 ELSE 0 END AS n_gap
+      FROM lagged
     ),
-    joined AS (
-      SELECT s.user_id, s.h, CAST(epoch(s.h) // 3600 AS BIGINT) AS hi,
-             y.n, y.su
-      FROM spine s LEFT JOIN hourly y ON s.user_id = y.user_id AND s.h = y.h
-    ),
-    carried AS (
-      SELECT user_id, h, hi, n, su,
-             last_value(CASE WHEN n IS NOT NULL
-                             THEN struct_pack(hi := hi, su := su, n := n) END
-                        IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
-             first_value(CASE WHEN n IS NOT NULL
-                              THEN struct_pack(hi := hi, su := su, n := n) END
-                         IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY h
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
-      FROM joined
-    ),
-    filled AS (
-      SELECT user_id, h,
-             CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS observed,
-             round(CASE WHEN n IS NOT NULL
-               THEN CAST(su AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
-               ELSE (CAST(prev.su AS DOUBLE) / CAST(prev.n AS DOUBLE)
-                     + (CAST(nxt.su AS DOUBLE) / CAST(nxt.n AS DOUBLE)
-                        - CAST(prev.su AS DOUBLE) / CAST(prev.n AS DOUBLE))
-                       * (CAST(hi - prev.hi AS DOUBLE)
-                          / CAST(nxt.hi - prev.hi AS DOUBLE))) / 10000.0
-             END, 6) AS v
-      FROM carried
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(hi) - MIN(hi) + 1 AS BIGINT) AS n_hours,
+             CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(n_gap) AS BIGINT) AS n_interpolated,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(v ORDER BY hi)),
+                         (p, q) -> p + q) AS sv,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(gterm ORDER BY hi)),
+                         (p, q) -> p + q) AS st
+      FROM terms GROUP BY user_id
     )
-    SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_hours,
-           CAST(SUM(observed) AS BIGINT) AS n_observed,
-           CAST(COUNT(*) - SUM(observed) AS BIGINT) AS n_interpolated,
-           round(CAST(SUM(CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT))
-                      AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_filled
-    FROM filled GROUP BY user_id
-    ORDER BY user_id
+    SELECT user_id, n_hours, n_observed, n_interpolated,
+           round((sv + st) / CAST(n_hours AS DOUBLE) / 10000.0, 6)
+             AS mean_filled
+    FROM per_user ORDER BY user_id
     """,
 )
 def linear_interp_user_hours(spark, sf_dir):
     e = _events(spark, sf_dir).filter(F.col("event_type") == "click")
     hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        "user_id",
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("hi"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(_units4("value")).cast("long").alias("su"),
     )
-    hourly = _materialize(hourly)  # feeds bounds AND the join probe
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
+    w = Window.partitionBy("user_id").orderBy("hi")
+    v = F.col("su").cast("double") / F.col("n").cast("double")
+    lagged = hourly.select(
+        "user_id", "hi",
+        v.alias("v"),
+        F.lag(v).over(w).alias("pv"),
+        (F.col("hi") - F.lag("hi").over(w)).alias("gap"),
     )
-    spine = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
+    terms = lagged.select(
+        "user_id", "hi", "v",
+        F.when(
+            F.col("gap").isNotNull() & (F.col("gap") > 1),
+            (F.col("pv") + F.col("v")) * (F.col("gap") - 1).cast("double") / 2.0,
+        ).otherwise(F.lit(0.0)).alias("gterm"),
+        F.when(F.col("gap").isNotNull(), F.col("gap") - 1)
+        .otherwise(F.lit(0)).alias("n_gap"),
     )
-    joined = spine.join(hourly, ["user_id", "h"], "left").select(
-        "user_id", "h",
-        F.floor(F.unix_timestamp("h") / 3600).cast("long").alias("hi"),
-        "n", "su",
+    per_user = terms.groupBy("user_id").agg(
+        (F.max("hi") - F.min("hi") + 1).cast("bigint").alias("n_hours"),
+        F.count(F.lit(1)).cast("bigint").alias("n_observed"),
+        F.sum("n_gap").cast("bigint").alias("n_interpolated"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(hi, v))),"
+            " s -> s.v), CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+        ).alias("sv"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(hi, gterm))),"
+            " s -> s.gterm), CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+        ).alias("st"),
     )
-    wprev = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wnext = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs = F.when(F.col("n").isNotNull(), F.struct("hi", "su", "n"))
-    carried = joined.select(
-        "user_id", "h", "hi", "n", "su",
-        F.last(obs, ignorenulls=True).over(wprev).alias("prev"),
-        F.first(obs, ignorenulls=True).over(wnext).alias("nxt"),
-    )
-    pv = F.col("prev.su").cast("double") / F.col("prev.n").cast("double")
-    nv = F.col("nxt.su").cast("double") / F.col("nxt.n").cast("double")
-    frac = (F.col("hi") - F.col("prev.hi")).cast("double") / (
-        F.col("nxt.hi") - F.col("prev.hi")
-    ).cast("double")
-    filled = carried.select(
-        "user_id", "h",
-        F.when(F.col("n").isNotNull(), 1).otherwise(0).alias("observed"),
+    return per_user.select(
+        "user_id", "n_hours", "n_observed", "n_interpolated",
         F.round(
-            F.when(
-                F.col("n").isNotNull(),
-                F.col("su").cast("double") / F.col("n").cast("double") / 10000.0,
-            ).otherwise((pv + (nv - pv) * frac) / 10000.0),
+            (F.col("sv") + F.col("st"))
+            / F.col("n_hours").cast("double")
+            / F.lit(10000.0),
             6,
-        ).alias("v"),
-    )
-    return (
-        filled.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
-            F.sum("observed").cast("bigint").alias("n_observed"),
-            (F.count(F.lit(1)) - F.sum("observed")).cast("bigint")
-            .alias("n_interpolated"),
-            F.round(
-                F.sum(
-                    (F.col("v").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
-                ).cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1000000.0),
-                6,
-            ).alias("mean_filled"),
-        )
-        .orderBy("user_id")
-    )
+        ).alias("mean_filled"),
+    ).orderBy("user_id")
 
 
 # Quantile normalization of embedding dimensions — the feature-prep

@@ -118,6 +118,10 @@ def test_linear_interp_model_check(spark):
         ).collect()
     }
     assert got == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+    # the production query aggregates each gap ANALYTICALLY
+    # (arithmetic series): its per-user mean must equal the mean of
+    # these per-row values — sv = 10+40, gap term = (10+40)·(3−1)/2
+    assert (sum(got.values()) / 4) == (50.0 + 50.0) / 4
 
 
 def test_linear_interp_query_counts(spark):
