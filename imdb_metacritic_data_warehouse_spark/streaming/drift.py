@@ -1,0 +1,143 @@
+"""Streaming drift monitor — cross-batch daily statistics with a
+Page-Hinkley readout.
+
+The batch twin is ``page_hinkley_daily`` (entry_queries): a
+calendar-bounded fold over per-day revenue deviations from the running
+mean.  Streaming needs the DAY AGGREGATES maintained incrementally;
+the fold itself stays a cheap batch computation over the committed
+(calendar-bounded) day table, recomputed on demand — the right split,
+because the detector state is dimension-sized while the input is not.
+
+Idempotence design: plain per-day SUM merges double-count when a batch
+is re-delivered (the CMS failure mode; the HLL ingest is naturally
+idempotent because its merge is MAX).  Here each micro-batch commits
+CONTENT-KEYED partial aggregates — (day, batch content key, n, sum) —
+where the key is derived from the batch's rows for that day (count +
+an order-free crc32 sum).  Replayed content maps to the SAME key and
+is anti-joined away, so at-least-once RE-DELIVERY of a batch cannot
+inflate the stats, regardless of checkpoint identity.  (The guarantee
+is per batch CONTENT: if a recovery re-buckets old rows into
+differently-shaped batches, day partials key differently — exactly-
+once under arbitrary re-bucketing needs event-level dedup, which the
+corpus ingest sink provides for its domain.)  Reading collapses
+partials with one dimension-sized groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.table import VersionedParquetTable
+
+
+def merge_daily_partials(
+    table: VersionedParquetTable,
+    batch_df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> None:
+    """Commit one micro-batch's per-day partial aggregates, keyed by
+    the day's content so replays are no-ops."""
+    part = (
+        batch_df.groupBy(F.to_date(F.col(ts_col)).alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast("long")
+            ).cast("long").alias("su"),
+            F.md5(
+                F.concat(
+                    F.count(F.lit(1)).cast("string"),
+                    F.lit("_"),
+                    F.sum(F.crc32(F.col(id_col).cast("string"))).cast("string"),
+                )
+            ).alias("batch_key"),
+        )
+    )
+    if table.exists():
+        committed = table.read()
+        novel = part.join(
+            committed.select("d", "batch_key"), ["d", "batch_key"], "left_anti"
+        )
+        table.write(committed.unionByName(novel))
+    else:
+        table.write(part)
+
+
+def drift_ingest_sink(
+    stream: DataFrame,
+    table: VersionedParquetTable,
+    checkpoint: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+):
+    """readStream → foreachBatch content-keyed daily-partial merge."""
+    return stream.writeStream.foreachBatch(
+        lambda df, _epoch: merge_daily_partials(
+            table, df, ts_col=ts_col, id_col=id_col, val_col=val_col
+        )
+    ).option("checkpointLocation", checkpoint)
+
+
+def daily_stats(table: VersionedParquetTable) -> DataFrame:
+    """Collapse the committed partials to one row per day."""
+    return (
+        table.read()
+        .groupBy("d")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("su").cast("long").alias("su"),
+        )
+    )
+
+
+def page_hinkley_curve(
+    daily: DataFrame, delta: float = 100.0, lam: float = 5000.0
+) -> DataFrame:
+    """Page-Hinkley statistic over a (d, su)-shaped day frame — the
+    identical calendar-bounded array fold as the batch query
+    ``page_hinkley_daily`` (deviations from the running mean folded as
+    raw doubles; alarm compares unrounded values)."""
+    from pyspark.sql import Window
+
+    wday = Window.orderBy("d")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "d",
+        F.col("su").alias("xu"),
+        F.row_number().over(wday).alias("t"),
+        F.sum("su").over(wcum).alias("cum"),
+    )
+    devs = seq.select(
+        "d", "t",
+        (
+            (F.col("xu") * F.col("t") - F.col("cum")).cast("double")
+            / F.col("t").cast("double")
+            / F.lit(10000.0)
+            - F.lit(delta)
+        ).alias("dev"),
+    )
+    one = devs.agg(
+        F.sort_array(F.collect_list(F.struct("d", "t", "dev"))).alias("a")
+    )
+    m = one.select(
+        F.explode(
+            F.expr(
+                "transform(a, (x, i) -> struct(x.d AS d, x.t AS t,"
+                " aggregate(slice(a, 1, i + 1), CAST(0.0 AS DOUBLE),"
+                " (acc, y) -> acc + y.dev) AS m_val))"
+            )
+        ).alias("r")
+    ).select("r.d", "r.t", "r.m_val")
+    ph = m.select(
+        "d", "t", "m_val", F.max("m_val").over(wcum).alias("mx")
+    )
+    return ph.select(
+        "d",
+        "m_val",
+        (F.col("mx") - F.col("m_val")).alias("ph_val"),
+        (F.col("mx") - F.col("m_val") > F.lit(lam)).alias("is_alarm"),
+    )

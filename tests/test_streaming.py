@@ -623,3 +623,84 @@ def test_streaming_cdc_sink_net_effect(spark, tmp_path):
     assert {r.k: r.v for r in tab.read().collect()} == {
         1: "a2", 2: "b3", 3: "c2", 4: "d1",
     }
+
+
+def test_streaming_drift_daily_stats_match_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Two micro-batches of events merge into committed content-keyed
+    daily partials whose collapsed stats equal the batch aggregate of
+    the union; re-delivering batch 2 through a FRESH checkpoint (the
+    at-least-once failure mode that breaks plain sum-merges) must not
+    change anything — same content → same keys → anti-joined away."""
+    from imdb_metacritic_data_warehouse_spark.streaming.drift import (
+        daily_stats,
+        drift_ingest_sink,
+        page_hinkley_curve,
+    )
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    table = VersionedParquetTable(spark, str(tmp_path / "drift"), "daily")
+    schema = "event_id long, ts timestamp, value double"
+
+    def rows(day_offsets):
+        out = []
+        for k, (day, val) in enumerate(day_offsets):
+            out.append((k + day * 1000, f"2024-01-{day:02d} 12:00:00", val))
+        return out
+
+    b1 = rows([(1, 10.0), (1, 20.0), (2, 30.0)])
+    b2 = rows([(2, 5.0), (3, 40.0)])
+    df1 = spark.createDataFrame(b1, "event_id long, ts string, value double")
+    df1 = df1.withColumn("ts", F.to_timestamp("ts"))
+    df1.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = drift_ingest_sink(
+        stream, table, checkpoint=str(tmp_path / "ck1")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    df2 = spark.createDataFrame(b2, "event_id long, ts string, value double")
+    df2 = df2.withColumn("ts", F.to_timestamp("ts"))
+    df2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = drift_ingest_sink(
+        stream, table, checkpoint=str(tmp_path / "ck1")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = {
+        ("2024-01-01", 2, 300000),
+        ("2024-01-02", 2, 350000),
+        ("2024-01-03", 1, 400000),
+    }
+    got = {
+        (str(r.d), r.n, r.su) for r in daily_stats(table).collect()
+    }
+    assert got == want
+
+    # re-deliver batch 2's exact content via a FRESH checkpoint (the
+    # crash-after-commit-before-checkpoint failure mode: the same batch
+    # arrives again).  Same content -> same keys -> anti-joined away.
+    stream = spark.readStream.schema(schema).parquet(str(src / "b2"))
+    q = drift_ingest_sink(
+        stream, table, checkpoint=str(tmp_path / "ck2")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got2 = {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()}
+    assert got2 == want
+
+    # PH readout over the committed table: m is a prefix sum of
+    # deviations; PH >= 0 and equals running-max - m
+    curve = sorted(
+        page_hinkley_curve(daily_stats(table), delta=0.0).collect(),
+        key=lambda r: r.d,
+    )
+    assert len(curve) == 3
+    mx = float("-inf")
+    for r in curve:
+        mx = max(mx, r.m_val)
+        assert abs((mx - r.m_val) - r.ph_val) < 1e-9
+        assert r.ph_val >= -1e-9
