@@ -344,6 +344,9 @@ HEADLINE = [
     "cka_quantization_audit",
     "seasonal_anomaly_monthly",
     "neardup_cluster_tightness",
+    # wave 27
+    "negative_sampling_table_docs",
+    "feature_hashing_audit_docs",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -22525,6 +22525,162 @@ def neardup_cluster_tightness(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave 27 — negative-sampling distribution, feature-hashing
+# collision audit.
+
+# Word2vec-style negative-sampling table — the unigram^0.75
+# distribution (Mikolov et al. 2013) that contrastive text training
+# samples its negatives from; the smoothing exponent is THE parameter
+# that keeps rare words visible.  Parity: c^0.75 is pow — not
+# correctly rounded — so each term exists only under round(...,6) on
+# the VALUE (rule #3), summed as int64 1e-6 units; sampling
+# probabilities are single divisions of those exact unit sums.
+# Top-30 by probability with deterministic ties.
+@query(
+    "negative_sampling_table_docs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    pw AS (
+      SELECT w, c,
+             CAST(CAST(round(pow(CAST(c AS DOUBLE), 0.75), 6)
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pu
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(SUM(pu) AS BIGINT) AS tu FROM pw)
+    SELECT w AS word, c AS count, pu AS pow_u,
+           round(CAST(pu AS DOUBLE) / CAST(tu AS DOUBLE), 6) AS sample_prob
+    FROM pw CROSS JOIN tot
+    ORDER BY pu DESC, word LIMIT 30
+    """,
+)
+def negative_sampling_table_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pw = cnt.select(
+        "w", "c",
+        (
+            F.round(F.pow(F.col("c").cast("double"), F.lit(0.75)), 6)
+            .cast("decimal(18,6)")
+            * F.lit(1000000)
+        ).cast("long").alias("pu"),
+    )
+    pw = _materialize(pw)  # the total AND the top-k cut read it
+    tot = pw.agg(F.sum("pu").cast("long").alias("tu"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").alias("count"),
+            F.col("pu").alias("pow_u"),
+            F.round(
+                F.col("pu").cast("double") / F.col("tu").cast("double"), 6
+            ).alias("sample_prob"),
+        )
+        .orderBy(F.desc("pow_u"), "word")
+        .limit(30)
+    )
+
+
+# Feature-hashing (hashing-trick) collision audit — before shipping a
+# hashed feature space, measure what the 2^b buckets actually cost:
+# how many vocabulary terms collide, the worst bucket load, and how
+# much probability mass lands in collided buckets (the mass that
+# becomes irrecoverable noise).  All exact integers off one vocab
+# aggregate; the bucket hash is the engine-portable md5 slice used by
+# every split here.
+@query(
+    "feature_hashing_audit_docs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    hashed AS (
+      SELECT w, c,
+             CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM cnt
+    ),
+    buckets AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c) AS BIGINT) AS mass
+      FROM hashed GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(SUM(c) AS BIGINT) AS total_mass
+      FROM cnt
+    )
+    SELECT t.n_vocab,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(CASE WHEN b.n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collided_buckets,
+           CAST(SUM(CASE WHEN b.n_terms > 1 THEN b.n_terms ELSE 0 END)
+                AS BIGINT) AS n_collided_terms,
+           CAST(MAX(b.n_terms) AS BIGINT) AS max_bucket_terms,
+           round(CAST(SUM(CASE WHEN b.n_terms > 1 THEN b.mass ELSE 0 END)
+                      AS DOUBLE) / CAST(t.total_mass AS DOUBLE), 6)
+             AS collided_mass_share
+    FROM buckets b CROSS JOIN tot t
+    GROUP BY t.n_vocab, t.total_mass
+    """,
+)
+def feature_hashing_audit_docs(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cnt = _materialize(cnt)  # bucket rollup AND the vocab totals read it
+    hashed = cnt.select(
+        "w", "c",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+            % 4096
+        ).alias("b"),
+    )
+    buckets = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("c").cast("long").alias("mass"),
+    )
+    tot = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("c").cast("long").alias("total_mass"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .groupBy("n_vocab", "total_mass")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            F.sum(F.when(F.col("n_terms") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_collided_buckets"),
+            F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms")).otherwise(0))
+            .cast("bigint").alias("n_collided_terms"),
+            F.max("n_terms").cast("bigint").alias("max_bucket_terms"),
+            F.round(
+                F.sum(F.when(F.col("n_terms") > 1, F.col("mass")).otherwise(0))
+                .cast("double")
+                / F.col("total_mass").cast("double"),
+                6,
+            ).alias("collided_mass_share"),
+        )
+        .select(
+            "n_vocab", "n_buckets_used", "n_collided_buckets",
+            "n_collided_terms", "max_bucket_terms", "collided_mass_share",
+        )
+    )
+
+
 # Rotation policy (round-2 ADVICE): the external driver's correctness
 # gate checks only the FIRST 50 ``queries()`` entries, so a fixed prefix
 # permanently excludes the rest from independent verification.  Each
@@ -22647,10 +22803,12 @@ _PRIORITY_PREFIX = [
 # frequent_triples_parts) and the wave-24 quartet (km_survival_users,
 # page_hinkley_daily, linear_interp_user_hours,
 # quantile_normalize_embeddings), the wave-25 pair
-# (logrank_test_users, holt_winters_daily) and the wave-26 trio
+# (logrank_test_users, holt_winters_daily), the wave-26 trio
 # (cka_quantization_audit, seasonal_anomaly_monthly,
-# neardup_cluster_tightness) are locally oracle-green at
-# sf0.001/0.01/0.1 and LEAD the round-8 prefix.
+# neardup_cluster_tightness) and the wave-27 pair
+# (negative_sampling_table_docs, feature_hashing_audit_docs) are
+# locally oracle-green at sf0.001/0.01/0.1 and LEAD the round-8
+# prefix.
 assert len(_PRIORITY_PREFIX) == 50, len(_PRIORITY_PREFIX)
 assert not set(_PRIORITY_PREFIX) - set(QUERIES), set(_PRIORITY_PREFIX) - set(QUERIES)
 

@@ -98,3 +98,39 @@ def test_tightness_planted_neardups_are_tight(spark):
         assert r.n_tight <= r.n_pairs
         assert 0 <= r.min_jacc_ppm <= 1000000
         assert r.sum_inter <= r.sum_union
+
+
+# --------------------------------------------------------------------------
+# wave 27 — negative sampling + feature hashing
+
+
+def test_negative_sampling_smoothing_property(spark):
+    """^0.75 smoothing must FLATTEN the distribution: for any two words
+    with c_a > c_b, prob_a/prob_b < c_a/c_b; probabilities positive and
+    ranked by count within the returned slice (pow is monotone)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    rows = QUERIES["negative_sampling_table_docs"](spark, SF).collect()
+    assert len(rows) == 30
+    top = rows[0]
+    for r in rows[1:]:
+        # Row.count is the tuple method — index the column by name
+        assert top["count"] >= r["count"]
+        if r["count"] < top["count"]:
+            assert (top.pow_u / r.pow_u) < (top["count"] / r["count"])
+    assert all(r.sample_prob > 0 for r in rows)
+
+
+def test_feature_hashing_counts_consistent(spark):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    r = QUERIES["feature_hashing_audit_docs"](spark, SF).collect()[0]
+    assert r.n_buckets_used <= 4096
+    assert r.n_buckets_used <= r.n_vocab
+    assert r.n_collided_buckets <= r.n_buckets_used
+    assert r.n_collided_terms >= 2 * r.n_collided_buckets or r.n_collided_buckets == 0
+    assert r.max_bucket_terms >= 1
+    assert 0.0 <= r.collided_mass_share <= 1.0
+    # vocab conservation: collided + singleton terms == vocab
+    singletons = r.n_buckets_used - r.n_collided_buckets
+    assert singletons + r.n_collided_terms == r.n_vocab
