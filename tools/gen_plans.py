@@ -73,6 +73,18 @@ CASES = [
     ("t_closeness_audit_customers", "One (QI, segment) contingency materialized once; group/segment/grand totals + densify all cell-sized; exact cross-multiplied integers."),
     ("fair_interleave_topk_docs", "Within-source rank window partitioned by source; global cut plans as TakeOrderedAndProject (per-partition top-k + merge); position window only over the 40 survivors."),
     ("median_ci_lineitem", "Order-statistic selection through the two-phase global rank (range exchange + local rank + broadcast offsets); rank cutoffs broadcast from a 1-row aggregate."),
+    ("hits_suppliers_parts", "Two unrolled HITS rounds as plain join+aggregate over the distinct bipartite edge list; per-role top-25 cuts plan as TakeOrderedAndProject; scores exact int64."),
+    ("winnowing_fingerprints_docs", "Per-doc windows only (lead + bounded min-frame); fingerprint selection is the k-gram min inside a w-frame - no global window, no join before the final aggregate."),
+    ("dsir_selection_docs", "Importance ratios from two hash-aggregate LMs joined back; the top-10% cut rides the two-phase global rank (rangepartitioning visible)."),
+    ("wasserstein_drift_orders", "ECDF rank + BOTH cumulative counts through ONE fused range exchange (rank.global_prefix); ordered adjacency is an rn+1 equi-join, never a global window; breakpoint terms accumulate in decimal(38,0)."),
+    ("shapley_source_valuation_docs", "One shingle-distinct corpus reduction to a <=31-row mask table; the 32-coalition algebra and Shapley weights are all broadcast joins over dimension-sized frames."),
+    ("bradley_terry_brands", "Contests reduce map-side to the brand-pair matrix (in-task pair expansion over <=7-line baskets); both MM iterations are joins+ordered folds over dimension-sized frames."),
+    ("frequent_triples_parts", "Cubic expansion in-task (flatten/transform over sorted per-order baskets, <=35 triples/order) - no 3-way fact self-join; top-20 cut is TakeOrderedAndProject."),
+    ("km_survival_users", "Corpus reduces to the calendar day spine; the prefix PRODUCT folds inside ONE array (aggregate(slice)) - no exp/ln, no data-sized window."),
+    ("quantile_normalize_embeddings", "Per-dim ranks = ONE two-phase global rank over (dim, value) + arithmetic dim*N offset - never a 64-partition window; profile join on the rank key."),
+    ("cka_quantization_audit", "The only corpus-scale work is one mapInPandas block-matmul emitting three dim^2 Gram grids + column sums; centering, Frobenius folds and the final ratio are dim^2-bounded."),
+    ("neardup_cluster_tightness", "Intra-cluster pair expansion bounded by the size-12 cluster cap; shingle-set frame materialized once; intersections via hash joins on (doc, shingle) rows - no cartesian."),
+    ("linear_interp_user_hours", "No hour spine: per-gap interpolation sums aggregate analytically (arithmetic series) over OBSERVED rows only; all windows per-user."),
 ]
 
 
