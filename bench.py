@@ -347,6 +347,9 @@ HEADLINE = [
     # wave 27
     "negative_sampling_table_docs",
     "feature_hashing_audit_docs",
+    # wave 28
+    "incremental_join_view_orders",
+    "blocking_quality_audit_docs",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -1230,3 +1230,16 @@ def test_wave26_plan_audit(spark):
     plan = _plan(QUERIES["neardup_cluster_tightness"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_wave28_plan_audit(spark):
+    """Wave-28 plan audit.  IVM: the refresh is three delta-term joins
+    plus a dimension-sized merge aggregate — no cartesian.  blocking:
+    candidate counts come from block-size ARITHMETIC (one vocab-sized
+    aggregate), never a pair-expansion join; truth probes are
+    |truth|-sized equi-joins."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    for name in ["incremental_join_view_orders", "blocking_quality_audit_docs"]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name

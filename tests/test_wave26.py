@@ -134,3 +134,53 @@ def test_feature_hashing_counts_consistent(spark):
     # vocab conservation: collided + singleton terms == vocab
     singletons = r.n_buckets_used - r.n_collided_buckets
     assert singletons + r.n_collided_terms == r.n_vocab
+
+
+# --------------------------------------------------------------------------
+# wave 28 — incremental join-view maintenance + blocking quality
+
+
+def test_incremental_join_view_equals_full_recompute(spark):
+    """The incrementally maintained view must equal the naive full
+    join-aggregate, and the ΔA⋈B_old term is empty by the key split
+    (new orders have no lines in the old snapshot)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES, _t
+    from pyspark.sql import functions as FF
+
+    inc = {
+        r.priority: (r.n_items, r.revenue)
+        for r in QUERIES["incremental_join_view_orders"](spark, SF).collect()
+    }
+    o = _t(spark, SF, "orders")
+    li = _t(spark, SF, "lineitem")
+    full = {
+        r.priority: (r.n_items, r.revenue)
+        for r in (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(FF.col("o_orderpriority").alias("priority"))
+            .agg(
+                FF.count(FF.lit(1)).cast("bigint").alias("n_items"),
+                FF.round(FF.sum(FF.col("l_extendedprice").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert inc == full
+
+
+def test_blocking_quality_planted_pairs_complete(spark):
+    """Planted near-dups share the first two words (the suffix is
+    appended at the END), so the first-2-word blocking must find every
+    true pair: pairs_completeness == 1.0; and blocking must avoid the
+    vast majority of the N² pairs."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import QUERIES
+
+    r = QUERIES["blocking_quality_audit_docs"](spark, SF).collect()[0]
+    assert r.n_true >= 1
+    assert r.n_found == r.n_true
+    assert r.pairs_completeness == 1.0
+    assert r.reduction_ratio > 0.5
+    assert r.n_cand < r.n_docs * (r.n_docs - 1) // 2
+    assert r.max_block <= r.n_docs
