@@ -396,3 +396,52 @@ def test_asof_join_forward_tolerance_model_check(spark, lefts, rights, tol):
     got = sorted((r.k, r.ts.timestamp(), r.v_asof) for r in out)
     want = sorted((k, float(t), model(k, t)) for k, t in lefts)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-50, max_value=50),  # value weight 1
+            st.integers(min_value=0, max_value=9),     # value weight 2
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_global_prefix_model_check(spark, rows, nparts):
+    """rank.global_prefix (the fused N-ary two-phase prefix primitive)
+    must equal the serial model for ANY input and partition count —
+    including negative weights, duplicate (grp, key) prefixes resolved
+    by the unique key, and single-row groups.  Guards the
+    multi-window partition-id regression (NOTES round-7 third
+    continuation) under partition-count variation."""
+    from pyspark.sql import functions as FF
+
+    from imdb_metacritic_data_warehouse_spark.operators.rank import global_prefix
+
+    data = [
+        (str(g), i, int(w1), int(w2)) for i, (g, w1, w2) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "grp string, k long, w1 long, w2 long")
+    got = {
+        (r.grp, r.k): (r.rn, r.cum_w1, r.cum_w2)
+        for r in global_prefix(
+            df,
+            [FF.col("grp"), FF.col("k")],
+            ["w1", "w2"],
+            rn_col="rn",
+            num_partitions=nparts,
+        ).collect()
+    }
+    c1 = c2 = 0
+    for i, (g, k, w1, w2) in enumerate(sorted(data), 1):
+        c1 += w1
+        c2 += w2
+        assert got[(g, k)] == (i, c1, c2), (g, k)
