@@ -87,12 +87,21 @@ def global_prefix(
     two-phase passes would shuffle the same frame three times).
 
     Prefix sums come back as ``cum_<value_col>`` (long).  Same
-    correctness constraint as the single-value primitives: persist()
-    pins ONE execution of the sampled range exchange so the local and
-    offsets branches can never see different partition bounds.
+    correctness constraint as the single-value primitives — the local
+    and offsets branches must see ONE execution of the sampled range
+    exchange (identical partition bounds) — but pinned here with an
+    EAGER ``localCheckpoint`` instead of ``persist()``: a query-shaped
+    caller has no unpersist point, and a leaked cache entry on a
+    data-sized frame accumulates across bench invocations (round 2's
+    bench killer; ADVICE r7).  Checkpoint blocks are freed by the
+    ContextCleaner once the plan is dropped, and the frozen RDD makes
+    divergent re-sampling of the range bounds impossible by
+    construction.  (``global_row_number`` keeps ``persist()`` — its
+    range exchange is plan-gated in tests/test_plan_quality.py and its
+    callers wrap dimension-sized frames.)
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols).persist()
+    parted = df.repartitionByRange(n, *order_cols).localCheckpoint(eager=True)
     # __pid must be STAMPED as a column once, and every window spec must
     # reference the COLUMN: with several WindowExec nodes in one chain, a
     # raw spark_partition_id() inside the second window's partitionBy is

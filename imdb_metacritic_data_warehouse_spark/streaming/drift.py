@@ -12,15 +12,31 @@ Idempotence design: plain per-day SUM merges double-count when a batch
 is re-delivered (the CMS failure mode; the HLL ingest is naturally
 idempotent because its merge is MAX).  Here each micro-batch commits
 CONTENT-KEYED partial aggregates — (day, batch content key, n, sum) —
-where the key is derived from the batch's rows for that day (count +
-an order-free crc32 sum).  Replayed content maps to the SAME key and
-is anti-joined away, so at-least-once RE-DELIVERY of a batch cannot
-inflate the stats, regardless of checkpoint identity.  (The guarantee
-is per batch CONTENT: if a recovery re-buckets old rows into
+where the key is derived from the batch's rows for that day: the row
+count, the exact integer unit-sum of the values, and an order-free
+crc32 sum over the ids — i.e. the key covers BOTH the id multiset AND
+the value content (ADVICE r7: an id-only key silently dropped a
+re-delivered batch carrying corrected values).  Replayed identical
+content maps to the SAME key and is anti-joined away, so at-least-once
+RE-DELIVERY of a batch cannot inflate the stats, regardless of
+checkpoint identity; a batch with the same ids but different values
+keys differently and is (correctly) merged as new content.  (The
+guarantee is per batch CONTENT: if a recovery re-buckets old rows into
 differently-shaped batches, day partials key differently — exactly-
 once under arbitrary re-bucketing needs event-level dedup, which the
 corpus ingest sink provides for its domain.)  Reading collapses
 partials with one dimension-sized groupBy.
+
+Growth bound (ADVICE r7): the partials table gains one row per
+(day, batch), so an unbounded stream would make the per-batch rewrite
+O(total history).  ``merge_daily_partials`` therefore compacts: days
+older than ``lateness_days`` behind the committed frontier collapse to
+ONE compacted row per day (key = md5 over the sorted set of folded
+batch keys), and incoming partials at-or-before the compaction
+watermark are discarded — the standard watermark contract (too-late
+re-deliveries are ignored).  Steady-state table size is
+O(#days + partials inside the lateness window), so per-batch I/O is
+bounded by the calendar, not the batch count.
 """
 
 from __future__ import annotations
@@ -37,9 +53,16 @@ def merge_daily_partials(
     ts_col: str = "ts",
     id_col: str = "event_id",
     val_col: str = "value",
+    lateness_days: int = 2,
+    compact_after: int = 8,
 ) -> None:
     """Commit one micro-batch's per-day partial aggregates, keyed by
-    the day's content so replays are no-ops."""
+    the day's content (ids + values) so replays are no-ops.
+
+    Compaction: once more than ``compact_after`` uncompacted partial
+    rows sit at days ≤ (frontier − ``lateness_days``), each such day
+    collapses to a single ``compacted`` row; the max compacted day is
+    the watermark below which incoming partials are dropped."""
     part = (
         batch_df.groupBy(F.to_date(F.col(ts_col)).alias("d"))
         .agg(
@@ -51,19 +74,55 @@ def merge_daily_partials(
                 F.concat(
                     F.count(F.lit(1)).cast("string"),
                     F.lit("_"),
+                    F.sum(
+                        (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast(
+                            "long"
+                        )
+                    ).cast("string"),
+                    F.lit("_"),
                     F.sum(F.crc32(F.col(id_col).cast("string"))).cast("string"),
                 )
             ).alias("batch_key"),
         )
+        .withColumn("compacted", F.lit(False))
     )
-    if table.exists():
-        committed = table.read()
-        novel = part.join(
-            committed.select("d", "batch_key"), ["d", "batch_key"], "left_anti"
-        )
-        table.write(committed.unionByName(novel))
-    else:
+    if not table.exists():
         table.write(part)
+        return
+    committed = table.read()
+    if "compacted" not in committed.columns:
+        committed = committed.withColumn("compacted", F.lit(False))
+    # 1-row scalar: the compaction watermark (max compacted day).
+    wm = committed.agg(F.max(F.when(F.col("compacted"), F.col("d")))).first()[0]
+    incoming = part if wm is None else part.where(F.col("d") > F.lit(wm))
+    novel = incoming.join(
+        committed.select("d", "batch_key"), ["d", "batch_key"], "left_anti"
+    )
+    merged = committed.unionByName(novel)
+    # 1-row scalar: the frontier INCLUDING this batch, so a new max day
+    # immediately ages the days behind it into compaction range.
+    frontier = merged.agg(F.max("d")).first()[0]
+    if frontier is not None:
+        cutoff = F.date_sub(F.lit(frontier), lateness_days)
+        stale = (F.col("d") <= cutoff) & ~F.col("compacted")
+        # 1-row scalar: is the stale partial population worth a rewrite?
+        if merged.where(stale).count() > compact_after:
+            collapsed = (
+                merged.where(stale)
+                .groupBy("d")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("su").cast("long").alias("su"),
+                    F.md5(
+                        F.array_join(F.sort_array(F.collect_list("batch_key")), "|")
+                    ).alias("batch_key"),
+                    F.lit(True).alias("compacted"),
+                )
+            )
+            merged = merged.where(~stale).unionByName(
+                collapsed.select(*merged.columns)
+            )
+    table.write(merged)
 
 
 def drift_ingest_sink(

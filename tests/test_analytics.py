@@ -305,7 +305,10 @@ def test_inverted_index_postings_consistency(spark, sf_dir):
     )
 
     for r in inverted_index_postings(spark, sf_dir).collect():
-        p = r["postings"]
+        # postings serialize as a comma-joined string (numerically
+        # sorted BEFORE the cast) — driver-gated outputs must be
+        # scalar-only (lint R7, the r7 red-row class).
+        p = [int(x) for x in r["postings"].split(",")]
         assert r["df"] == len(p)
         assert p == sorted(p) and len(set(p)) == len(p)
 

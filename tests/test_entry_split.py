@@ -1,0 +1,47 @@
+"""The entry_queries package split (verdict r7 task #5) — aggregation
+invariants that must survive any future module re-organization.
+
+The one-shot split was verified against a byte-level snapshot of the
+flat module (same key ORDER, same oracle SQL, same function sources
+modulo the `from .` -> `from ..` depth rewrite — tools/
+split_entry_queries.py docstring).  These are the standing invariants.
+"""
+
+from imdb_metacritic_data_warehouse_spark import entry_queries as eq
+from imdb_metacritic_data_warehouse_spark.entry_queries import _registry
+
+
+def test_registry_shape():
+    assert len(eq.QUERIES) == 340
+    # every oracle belongs to a registered query
+    assert set(eq.ORACLES) <= set(eq.QUERIES)
+    # the reordered public dicts cover exactly the raw registrations
+    assert set(eq.QUERIES) == set(_registry.QUERIES)
+    assert set(eq.ORACLES) == set(_registry.ORACLES)
+
+
+def test_priority_prefix_leads():
+    assert len(eq._PRIORITY_PREFIX) == 50
+    assert list(eq.QUERIES)[: len(eq._PRIORITY_PREFIX)] == eq._PRIORITY_PREFIX
+
+
+def test_query_functions_reexported():
+    # external sites do `from ...entry_queries import <fn>` — every
+    # registered callable must be importable from the package root.
+    for name, fn in eq.QUERIES.items():
+        assert getattr(eq, fn.__name__) is fn, name
+
+
+def test_domain_modules_register_in_order():
+    # registration order must follow the qNN module order: a query
+    # defined in q03 can never precede one from q01 in the RAW dict.
+    import inspect
+
+    mods = [inspect.getmodule(fn).__name__ for fn in _registry.QUERIES.values()]
+    part_mods = [m for m in mods if ".entry_queries.q" in m]
+    assert part_mods == sorted(part_mods, key=lambda m: (part_mods.index(m), m)) or (
+        part_mods == sorted(part_mods)
+    )
+    # simpler, exact: the module sequence is non-decreasing
+    seq = [m.rsplit(".", 1)[1] for m in mods]
+    assert seq == sorted(seq, key=lambda s: seq.index(s))

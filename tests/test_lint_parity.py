@@ -11,7 +11,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from lint_parity import lint_module_source, lint_query, run  # noqa: E402
+from lint_parity import (  # noqa: E402
+    lint_module_source,
+    lint_output_types,
+    lint_query,
+    run,
+)
 
 
 def _rules(findings):
@@ -69,3 +74,10 @@ def test_r5_flags_decimal_sum_cast_to_double():
 
 def test_repo_lints_clean():
     assert run(verbose=False) == []
+
+
+def test_r7_no_nonscalar_driver_gated_output(spark, sf_dir):
+    # The inverted_index_postings r7 red row: an ARRAY column crashes
+    # the driver's pandas canonicalizer before the values compare.
+    # Every queries() entry must resolve to an all-atomic schema.
+    assert lint_output_types(spark, sf_dir) == []

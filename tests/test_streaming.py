@@ -704,3 +704,66 @@ def test_streaming_drift_daily_stats_match_batch_and_replay_idempotent(
         mx = max(mx, r.m_val)
         assert abs((mx - r.m_val) - r.ph_val) < 1e-9
         assert r.ph_val >= -1e-9
+
+
+def test_drift_partials_value_keyed_and_compacting(spark, tmp_path):
+    """ADVICE r7 pair: (a) the batch content key covers VALUES, not just
+    ids — a re-delivered day batch with the same ids but corrected
+    values must merge as new content, not vanish as a 'replay';
+    (b) partials compact — old days collapse to one compacted row per
+    day and the table stops growing one row per (day, batch), with
+    incoming partials at-or-before the watermark dropped."""
+    from imdb_metacritic_data_warehouse_spark.streaming.drift import (
+        daily_stats,
+        merge_daily_partials,
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path), "daily")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    b = [(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", 20.0)]
+    merge_daily_partials(table, batch(b))
+    # exact replay: anti-joined away
+    merge_daily_partials(table, batch(b))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 300000)
+    }
+    # same ids, corrected values: keys differ -> merged as new content
+    b_fix = [(1, "2024-01-01 10:00:00", 11.0), (2, "2024-01-01 11:00:00", 20.0)]
+    merge_daily_partials(table, batch(b_fix))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 4, 610000)
+    }
+
+    # grow the calendar: 6 day-1..day-3 partial rows sit behind the
+    # frontier once day 6 lands (lateness_days=2) -> compaction fires
+    # with compact_after=3 and collapses them to one row per day.
+    for day in (2, 2, 3, 6):
+        merge_daily_partials(
+            table,
+            batch([(100 + day, f"2024-01-{day:02d} 09:00:00", 1.0)]),
+            lateness_days=2,
+            compact_after=3,
+        )
+    tab = table.read()
+    old = tab.where(F.col("d") <= F.lit("2024-01-04"))
+    assert old.count() == 3  # one compacted row per old day
+    assert all(r.compacted for r in old.collect())
+    n_before = tab.count()
+
+    # a too-late re-delivery (day 1, below the watermark) is DROPPED —
+    # the watermark contract — and the stats don't change.
+    stats_before = {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()}
+    merge_daily_partials(
+        table,
+        batch([(999, "2024-01-01 12:00:00", 50.0)]),
+        lateness_days=2,
+        compact_after=3,
+    )
+    assert table.read().count() == n_before
+    assert {
+        (str(r.d), r.n, r.su) for r in daily_stats(table).collect()
+    } == stats_before

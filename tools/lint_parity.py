@@ -37,6 +37,15 @@ Rules (NOTES rule → lint id):
   ``operators/*.py``/``functions/*.py`` — the exact shape of the CMS
   ``_bucket`` bug fixed this round; allowlisted only with an audit
   note proving non-null inputs AND a matching oracle twin.
+* **R7 non-scalar driver-gated output** (the inverted_index_postings
+  r7 red row): a ``queries()`` entry whose result schema has a
+  top-level ARRAY/MAP/STRUCT column.  The driver's pandas
+  canonicalizer ``sort_values`` crashes on list cells
+  (``TypeError: unhashable type: 'list'``) before comparing — the
+  engine can be right and the gate still red.  Serialize
+  (``F.array_join`` / exploded rows) instead.  Schema-based, so it
+  needs a live SparkSession: run via ``lint_output_types(spark)``
+  (tests/test_lint_parity.py) — plan construction only, no execution.
 * **R4 bare float literal in oracle arithmetic** — REPORT-ONLY:
   DuckDB parses ``0.5`` as DECIMAL(2,1) while Spark builders usually
   inject doubles; green today at both SFs everywhere, so this reports
@@ -142,6 +151,29 @@ def lint_module_source(fname: str, text: str) -> list[tuple[str, str, str]]:
     for m in _HASH_WS_PY.finditer(text):
         line_no = text[: m.start()].count("\n") + 1
         out.append(("R6", f"{fname}:{line_no}", "hash over F.concat_ws — NULL keys hash as '<prefix>:' and land in a real bucket (the CMS _bucket bug class); use NULL-propagating F.concat"))
+    return out
+
+
+def lint_output_types(spark, sf_dir: str = "/root/testdata/sf0.001") -> list[tuple[str, str, str]]:
+    """R7: no top-level array/map/struct columns in driver-gated query
+    output.  Builds every ``queries()`` plan (no execution — schema
+    resolution only) and flags non-atomic top-level fields."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from imdb_metacritic_data_warehouse_spark import entry_queries as eq
+
+    out = []
+    for name, fn in eq.QUERIES.items():
+        df = fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                out.append((
+                    "R7", name,
+                    f"top-level {field.dataType.simpleString()} column "
+                    f"'{field.name}' — the driver's pandas canonicalizer "
+                    "crashes on list cells; serialize with F.array_join "
+                    "or return exploded rows",
+                ))
     return out
 
 
