@@ -167,6 +167,36 @@ def v_dd_nomelmat(spark, sf_dir):
     return _marts.build_employee_data(wh)
 
 
+def v_dd_bucketed(spark, sf_dir):
+    """verdict r7 task #6 — the untried r6 lever: persist the link and
+    sat as CO-BUCKETED catalog tables on movie_emp_link_id (the link⋈sat
+    join key), so the mart's big join plans with zero Exchange on both
+    sides; trades two saveAsTable disk writes per invocation for the
+    removed shuffles (sources/bucketed.py proves the zero-Exchange plan
+    shape in tests/test_plan_quality.py)."""
+    from imdb_metacritic_data_warehouse_spark.sources.bucketed import write_bucketed
+
+    wh = wh_dd(spark, sf_dir)
+    wh._stg["employee_hub"] = eq._materialize(_core.build_employee_hub(wh))
+    mel = eq.scd2_apply(
+        None, wh.read("stg", "movie_emp_link"), "movie_emp_link_id",
+        ["movie_id", "emp_id"], eq._SCD2_T0
+    )
+    write_bucketed(mel, "empvar_mel", "movie_emp_link_id", num_buckets=32)
+    wh._stg["movie_emp_link"] = spark.table("empvar_mel")
+    _mel_hint(wh)
+    sat = eq.scd2_apply(
+        None, wh.read("stg", "emp_movie_l_sat"), "movie_emp_role_id",
+        ["movie_emp_link_id", "description", "role"], eq._SCD2_T0
+    )
+    write_bucketed(sat, "empvar_sat", "movie_emp_link_id", num_buckets=32)
+    wh._stg["emp_movie_l_sat"] = spark.table("empvar_sat")
+    wh.distinct_hints[("stg", "emp_movie_l_sat")] = {
+        frozenset({"movie_emp_role_id"})
+    }
+    return _marts.build_employee_data(wh)
+
+
 VARIANTS = {
     "current": v_current,
     "dd": v_dd,
@@ -175,6 +205,7 @@ VARIANTS = {
     "dd_satlazy": v_dd_satlazy,
     "dd_noemphub": v_dd_noemphub,
     "dd_nomelmat": v_dd_nomelmat,
+    "dd_bucketed": v_dd_bucketed,
 }
 
 

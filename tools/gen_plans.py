@@ -85,6 +85,9 @@ CASES = [
     ("cka_quantization_audit", "The only corpus-scale work is one mapInPandas block-matmul emitting three dim^2 Gram grids + column sums; centering, Frobenius folds and the final ratio are dim^2-bounded."),
     ("neardup_cluster_tightness", "Intra-cluster pair expansion bounded by the size-12 cluster cap; shingle-set frame materialized once; intersections via hash joins on (doc, shingle) rows - no cartesian."),
     ("linear_interp_user_hours", "No hour spine: per-gap interpolation sums aggregate analytically (arithmetic series) over OBSERVED rows only; all windows per-user."),
+    ("substring_dup_spans_docs", "Exactly two data-sized exchanges: one on the char 16-gram (uniform key) for the duplicate-count window, one on doc_id whose single sort serves BOTH interval-merge windows; spans groupBy rides the doc partitioning."),
+    ("retraction_ivm_orders", "Signed-multiplicity deltas from one base scan; ONE groupBy collapses the delta; the view merge is a co-partitioned full-outer on custkey - refresh cost |delta| + touched groups, never a base rescan."),
+    ("tokenizer_fertility_drift", "Corpus touched once per vocab (word-frequency aggregate); both encodes are vocabulary-sized broadcast joins onto one corpus word explode - no corpus-scale shuffle repeats."),
 ]
 
 
