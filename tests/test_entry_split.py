@@ -12,7 +12,7 @@ from imdb_metacritic_data_warehouse_spark.entry_queries import _registry
 
 
 def test_registry_shape():
-    assert len(eq.QUERIES) == 343
+    assert len(eq.QUERIES) == 346
     # every oracle belongs to a registered query
     assert set(eq.ORACLES) <= set(eq.QUERIES)
     # the reordered public dicts cover exactly the raw registrations

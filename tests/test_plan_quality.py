@@ -1243,3 +1243,44 @@ def test_wave28_plan_audit(spark):
     for name in ["incremental_join_view_orders", "blocking_quality_audit_docs"]:
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_substring_spans_two_data_exchanges(spark):
+    """substring_dup_spans_docs (r8w29): exactly one exchange on the
+    char-gram key + one on doc_id (whose single sort feeds BOTH
+    interval-merge windows) + the final presentation sort — never a
+    nested-loop pair join, never a per-window re-shuffle."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        substring_dup_spans_docs,
+    )
+
+    plan = _plan(substring_dup_spans_docs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # window partitions: one hashpartitioning on the gram, one on doc_id;
+    # the only other exchange is the final presentation orderBy
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange rangepartitioning") == 1
+    # the two interval-merge windows share ONE (doc_id, p) sort
+    assert (
+        sum(
+            1
+            for line in plan.splitlines()
+            if "Sort [doc_id" in line and ", p#" in line
+        )
+        == 1
+    )
+
+
+def test_retraction_ivm_no_base_rescan_shape(spark):
+    """retraction_ivm_orders (r8w30): the view merge must be a single
+    co-partitioned full-outer join (SortMergeJoin FullOuter) — and the
+    zero-group filter must not force any extra exchange above it."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        retraction_ivm_orders,
+    )
+
+    plan = _plan(retraction_ivm_orders(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
