@@ -350,6 +350,18 @@ HEADLINE = [
     # wave 28
     "incremental_join_view_orders",
     "blocking_quality_audit_docs",
+    # wave 29 (r8)
+    "substring_dup_spans_docs",
+    "prd_divergence_embeddings",
+    "tokenizer_fertility_drift",
+    # wave 30 (r8)
+    "kcenter_coreset_embeddings",
+    "domain_reweight_step_docs",
+    "retraction_ivm_orders",
+    # wave 31 (r8)
+    "horvitz_thompson_docs",
+    "bh_fdr_sources",
+    "mann_kendall_daily",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

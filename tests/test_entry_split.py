@@ -13,8 +13,9 @@ from imdb_metacritic_data_warehouse_spark.entry_queries import _registry
 
 def test_registry_shape():
     assert len(eq.QUERIES) == 346
-    # every oracle belongs to a registered query
-    assert set(eq.ORACLES) <= set(eq.QUERIES)
+    # FULL oracle coverage: every registered query has a DuckDB twin
+    # (ann_ivf's contract-banded oracle included)
+    assert set(eq.ORACLES) == set(eq.QUERIES)
     # the reordered public dicts cover exactly the raw registrations
     assert set(eq.QUERIES) == set(_registry.QUERIES)
     assert set(eq.ORACLES) == set(_registry.ORACLES)
