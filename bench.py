@@ -362,6 +362,10 @@ HEADLINE = [
     "horvitz_thompson_docs",
     "bh_fdr_sources",
     "mann_kendall_daily",
+    # wave 32 (r8)
+    "char_entropy_docs",
+    "zipf_slope_vocab",
+    "length_bucketing_audit_docs",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

@@ -445,3 +445,61 @@ def test_global_prefix_model_check(spark, rows, nparts):
         c1 += w1
         c2 += w2
         assert got[(g, k)] == (i, c1, c2), (g, k)
+
+
+# Wave-29 substring spans: model-check the whole operator (gram index →
+# duplicate filter → interval merge) against a brute-force reference on
+# random small alphabets (ab only — maximizes repeats and overlap
+# cases, the class that broke the first draft's unit-step islands).
+_DOCTEXTS = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=40), min_size=1, max_size=5
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=_DOCTEXTS)
+def test_substring_spans_model_check(spark, tmp_path_factory, texts):
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        substring_dup_spans_docs,
+    )
+
+    K = 16
+    tmp = tmp_path_factory.mktemp("sub")
+    rows = [(i, t, len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).write.parquet(str(tmp / "documents.parquet"))
+
+    # brute-force model: count every K-gram, mark duplicated start
+    # positions, union the [p, p+K-1] intervals per doc.
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts:
+        for p in range(len(t) - K + 1):
+            grams[t[p : p + K]] += 1
+    want = {}
+    for i, t in enumerate(texts):
+        covered = set()
+        for p in range(len(t) - K + 1):
+            if grams[t[p : p + K]] > 1:
+                covered.update(range(p, p + K))
+        if covered:
+            # contiguous runs of covered chars = merged spans
+            runs, cur = [], None
+            for c in sorted(covered):
+                if cur is None or c > cur[1] + 1:
+                    cur = [c, c]
+                    runs.append(cur)
+                else:
+                    cur[1] = c
+            want[i] = (len(runs), sum(b - a + 1 for a, b in runs))
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars)
+        for r in substring_dup_spans_docs(spark, str(tmp)).collect()
+    }
+    assert got == want
