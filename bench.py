@@ -364,7 +364,6 @@ HEADLINE = [
     "mann_kendall_daily",
     # wave 32 (r8)
     "char_entropy_docs",
-    "zipf_slope_vocab",
     "length_bucketing_audit_docs",
 ]
 

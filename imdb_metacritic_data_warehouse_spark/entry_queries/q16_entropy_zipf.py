@@ -1,7 +1,6 @@
 """Round-8 wave 32 — corpus-statistics quality signals: per-document
 character entropy (the gibberish/boilerplate detector of the C4/Gopher
-family), a Zipf rank-frequency slope audit (the corpus-health
-companion of heaps_law_vocab_growth), and a sequence-length bucketing
+family), and a sequence-length bucketing
 audit for padded-batch serving efficiency."""
 
 from __future__ import annotations
@@ -77,106 +76,6 @@ def char_entropy_docs(spark, sf_dir):
         F.round(h, 6).alias("entropy_bits"),
         (h < 2.0).alias("low_entropy"),
     ).orderBy("doc_id")
-
-
-# Zipf rank-frequency slope — fit ln(freq) = a + b·ln(rank) by OLS over
-# the top-100 vocabulary; natural text sits near b ≈ −1, and a corpus
-# whose slope drifts (template spam flattens it, aggressive dedup
-# steepens it) fails the health check.  Completes
-# heaps_law_vocab_growth (type growth) with the token-frequency law.
-# Ranks are deterministic (count DESC, term ASC); ln inputs are exact
-# integers (identical doubles), the five OLS sums fold in rank order
-# inside ONE 100-element array, and only the final slope/intercept
-# round.  Everything after the vocabulary aggregate is top-k-bounded.
-@query(
-    "zipf_slope_vocab",
-    """
-    WITH wc AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-      WHERE w <> '' GROUP BY w
-    ),
-    top AS (
-      SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS r
-      FROM wc QUALIFY r <= 100
-    ),
-    arr AS (
-      SELECT list(struct_pack(x := ln(CAST(r AS DOUBLE)),
-                              y := ln(CAST(f AS DOUBLE))) ORDER BY r) AS a,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM top
-    ),
-    sums AS (
-      SELECT n,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(a, s -> s.x)), (p, q) -> p + q) AS sx,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(a, s -> s.y)), (p, q) -> p + q) AS sy,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(a, s -> s.x * s.x)), (p, q) -> p + q) AS sxx,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(a, s -> s.x * s.y)), (p, q) -> p + q) AS sxy
-      FROM arr
-    )
-    SELECT n AS top_n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
-                 6) AS intercept
-    FROM sums
-    """,
-)
-def zipf_slope_vocab(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from ..operators.text import tokens
-
-    wc = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(tokens(F.col("text"))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
-    top = wc.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
-    ).filter(F.col("r") <= 100)
-    arr = top.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(r,"
-            " ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y))),"
-            " s -> struct(s.x AS x, s.y AS y))"
-        ).alias("a"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    sums = arr.select(
-        "n",
-        F.expr(
-            "aggregate(transform(a, s -> s.x), CAST(0.0 AS DOUBLE),"
-            " (p, q) -> p + q)"
-        ).alias("sx"),
-        F.expr(
-            "aggregate(transform(a, s -> s.y), CAST(0.0 AS DOUBLE),"
-            " (p, q) -> p + q)"
-        ).alias("sy"),
-        F.expr(
-            "aggregate(transform(a, s -> s.x * s.x), CAST(0.0 AS DOUBLE),"
-            " (p, q) -> p + q)"
-        ).alias("sxx"),
-        F.expr(
-            "aggregate(transform(a, s -> s.x * s.y), CAST(0.0 AS DOUBLE),"
-            " (p, q) -> p + q)"
-        ).alias("sxy"),
-    )
-    slope = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    return sums.select(
-        F.col("n").alias("top_n"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
-    )
 
 
 # Sequence-length bucketing audit — padded-batch serving/training

@@ -47,47 +47,6 @@ def test_char_entropy_bounded_by_alphabet(spark):
 
 
 # --------------------------------------------------------------------------
-# zipf_slope_vocab
-
-
-def test_zipf_slope_negative_on_natural_text(spark):
-    from imdb_metacritic_data_warehouse_spark.entry_queries import (
-        zipf_slope_vocab,
-    )
-
-    r = zipf_slope_vocab(spark, SF).collect()[0]
-    # the synthetic sf0.001 corpus has a tiny vocabulary (31 words) —
-    # top_n is min(vocab, 100)
-    assert 0 < r.top_n <= 100
-    # frequencies are non-increasing in rank, so the OLS slope on the
-    # log-log plot is strictly negative
-    assert r.zipf_slope < 0
-    # intercept approximates ln(top frequency) — must be positive
-    assert r.intercept > 0
-
-
-def test_zipf_exact_power_law(spark, tmp_path):
-    """Plant an exact f = C/r corpus (word w_r appears floor(C/r)
-    times with C big): the fitted slope must be ~ -1."""
-    from imdb_metacritic_data_warehouse_spark.entry_queries import (
-        zipf_slope_vocab,
-    )
-
-    C = 100000
-    words = []
-    for r in range(1, 121):
-        words.extend([f"w{r:03d}"] * (C // r))
-    text = " ".join(words)
-    df = spark.createDataFrame(
-        [(1, text, "en", "s", len(text))],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
-    df.write.parquet(str(tmp_path / "documents.parquet"))
-    r = zipf_slope_vocab(spark, str(tmp_path)).collect()[0]
-    assert abs(r.zipf_slope - (-1.0)) < 0.01
-
-
-# --------------------------------------------------------------------------
 # length_bucketing_audit_docs
 
 
