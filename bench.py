@@ -365,6 +365,10 @@ HEADLINE = [
     # wave 32 (r8)
     "char_entropy_docs",
     "length_bucketing_audit_docs",
+    # wave 33 (r8)
+    "brier_decomposition_docs",
+    "acf_ljungbox_daily",
+    "mcnemar_rules_docs",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy
