@@ -369,6 +369,8 @@ HEADLINE = [
     "brier_decomposition_docs",
     "acf_ljungbox_daily",
     "mcnemar_rules_docs",
+    # wave 34 (r8)
+    "ab_power_sample_size_events",
 ]
 
 # Pathologically heavy queries run LAST (verdict r5 task #6): one heavy

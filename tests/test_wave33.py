@@ -89,3 +89,24 @@ def test_mcnemar_cells_partition_corpus(spark):
     if r.only_a + r.only_b > 0:
         want = (abs(r.only_a - r.only_b) - 1) ** 2 / (r.only_a + r.only_b)
         assert abs(r.mcnemar_chi2 - round(want, 6)) < 1e-9
+
+
+def test_power_sample_size_monotone(spark):
+    """Wave-34: n per arm is strictly decreasing in the MDE (quadratic
+    1/mde² law) and consistent with the closed form recomputed from the
+    reported mean/stddev."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        ab_power_sample_size_events,
+    )
+
+    rows = sorted(
+        ab_power_sample_size_events(spark, SF).collect(), key=lambda r: r.mde_pct
+    )
+    assert [r.mde_pct for r in rows] == [1.0, 2.0, 5.0, 10.0]
+    ns = [r.n_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True) and ns[-1] >= 1
+    z2 = (1.959963984540054 + 0.8416212335729143) ** 2
+    for r in rows:
+        want = 2.0 * z2 * r.stddev_value**2 / ((r.mde_pct / 100) * r.mean_value) ** 2
+        # rounding of mean/stddev to 6 decimals shifts the recompute a bit
+        assert abs(r.n_per_arm - want) / want < 0.01
