@@ -22,6 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Schema/plan-only tooling (tools/lint_parity.py, tools/gen_plans.py)
+# sets this True so plan CONSTRUCTION stays lazy: ``global_prefix``'s
+# eager localCheckpoint otherwise runs a real range-exchange job the
+# moment the query function is called (ADVICE r8).  Execution paths
+# must leave it False — the eager materialization is what pins ONE
+# execution of the sampled range exchange for both consumer branches.
+PLAN_ONLY = False
+
 
 def global_row_number(
     df: DataFrame,
@@ -99,9 +107,19 @@ def global_prefix(
     construction.  (``global_row_number`` keeps ``persist()`` — its
     range exchange is plan-gated in tests/test_plan_quality.py and its
     callers wrap dimension-sized frames.)
+
+    Deployment caveat (ADVICE r8): ``localCheckpoint`` blocks live on
+    executor local storage and are NOT recoverable — under executor
+    loss or dynamic-allocation decommissioning the query fails instead
+    of recomputing lineage.  Fine for the local bench target; on a
+    long-lived cluster with a configured checkpoint dir, swap in
+    reliable ``checkpoint()`` (same eager semantics, storage-backed).
+    Plan-only tooling sets ``PLAN_ONLY`` to skip the materialization.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols).localCheckpoint(eager=True)
+    parted = df.repartitionByRange(n, *order_cols)
+    if not PLAN_ONLY:
+        parted = parted.localCheckpoint(eager=True)
     # __pid must be STAMPED as a column once, and every window spec must
     # reference the COLUMN: with several WindowExec nodes in one chain, a
     # raw spark_partition_id() inside the second window's partitionBy is

@@ -63,24 +63,35 @@ def merge_daily_partials(
     rows sit at days ≤ (frontier − ``lateness_days``), each such day
     collapses to a single ``compacted`` row; the max compacted day is
     the watermark below which incoming partials are dropped."""
+    unit_sum = F.sum(
+        (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast("long")
+    )
+    # Rows whose value is NULL (or overflows the decimal cast to NULL)
+    # are skipped by the sum above, so without a separate term two
+    # batches differing only in null/overflowing values would collide
+    # to the same key and a corrected re-delivery would be wrongly
+    # dropped as a replay (ADVICE r8).  The term is appended ONLY when
+    # nonzero so the common all-non-null path keys byte-identically to
+    # the r8 format — no key migration for healthy tables.
+    null_vals = F.sum(
+        F.when(F.col(val_col).cast("decimal(18,4)").isNull(), 1).otherwise(0)
+    )
     part = (
         batch_df.groupBy(F.to_date(F.col(ts_col)).alias("d"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(
-                (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast("long")
-            ).cast("long").alias("su"),
+            unit_sum.cast("long").alias("su"),
             F.md5(
                 F.concat(
                     F.count(F.lit(1)).cast("string"),
                     F.lit("_"),
-                    F.sum(
-                        (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast(
-                            "long"
-                        )
-                    ).cast("string"),
+                    F.coalesce(unit_sum.cast("string"), F.lit("null")),
                     F.lit("_"),
                     F.sum(F.crc32(F.col(id_col).cast("string"))).cast("string"),
+                    F.when(
+                        null_vals > 0,
+                        F.concat(F.lit("_x"), null_vals.cast("string")),
+                    ).otherwise(F.lit("")),
                 )
             ).alias("batch_key"),
         )
@@ -91,7 +102,16 @@ def merge_daily_partials(
         return
     committed = table.read()
     if "compacted" not in committed.columns:
-        committed = committed.withColumn("compacted", F.lit(False))
+        # Pre-r8 table (id-only batch keys, no compaction column).
+        # Old-format keys can never match new-format keys, so a
+        # re-delivery of a pre-upgrade batch would slip past the
+        # anti-join and double-count its day (ADVICE r8).  Fold the
+        # whole legacy history behind the compaction watermark: mark
+        # every legacy row compacted, so the watermark rises to the
+        # legacy frontier and any re-delivery at (or before) it is
+        # dropped by the standard too-late rule.  New days proceed
+        # under the current key format.
+        committed = committed.withColumn("compacted", F.lit(True))
     # 1-row scalar: the compaction watermark (max compacted day).
     wm = committed.agg(F.max(F.when(F.col("compacted"), F.col("d")))).first()[0]
     incoming = part if wm is None else part.where(F.col("d") > F.lit(wm))

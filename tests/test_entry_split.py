@@ -39,10 +39,12 @@ def test_domain_modules_register_in_order():
     import inspect
 
     mods = [inspect.getmodule(fn).__name__ for fn in _registry.QUERIES.values()]
-    part_mods = [m for m in mods if ".entry_queries.q" in m]
-    assert part_mods == sorted(part_mods, key=lambda m: (part_mods.index(m), m)) or (
-        part_mods == sorted(part_mods)
-    )
-    # simpler, exact: the module sequence is non-decreasing
-    seq = [m.rsplit(".", 1)[1] for m in mods]
-    assert seq == sorted(seq, key=lambda s: seq.index(s))
+    seq = [m.rsplit(".", 1)[1] for m in mods if ".entry_queries.q" in m]
+    # ADVICE r8: the old asserts only enforced per-module contiguity
+    # (any block arrangement passed).  Exact invariant: the sequence of
+    # FIRST occurrences must equal the lexicographically sorted module
+    # list — q01 registers before q02 before q03 ...
+    firsts = list(dict.fromkeys(seq))
+    assert firsts == sorted(firsts), firsts
+    # and each module's registrations are contiguous (no interleaving)
+    assert seq == sorted(seq, key=lambda s: firsts.index(s))

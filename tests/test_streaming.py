@@ -767,3 +767,83 @@ def test_drift_partials_value_keyed_and_compacting(spark, tmp_path):
     assert {
         (str(r.d), r.n, r.su) for r in daily_stats(table).collect()
     } == stats_before
+
+
+def test_drift_null_values_key_the_batch(spark, tmp_path):
+    """ADVICE r8: rows whose value is NULL are skipped by the unit-sum,
+    so two batches differing ONLY in null values must NOT collide to
+    the same content key — the corrected re-delivery has to merge as
+    new content.  All-non-null batches keep the r8 key format (no
+    migration), which the replay-idempotence case above already pins."""
+    from imdb_metacritic_data_warehouse_spark.streaming.drift import (
+        daily_stats,
+        merge_daily_partials,
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path), "daily")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    # first delivery: value for id=2 is NULL (a broken extract)
+    merge_daily_partials(
+        table, batch([(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", None)])
+    )
+    # exact replay of the null-bearing batch: still anti-joined away
+    merge_daily_partials(
+        table, batch([(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", None)])
+    )
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 100000)
+    }
+    # corrected re-delivery: same ids, null filled in -> unit-sum AND
+    # null-count differ -> new key -> merged (pre-fix these collided
+    # whenever the non-null sums happened to match; the null-count term
+    # separates them even when they don't, e.g. null -> 0.0)
+    merge_daily_partials(
+        table, batch([(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", 0.0)])
+    )
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 4, 200000)
+    }
+
+
+def test_drift_legacy_table_folds_behind_watermark(spark, tmp_path):
+    """ADVICE r8: a table committed under the pre-r8 id-only key scheme
+    (detectable: no `compacted` column) must not let pre-upgrade
+    re-deliveries slip past the anti-join (old-format keys never match
+    new-format keys -> double count).  On first merge the legacy rows
+    are folded behind the compaction watermark: re-deliveries at or
+    before the legacy frontier are dropped; new days merge normally."""
+    from imdb_metacritic_data_warehouse_spark.streaming.drift import (
+        daily_stats,
+        merge_daily_partials,
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path), "daily")
+    # hand-write a legacy table: id-only batch_key, no compacted column
+    legacy = spark.createDataFrame(
+        [("2024-01-01", 2, 300000, "legacy-id-only-key")],
+        "d string, n long, su long, batch_key string",
+    ).withColumn("d", F.to_date("d"))
+    table.write(legacy)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    # re-delivery of the pre-upgrade day-1 batch: DROPPED (folded
+    # behind the watermark), not double-counted
+    merge_daily_partials(
+        table, batch([(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", 20.0)])
+    )
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 300000)
+    }
+    # a NEW day merges normally under the current key format
+    merge_daily_partials(table, batch([(3, "2024-01-02 09:00:00", 5.0)]))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 300000),
+        ("2024-01-02", 1, 50000),
+    }

@@ -94,6 +94,12 @@ CASES = [
 def main() -> None:
     from imdb_metacritic_data_warehouse_spark.session import get_spark
     import imdb_metacritic_data_warehouse_spark.entry_queries as eq
+    from imdb_metacritic_data_warehouse_spark.operators import rank
+
+    # plan audit only — keep global_prefix's eager checkpoint lazy so
+    # building wasserstein_drift's plan doesn't run the range-exchange
+    # job eagerly (ADVICE r8)
+    rank.PLAN_ONLY = True
 
     spark = get_spark("plans", cpus=8)
     sf = "/root/testdata/sf0.001"
