@@ -431,9 +431,17 @@ def main():
     qs = ent.queries()
 
     # Heavy batch at the tail (see RUN_LAST) — stable order otherwise.
-    order = [n for n in HEADLINE if n not in RUN_LAST] + [
-        n for n in HEADLINE if n in RUN_LAST
-    ]
+    # Registry queries not yet in the curated HEADLINE list append after
+    # it (sorted, so the order is stable) — the clean record must cover
+    # the FULL current surface, and a hand-maintained list drifts as
+    # waves land (verdict r8 task #3: the r8 record missed waves 32-34).
+    extra = sorted(set(qs) - set(HEADLINE))
+    order = (
+        [n for n in HEADLINE if n not in RUN_LAST]
+        + [n for n in extra if n not in RUN_LAST]
+        + [n for n in HEADLINE if n in RUN_LAST]
+        + [n for n in extra if n in RUN_LAST]
+    )
 
     # Prior round's record (if committed): plan fingerprints let us
     # separate "plan changed" from "JVM poisoning / host noise" when a

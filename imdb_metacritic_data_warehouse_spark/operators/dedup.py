@@ -709,3 +709,86 @@ def prefix_filter_jaccard_pairs(
             "multiplicity_b",
         )
     return out
+
+
+def lcs_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 7,
+    cap: int = 16,
+) -> DataFrame:
+    """Longest common substring (in words) per document pair, exact for
+    common spans >= ``k`` words among grams under the frequency cap.
+
+    Suffix-automaton/LCP methods find the longest common substring with
+    a single-machine suffix structure; the distributed re-expression
+    indexes every word k-gram with its position, joins equal grams
+    across documents, and measures the longest RUN of consecutive
+    positions along one alignment diagonal (pa - pb): a run of L
+    consecutive shared k-gram starts witnesses a common substring of
+    exactly L + k - 1 words.  Grams occurring more than ``cap`` times
+    corpus-wide are dropped BEFORE the pair join (the CCNet / Lee et
+    al. 2022 hot-shingle guard): fan-out per gram is bounded by cap²,
+    making the op corpus-linear; an ultra-frequent gram pins down no
+    specific pair anyway.  Plan: two hash shuffles (gram, then pair
+    diagonal) + one pair-keyed window — no data-sized sort, no
+    quadratic pair emission.
+
+    Output: (da, db, lcs_words, n_anchors) for every pair sharing at
+    least one capped gram; ``n_anchors`` = shared gram-position count.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    tokd = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") >= k)
+    pos = tokd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("p"),
+                    F.array_join(F.slice("w", i, k), " ").alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
+    freq = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= cap))
+        .select("g")
+    )
+    pp = pos.join(freq, "g")
+    a = pp.select(F.col("doc_id").alias("da"), F.col("p").alias("pa"), "g")
+    b = pp.select(F.col("doc_id").alias("db"), F.col("p").alias("pb"), "g")
+    pairs = (
+        a.join(b, ["g"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wd = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = pairs.withColumn("prev_p", F.lag("pa").over(wd)).withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull() | (F.col("pa") > F.col("prev_p") + 1), 1
+            ).otherwise(0)
+        )
+        .over(wd)
+        .cast("bigint"),
+    )
+    rl = (
+        runs.groupBy("da", "db", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("da", "db")
+        .agg((F.max("cnt") + (k - 1)).cast("bigint").alias("lcs_words"))
+    )
+    anch = pairs.groupBy("da", "db").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors")
+    )
+    return rl.join(anch, ["da", "db"]).select("da", "db", "lcs_words", "n_anchors")

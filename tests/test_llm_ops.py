@@ -1343,3 +1343,36 @@ def test_simhash_banding_lossless_for_hamming3(spark):
             if bin(sa ^ sb).count("1") <= 3:
                 want.add((ida, idb))
     assert got == want and (1, 4) in want and (1, 5) not in want
+
+
+def test_lcs_pairs_planted_spans(spark):
+    """lcs_pairs finds the exact longest common word span per pair, and
+    the hot-gram cap splits runs exactly at the dropped gram."""
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import lcs_pairs
+
+    common = " ".join(f"c{i}" for i in range(1, 13))  # 12 shared words
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + common + " x3 x4"),
+            (2, "y1 y2 y3 " + common + " y4"),
+            # only the middle 7 words of the common span
+            (3, "z1 " + " ".join(f"c{i}" for i in range(3, 10)) + " z2 z3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.da, r.db): (r.lcs_words, r.n_anchors)
+        for r in lcs_pairs(docs, k=7, cap=16).collect()
+    }
+    # (1,2): 12-word span -> 6 consecutive 7-gram starts -> 6+6 = 12
+    # (1,3)/(2,3): exactly one shared 7-gram -> lcs 7
+    assert got == {(1, 2): (12, 6), (1, 3): (7, 1), (2, 3): (7, 1)}
+
+    # cap=2 drops the one gram occurring 3x (the c3..c9 gram shared by
+    # all three docs): pairs (1,3)/(2,3) lose their only anchor and
+    # vanish; pair (1,2)'s run splits {1,2} | {4,5,6} -> max 3 -> 3+6=9
+    got2 = {
+        (r.da, r.db): (r.lcs_words, r.n_anchors)
+        for r in lcs_pairs(docs, k=7, cap=2).collect()
+    }
+    assert got2 == {(1, 2): (9, 5)}

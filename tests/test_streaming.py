@@ -847,3 +847,43 @@ def test_drift_legacy_table_folds_behind_watermark(spark, tmp_path):
         ("2024-01-01", 2, 300000),
         ("2024-01-02", 1, 50000),
     }
+
+
+def test_streaming_contamination_index_matches_batch_twin(spark, tmp_path):
+    """The streamed eval-set n-gram index (streaming/contamination.py)
+    must reproduce the batch twin exactly: same per-doc wave-attributed
+    overlap as contamination_wave_attribution_docs computes in one
+    declarative plan — including under a wave REPLAY (set-union
+    idempotence) and a late re-delivery of an early wave after a later
+    one committed (first_wave is a MIN-merge: attribution stable)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        contamination_wave_attribution_docs,
+    )
+    from imdb_metacritic_data_warehouse_spark.streaming.contamination import (
+        contamination_against_index,
+        merge_eval_ngram_index,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.expr("doc_id div 9") % 3).cast("long").alias("wave"), "text"
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path), "eval_index")
+    # waves arrive in order ...
+    for w in (0, 1, 2):
+        merge_eval_ngram_index(table, ev.where(F.col("wave") == w), wave=w)
+    # ... then wave 1 is RE-DELIVERED (at-least-once), then wave 0 again
+    # out of order: neither may change the index (anti-join + MIN-merge)
+    merge_eval_ngram_index(table, ev.where(F.col("wave") == 1), wave=1)
+    merge_eval_ngram_index(table, ev.where(F.col("wave") == 0), wave=0)
+
+    streamed = contamination_against_index(
+        docs.select("doc_id", "text"), table.read(), n=5, n_waves=3
+    )
+    batch = contamination_wave_attribution_docs(spark, sf_dir)
+    cols = ["doc_id", "n_shingles", "hits_w0", "hits_w1", "hits_w2", "overlap_frac"]
+    got = sorted(tuple(r) for r in streamed.select(*cols).collect())
+    want = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert got == want and len(got) > 0
