@@ -90,6 +90,97 @@ def lcs_doc_pairs_docs(spark, sf_dir):
     )
 
 
+# Production variant: collapse exact-fingerprint duplicates to min-id
+# representatives BEFORE the gram join (the jaccard_prefix_join_
+# collapsed / simhash_collapsed precedent).  The naive pair join obeys
+# the Σ|clone-family|² output law — the 16×-replica probe measured
+# 25.5× because every doc gained 15 exact clones (C(16,2) identical
+# pairs per family); collapsing returns the probe to the 1× problem.
+# The uppercased mirror rows create real multiplicity (the fingerprint
+# casefolds, so each mirror collapses onto its original).
+@query(
+    "lcs_doc_pairs_collapsed",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (SELECT doc_id, text, {{norm}} AS f FROM all_docs),
+    reps AS (
+      SELECT f, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS mult
+      FROM fp GROUP BY f
+    ),
+    rd AS (
+      SELECT r.doc_id, r.mult, fp.text
+      FROM reps r JOIN fp ON fp.doc_id = r.doc_id
+    ),
+    tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM rd
+    ),
+    pos AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS p,
+             array_to_string(w[CAST(g.i AS INTEGER):CAST(g.i + 6 AS INTEGER)], ' ') AS g
+      FROM tok, LATERAL (
+        SELECT unnest(range(1, CAST(len(w) - 5 AS BIGINT))) AS i
+      ) g
+      WHERE len(w) >= 7
+    ),
+    freq AS (
+      SELECT g FROM pos GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 16
+    ),
+    pp AS (SELECT p.doc_id, p.p, p.g FROM pos p JOIN freq USING (g)),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, a.p - b.p AS diag
+      FROM pp a JOIN pp b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa,
+             CAST(SUM(CASE WHEN prev_p IS NULL OR pa > prev_p + 1
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY da, db, diag ORDER BY pa) AS BIGINT) AS grp
+      FROM (
+        SELECT da, db, diag, pa,
+               LAG(pa) OVER (PARTITION BY da, db, diag ORDER BY pa) AS prev_p
+        FROM pairs
+      )
+    ),
+    rl AS (
+      SELECT da, db, CAST(MAX(cnt) + 6 AS BIGINT) AS lcs_words
+      FROM (
+        SELECT da, db, diag, grp, COUNT(*) AS cnt
+        FROM runs GROUP BY da, db, diag, grp
+      )
+      GROUP BY da, db
+    ),
+    anch AS (
+      SELECT da, db, CAST(COUNT(*) AS BIGINT) AS n_anchors
+      FROM pairs GROUP BY da, db
+    )
+    SELECT r.da, r.db, r.lcs_words, a.n_anchors,
+           ma.mult AS multiplicity_a, mb.mult AS multiplicity_b
+    FROM rl r
+    JOIN anch a USING (da, db)
+    JOIN reps ma ON ma.doc_id = r.da
+    JOIN reps mb ON mb.doc_id = r.db
+    ORDER BY lcs_words DESC, da, db LIMIT 20
+    """.replace("{norm}", "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"),
+)
+def lcs_doc_pairs_collapsed(spark, sf_dir):
+    from ..operators.dedup import lcs_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    return (
+        lcs_pairs(docs.unionByName(mirror), k=7, cap=16, collapse_exact=True)
+        .orderBy(F.col("lcs_words").desc(), "da", "db")
+        .limit(20)
+    )
+
+
 # Contamination attributed to eval-set ARRIVAL WAVES — the batch twin
 # of streaming/contamination.py, where the benchmark arrives as a
 # stream (waves 0/1/2 = releases) and the persisted n-gram index tags

@@ -717,6 +717,7 @@ def lcs_pairs(
     text_col: str = "text",
     k: int = 7,
     cap: int = 16,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Longest common substring (in words) per document pair, exact for
     common spans >= ``k`` words among grams under the frequency cap.
@@ -737,10 +738,44 @@ def lcs_pairs(
 
     Output: (da, db, lcs_words, n_anchors) for every pair sharing at
     least one capped gram; ``n_anchors`` = shared gram-position count.
+
+    ``collapse_exact=True`` is the production path for corpora with
+    exact duplicates (the Σ|clone-family|² output law: m exact copies
+    of a doc are m(m−1)/2 identical pairs in the naive join — 16×-
+    replica probe: 25.5× naive): collapse exact-fingerprint duplicates
+    to their min-id representative first (the dedup_exact shape), run
+    the pair join over representatives only, and return
+    ``multiplicity_a/b`` so consumers can re-expand pair counts.
     """
     from pyspark.sql import Window
 
-    from .text import tokens
+    from .text import fingerprint, tokens
+
+    if collapse_exact:
+        fp = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias(text_col),
+            fingerprint(F.col(text_col)).alias("__fp"),
+        )
+        reps = fp.groupBy("__fp").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("mult"),
+        )
+        rd = reps.join(
+            fp.select("doc_id", text_col), "doc_id"
+        ).select("doc_id", "mult", text_col)
+        base = lcs_pairs(rd, "doc_id", text_col, k=k, cap=cap)
+        m = reps.select("doc_id", "mult")
+        return (
+            base.join(m.withColumnRenamed("doc_id", "da"), "da")
+            .withColumnRenamed("mult", "multiplicity_a")
+            .join(m.withColumnRenamed("doc_id", "db"), "db")
+            .withColumnRenamed("mult", "multiplicity_b")
+            .select(
+                "da", "db", "lcs_words", "n_anchors",
+                "multiplicity_a", "multiplicity_b",
+            )
+        )
 
     tokd = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
@@ -757,13 +792,22 @@ def lcs_pairs(
             )
         ).alias("pg"),
     ).select("doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
-    freq = (
-        pos.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Corpus frequency as a window over the gram (the substring_dup_
+    # spans shape) instead of a groupBy+join-back: ONE corpus explode
+    # and ONE gram shuffle serve both the cap filter and the pair join.
+    # The surviving subset (grams with 2..cap occurrences — the rare
+    # tail of natural text) is checkpointed so the self-join's two
+    # branches read it instead of re-exploding the corpus (the naive
+    # plan scanned and exploded the corpus THREE times).
+    pp = (
+        pos.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .filter((F.col("c") >= 2) & (F.col("c") <= cap))
-        .select("g")
+        .drop("c")
     )
-    pp = pos.join(freq, "g")
+    from . import rank as _rank
+
+    if not _rank.PLAN_ONLY:
+        pp = pp.localCheckpoint(eager=True)
     a = pp.select(F.col("doc_id").alias("da"), F.col("p").alias("pa"), "g")
     b = pp.select(F.col("doc_id").alias("db"), F.col("p").alias("pb"), "g")
     pairs = (

@@ -226,6 +226,7 @@ def personalized_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     broadcast_ranks: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Personalized PageRank — teleport mass returns to the SEED set
     instead of spreading uniformly, turning global importance into
@@ -238,6 +239,16 @@ def personalized_pagerank(
     broadcast left join per round, seeds are by definition small) and
     the seed-mass initial distribution.  ``seeds``: one column
     ``node``.
+
+    ``checkpoint_every``: rounds between eager lineage checkpoints.
+    Each checkpoint bounds the plan tree but FORCES a job per round;
+    the rank chain is linear (each round's frame feeds only the next),
+    so skipping checkpoints is safe for correctness and lets several
+    rounds fuse into one job — right for small fixed ``iters``.
+    ``0`` disables intra-loop checkpoints entirely (use when ``iters``
+    is a small constant, as the oracle-bound 3-round queries are);
+    keep ``1`` for tolerance-driven production loops where the
+    unrolled tree would otherwise grow without bound.
     """
     edges = edges.localCheckpoint(eager=True)
     nodes = (
@@ -257,7 +268,7 @@ def personalized_pagerank(
     ranks = nodes.join(F.broadcast(r0), "node", "left").select(
         "node", F.coalesce("__r0", F.lit(0.0)).alias("pr")
     )
-    for _ in range(iters):
+    for it in range(iters):
         rd = ranks.join(deg, ranks["node"] == deg["src"]).select(
             deg["src"].alias("rsrc"),
             (F.col("pr") / F.col("out_deg")).alias("c"),
@@ -281,8 +292,9 @@ def personalized_pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -88,6 +88,16 @@ CASES = [
     ("substring_dup_spans_docs", "Exactly two data-sized exchanges: one on the char 16-gram (uniform key) for the duplicate-count window, one on doc_id whose single sort serves BOTH interval-merge windows; spans groupBy rides the doc partitioning."),
     ("retraction_ivm_orders", "Signed-multiplicity deltas from one base scan; ONE groupBy collapses the delta; the view merge is a co-partitioned full-outer on custkey - refresh cost |delta| + touched groups, never a base rescan."),
     ("tokenizer_fertility_drift", "Corpus touched once per vocab (word-frequency aggregate); both encodes are vocabulary-sized broadcast joins onto one corpus word explode - no corpus-scale shuffle repeats."),
+    ("char_entropy_docs", "Char explode collapses map-side into (doc, char) counts before the ONE data-sized shuffle; the entropy fold runs inside a per-doc array (deterministic char order) - no second pass, no window."),
+    ("length_bucketing_audit_docs", "Token counts are one scan-local expression; the only data-sized exchange is the two-phase global rank's range partitioning (no single-task sort); bucketing is closed-form rank arithmetic + one 4-group aggregate."),
+    ("brier_decomposition_docs", "Corpus reduces to 10 calibration bins in one hash aggregate (map-side combinable); the Murphy terms fold bin-ordered arrays on a 1-row frame - every post-reduction op is broadcast-sized."),
+    ("acf_ljungbox_daily", "One calendar-bounded day aggregate is the only data-sized work; centering, all 7 lag products and the Q fold run inside day-ordered arrays on a 1-row frame - no self-join per lag, no window."),
+    ("mcnemar_rules_docs", "Both quality rules evaluate in ONE shared token-explode aggregate pass (conditional sums); the 2x2 discordant table and the statistic are a 1-row frame - zero joins of corpus-sized sides."),
+    ("ab_power_sample_size_events", "Variant moments from one conditional aggregate over events; the z-quantile/power algebra is a 4-row literal-grid cross join against a broadcast 1-row stats frame - scan + one reduction, nothing else data-sized."),
+    ("lcs_doc_pairs_docs", "Gram positions explode scan-locally; the hot-gram cap (corpus-frequency 2..16) bounds the equi-join fan-out to cap^2 per gram BEFORE pairs form; diagonal runs use a pair-keyed window - no suffix sort, no all-pairs."),
+    ("lcs_doc_pairs_collapsed", "Production path: exact-fingerprint collapse to min-id representatives BEFORE the gram join kills the Sum|clone-family|^2 pair law (16x-replica probe 25.5x naive -> 1.1x collapsed); multiplicities re-expand pair counts."),
+    ("contamination_wave_attribution_docs", "Eval index is eval-set-bounded and BROADCAST into the corpus-shingle scoring join; shingling is transform/sequence codegen (no window shuffle on the eval side); one doc-keyed aggregate ends it."),
+    ("domain_calibration_drift_docs", "Corpus reduces once to (source, bin) counts (materialized, <= sources x 10 rows); both PAV minimax passes and the drift join are broadcast joins over that dimension-sized grid."),
 ]
 
 
