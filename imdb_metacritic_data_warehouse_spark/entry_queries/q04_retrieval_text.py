@@ -538,6 +538,8 @@ def pagerank_parts_copurchase(spark, sf_dir):
         iters=3,
         damping=0.85,
         broadcast_ranks=True,  # parts are dimension-sized
+        checkpoint_every=0,  # 3 fixed rounds fuse into one job (r9 A/B)
+        symmetric=True,  # undirected_edges guarantees the mirror
     )
     return (
         ranks.select(F.col("node").alias("part"), F.round("pr", 8).alias("pr"))

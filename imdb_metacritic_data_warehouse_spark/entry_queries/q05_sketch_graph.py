@@ -1139,8 +1139,16 @@ def ppr_parts_seeded(spark, sf_dir):
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = undirected_edges(pairs, "pa", "pb")
     seeds = edges.agg(F.min("src").alias("node"))
+    # checkpoint_every=0: 3 fixed rounds fuse into one job; symmetric:
+    # undirected_edges guarantees the mirror, so nodes ride the degree
+    # aggregate (A/B r9 fresh-JVM best-of-3: 5.25s per-round-ckpt ->
+    # 3.53s min / ~4.4s median with these two).  checkpoint_edges stays
+    # True: the =False variant re-scans the parquet edge cache per
+    # round and measured LESS stable under ambient load (7.4s outlier)
+    # for no better floor.
     ranks = personalized_pagerank(
-        edges, seeds, iters=3, damping=0.85, broadcast_ranks=True
+        edges, seeds, iters=3, damping=0.85, broadcast_ranks=True,
+        checkpoint_every=0, symmetric=True,
     )
     return (
         ranks.filter(F.col("pr") > 0)

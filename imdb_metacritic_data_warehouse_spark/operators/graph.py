@@ -42,6 +42,8 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     broadcast_ranks: bool = False,
+    checkpoint_every: int = 1,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge list.
 
@@ -58,38 +60,50 @@ def pagerank(
     edge list every round (measured 2× on the co-purchase graph).
     Leave False for billion-node graphs: both sides then shuffle on
     the node key.
+
+    ``checkpoint_every`` / ``symmetric``: same semantics as
+    :func:`personalized_pagerank` — 0 fuses the fixed small-``iters``
+    rounds into one job; symmetric edge lists get ``nodes`` from the
+    degree aggregate instead of a union+distinct over 2|E| rows.
     """
     # The edge list feeds nodes (twice), the degree aggregate AND the
     # loop-invariant join below — unmaterialized, an expensive upstream
     # edge build (e.g. the co-occurrence self-join) re-executes 4×
     # (measured 12.0s → 3.4s at sf0.1 on the co-purchase graph).
     edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = deg.localCheckpoint(eager=True)
+    if symmetric:
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     n_nodes = nodes.count()  # scalar only — not a data collect
     # degree folds into the NODE-sized rank table each round (a
     # node⋈node join), never into the edge list — materializing a
     # degree-joined edge copy costs an extra full-edge checkpoint write
     # for nothing (measured ~30% of end-to-end on the co-purchase
     # graph).
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    deg = deg.localCheckpoint(eager=True)
 
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
-    for _ in range(iters):
-        rd = ranks.join(deg, ranks["node"] == deg["src"]).select(
-            deg["src"].alias("rsrc"),
-            (F.col("pr") / F.col("out_deg")).alias("c"),
+    for it in range(iters):
+        # fresh-alias copies per round (see personalized_pagerank)
+        degr = deg.select(
+            F.col("src").alias("rsrc"), F.col("out_deg").alias("__od")
+        )
+        rd = ranks.join(degr, ranks["node"] == degr["rsrc"]).select(
+            "rsrc", (F.col("pr") / F.col("__od")).alias("c")
         )
         r = F.broadcast(rd) if broadcast_ranks else rd
+        er = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
         contrib = (
-            edges.join(r, edges["src"] == r["rsrc"])
-            .select(F.col("dst").alias("node"), "c")
+            er.join(r, er["esrc"] == r["rsrc"])
+            .select(F.col("edst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
@@ -103,8 +117,9 @@ def pagerank(
                     F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -227,6 +242,8 @@ def personalized_pagerank(
     damping: float = 0.85,
     broadcast_ranks: bool = False,
     checkpoint_every: int = 1,
+    symmetric: bool = False,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """Personalized PageRank — teleport mass returns to the SEED set
     instead of spreading uniformly, turning global importance into
@@ -249,16 +266,32 @@ def personalized_pagerank(
     is a small constant, as the oracle-bound 3-round queries are);
     keep ``1`` for tolerance-driven production loops where the
     unrolled tree would otherwise grow without bound.
+
+    ``symmetric=True`` declares the edge list symmetrized (every
+    (u,v) has its (v,u) mirror — what :func:`undirected_edges`
+    emits): the node set then EQUALS the out-degree table's keys, so
+    the separate union+distinct shuffle over 2|E| rows is elided and
+    ``nodes`` rides the degree aggregate.
+
+    ``checkpoint_edges=False`` skips the eager edge materialization —
+    right when ``edges`` is already a cheap re-scannable source (a
+    committed parquet edge cache): the file bounds the lineage, and
+    re-scanning per round costs less than writing 2|E| checkpoint
+    blocks up front.
     """
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if checkpoint_edges:
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     deg = deg.localCheckpoint(eager=True)
+    if symmetric:
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     seed_nodes = seeds.select("node").distinct()
     n_seeds = seed_nodes.count()  # scalar only
@@ -269,14 +302,22 @@ def personalized_pagerank(
         "node", F.coalesce("__r0", F.lit(0.0)).alias("pr")
     )
     for it in range(iters):
-        rd = ranks.join(deg, ranks["node"] == deg["src"]).select(
-            deg["src"].alias("rsrc"),
-            (F.col("pr") / F.col("out_deg")).alias("c"),
+        # fresh-alias copies re-key attribute ids per round: without the
+        # per-round checkpoint the previous round's lineage embeds deg's
+        # and edges' attributes, and re-joining the originals trips
+        # Spark's ambiguous-self-join check (the _materialize id-rekey
+        # rule; harmless when checkpointing).
+        degr = deg.select(
+            F.col("src").alias("rsrc"), F.col("out_deg").alias("__od")
+        )
+        rd = ranks.join(degr, ranks["node"] == degr["rsrc"]).select(
+            "rsrc", (F.col("pr") / F.col("__od")).alias("c")
         )
         r = F.broadcast(rd) if broadcast_ranks else rd
+        er = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
         contrib = (
-            edges.join(r, edges["src"] == r["rsrc"])
-            .select(F.col("dst").alias("node"), "c")
+            er.join(r, er["esrc"] == r["rsrc"])
+            .select(F.col("edst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
