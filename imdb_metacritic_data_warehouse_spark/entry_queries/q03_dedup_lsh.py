@@ -1845,18 +1845,60 @@ def quality_calibrated_filter(spark, sf_dir):
     """,
 )
 def fuzzy_match_part_names(spark, sf_dir):
+    # Collapse-exact rewrite (the entity_clusters precedent, SCALE.md's
+    # Σ|dup-group|² law): matching depends only on the NAME, and this
+    # dimension is duplicate-heavy (20k parts over 64 distinct names at
+    # sf0.1) — the naive self-fuzzy-join emitted 3.1M Levenshtein pairs
+    # and measured 49s in the first full-surface clean bench.  Exact
+    # rewrite of the same semantics:
+    #   best(x) = min_struct(distance, other_partkey) over matches
+    # which decomposes into (a) same-name matches — distance 0, winner
+    # = the group's min partkey (or 2nd-min when x IS the min), always
+    # beating any cross-name d>=1 — and (b) for singleton names, the
+    # min over OTHER names within distance 2 of (d, that name's min
+    # partkey): every part of name m shares d(n,m), so the struct
+    # tie-break always selects m's min partkey.  The fuzzy join then
+    # runs over the name-dimension (64 rows), not the part table.
     from ..operators.linkage import fuzzy_join
 
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    pairs = fuzzy_join(p, p, "p_name", "p_name", max_distance=2).filter(
-        F.col("p_partkey") != F.col("p_partkey_r")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("n")
     )
-    best = pairs.groupBy("p_partkey").agg(
-        F.min(F.struct(F.col("distance"), F.col("p_partkey_r"))).alias("m")
+    grp = p.groupBy("n").agg(
+        F.min("p_partkey").alias("pk1"),
+        F.expr("sort_array(collect_list(p_partkey))[1]").alias("pk2"),
+        F.count(F.lit(1)).alias("cnt"),
     )
-    return best.select(
+    names = grp.select("n", "pk1")
+    cross = fuzzy_join(names, names, "n", "n", max_distance=2).filter(
+        F.col("n") != F.col("n_r")
+    )
+    cross_best = cross.groupBy("n").agg(
+        F.min(F.struct(F.col("distance"), F.col("pk1_r"))).alias("cb")
+    )
+    per_name = grp.join(cross_best, "n", "left")
+    out = p.join(F.broadcast(per_name), "n").select(
         "p_partkey",
-        F.col("m.p_partkey_r").alias("match_key"),
+        F.when(
+            F.col("cnt") >= 2,
+            F.struct(
+                F.lit(0).alias("distance"),
+                F.when(F.col("p_partkey") == F.col("pk1"), F.col("pk2"))
+                .otherwise(F.col("pk1"))
+                .alias("mk"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("cb.distance").alias("distance"),
+                F.col("cb.pk1_r").alias("mk"),
+            )
+        )
+        .alias("m"),
+    )
+    return out.filter(F.col("m.mk").isNotNull()).select(
+        "p_partkey",
+        F.col("m.mk").alias("match_key"),
         F.col("m.distance").cast("int").alias("distance"),
     )
 

@@ -98,6 +98,9 @@ CASES = [
     ("lcs_doc_pairs_collapsed", "Production path: exact-fingerprint collapse to min-id representatives BEFORE the gram join kills the Sum|clone-family|^2 pair law (16x-replica probe 25.5x naive -> 1.1x collapsed); multiplicities re-expand pair counts."),
     ("contamination_wave_attribution_docs", "Eval index is eval-set-bounded and BROADCAST into the corpus-shingle scoring join; shingling is transform/sequence codegen (no window shuffle on the eval side); one doc-keyed aggregate ends it."),
     ("domain_calibration_drift_docs", "Corpus reduces once to (source, bin) counts (materialized, <= sources x 10 rows); both PAV minimax passes and the drift join are broadcast joins over that dimension-sized grid."),
+    ("fuzzy_match_part_names", "Collapse-exact rewrite (r9): the Levenshtein fuzzy join runs over the NAME dimension (64 rows), not the 20k-part table - same-name matches resolve arithmetically (min/2nd-min partkey), the 49s/3.1M-pair naive self-join is gone (1.1s)."),
+    ("source_overlap_matrix_docs", "Two fingerprint aggregates (exact + 8-word prefix) collapse the corpus; the matrix is a source x source join over per-(key, source) rows - 20-source-dimension bounded, never doc x doc."),
+    ("flesch_readability_docs", "One scan: words/sentences/vowel-run counts are three regexp expressions inside codegen; the only exchange is the 20-row source rollup."),
 ]
 
 
