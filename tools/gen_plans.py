@@ -101,6 +101,8 @@ CASES = [
     ("fuzzy_match_part_names", "Collapse-exact rewrite (r9): the Levenshtein fuzzy join runs over the NAME dimension (64 rows), not the 20k-part table - same-name matches resolve arithmetically (min/2nd-min partkey), the 49s/3.1M-pair naive self-join is gone (1.1s)."),
     ("source_overlap_matrix_docs", "Two fingerprint aggregates (exact + 8-word prefix) collapse the corpus; the matrix is a source x source join over per-(key, source) rows - 20-source-dimension bounded, never doc x doc."),
     ("flesch_readability_docs", "One scan: words/sentences/vowel-run counts are three regexp expressions inside codegen; the only exchange is the 20-row source rollup."),
+    ("effective_token_mass_docs", "One fingerprint aggregate for clone-group sizes joined back on the uniform md5 key; the 1/min(s,12) weight is the exact integer 27720/min(s,12), so per-source mass is int64 partial sums - one division per output cell."),
+    ("confident_noise_docs", "Two shared corpus reductions (logit features, Gopher labels) join on doc_id; class thresholds are a broadcast 1-row frame and every comparison cross-multiplies integers - no division enters a filter."),
 ]
 
 
