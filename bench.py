@@ -398,6 +398,15 @@ RUN_LAST = {
     "pipeline_employee_data",
     "jaccard_prefix_join_docs",
     "cluster_safe_split_docs",
+    # ADVICE r9: registry-minus-HEADLINE extras append to the LIGHT
+    # section unless listed here, so heavy newcomers (the lcs pair
+    # joins: corpus gram explode + self-join + per-pair interval merge)
+    # would otherwise run mid-sequence and contaminate neighbors.
+    "lcs_doc_pairs_docs",
+    "lcs_doc_pairs_collapsed",
+    "jaccard_prefix_join_collapsed",
+    "simhash_hamming_pairs_collapsed",
+    "substring_dup_spans_docs",
 }
 
 

@@ -192,8 +192,10 @@ def lcs_doc_pairs_collapsed(spark, sf_dir):
 # Spark side runs the REAL scoring path
 # (contamination_against_index) over the declaratively-built index;
 # tests/test_streaming.py pins the incrementally-merged index to this
-# batch result.  Scale: index is eval-set-bounded (broadcast); one
-# hash shuffle per side on the shingle, one on the doc id.
+# batch result.  Scale: a real eval index is dimension-sized and
+# broadcasts; the hint is size-GATED (ADVICE r9) because THIS query's
+# synthetic eval set is a fixed 1/9 of the corpus, so at scale the
+# join degrades gracefully to one shingle-key shuffle per side.
 @query(
     "contamination_wave_attribution_docs",
     """

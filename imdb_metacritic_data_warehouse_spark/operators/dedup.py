@@ -806,7 +806,7 @@ def lcs_pairs(
     )
     from . import rank as _rank
 
-    if not _rank.PLAN_ONLY:
+    if not _rank.is_plan_only():
         pp = pp.localCheckpoint(eager=True)
     a = pp.select(F.col("doc_id").alias("da"), F.col("p").alias("pa"), "g")
     b = pp.select(F.col("doc_id").alias("db"), F.col("p").alias("pb"), "g")

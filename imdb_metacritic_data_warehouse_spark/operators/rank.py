@@ -23,12 +23,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Schema/plan-only tooling (tools/lint_parity.py, tools/gen_plans.py)
-# sets this True so plan CONSTRUCTION stays lazy: ``global_prefix``'s
-# eager localCheckpoint otherwise runs a real range-exchange job the
-# moment the query function is called (ADVICE r8).  Execution paths
-# must leave it False — the eager materialization is what pins ONE
-# execution of the sampled range exchange for both consumer branches.
-PLAN_ONLY = False
+# enters ``plan_only()`` so plan CONSTRUCTION stays lazy:
+# ``global_prefix``'s eager localCheckpoint otherwise runs a real
+# range-exchange job the moment the query function is called (ADVICE
+# r8).  A contextvar + context manager, NOT a module global (ADVICE
+# r9): a mutable process-global left set by tooling silently changed
+# operator semantics for every plan built afterwards in the same
+# process — the scope is now exception-safe and local to the tooling
+# block.  Execution paths never enter it — the eager materialization
+# is what pins ONE execution of the sampled range exchange for both
+# consumer branches.
+import contextlib
+import contextvars
+
+_PLAN_ONLY: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "rank_plan_only", default=False
+)
+
+
+def is_plan_only() -> bool:
+    """True inside a ``plan_only()`` block (lint/plan tooling only)."""
+    return _PLAN_ONLY.get()
+
+
+@contextlib.contextmanager
+def plan_only():
+    """Scope within which eager checkpoint/persist materializations are
+    skipped so query-function calls only BUILD plans.  Plans built
+    inside must not be executed — they lose the pinned one-execution
+    contract on the sampled range exchange."""
+    token = _PLAN_ONLY.set(True)
+    try:
+        yield
+    finally:
+        _PLAN_ONLY.reset(token)
 
 
 def global_row_number(
@@ -114,11 +142,12 @@ def global_prefix(
     of recomputing lineage.  Fine for the local bench target; on a
     long-lived cluster with a configured checkpoint dir, swap in
     reliable ``checkpoint()`` (same eager semantics, storage-backed).
-    Plan-only tooling sets ``PLAN_ONLY`` to skip the materialization.
+    Plan-only tooling enters ``plan_only()`` to skip the
+    materialization (contextvar-scoped; ADVICE r9).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols)
-    if not PLAN_ONLY:
+    if not is_plan_only():
         parted = parted.localCheckpoint(eager=True)
     # __pid must be STAMPED as a column once, and every window spec must
     # reference the COLUMN: with several WindowExec nodes in one chain, a

@@ -12,20 +12,34 @@ Idempotence design: plain per-day SUM merges double-count when a batch
 is re-delivered (the CMS failure mode; the HLL ingest is naturally
 idempotent because its merge is MAX).  Here each micro-batch commits
 CONTENT-KEYED partial aggregates — (day, batch content key, n, sum) —
-where the key is derived from the batch's rows for that day: the row
-count, the exact integer unit-sum of the values, and an order-free
-crc32 sum over the ids — i.e. the key covers BOTH the id multiset AND
-the value content (ADVICE r7: an id-only key silently dropped a
-re-delivered batch carrying corrected values).  Replayed identical
-content maps to the SAME key and is anti-joined away, so at-least-once
-RE-DELIVERY of a batch cannot inflate the stats, regardless of
-checkpoint identity; a batch with the same ids but different values
-keys differently and is (correctly) merged as new content.  (The
-guarantee is per batch CONTENT: if a recovery re-buckets old rows into
-differently-shaped batches, day partials key differently — exactly-
-once under arbitrary re-bucketing needs event-level dedup, which the
-corpus ingest sink provides for its domain.)  Reading collapses
-partials with one dimension-sized groupBy.
+where the key is derived from the batch's rows for that day.  Two key
+formats exist (ADVICE r8/r9 hardening history):
+
+* **v2** (new tables, marked by a ``kf`` column): the row count, the
+  exact integer unit-sum, and an order-free crc32 sum over
+  ``id ':' unit_value`` pairs — every id is BOUND to its value, so two
+  batches whose values are permuted between the same ids key
+  differently (ADVICE r9: the v1 order-free id-sum + value-sum key
+  collided exactly there, wrongly dropping the second delivery as a
+  replay).  NULL values bind as the literal ``'null'``, subsuming v1's
+  conditional null-count term.
+* **v1** (tables committed before the v2 format, detected by the
+  ABSENCE of ``kf``): count + unit-sum + crc32 sum over ids alone,
+  plus a null-count term appended only when nonzero.  Existing v1
+  tables KEEP producing v1 keys — a format switch would let a replay
+  of a pre-switch batch slip the anti-join and double-count — at the
+  documented residual cost that an id↔value permutation of a prior
+  batch still collides.  New tables always start at v2.
+
+Replayed identical content maps to the SAME key and is anti-joined
+away, so at-least-once RE-DELIVERY of a batch cannot inflate the
+stats, regardless of checkpoint identity; a batch with the same ids
+but different values keys differently and is (correctly) merged as new
+content.  (The guarantee is per batch CONTENT: if a recovery
+re-buckets old rows into differently-shaped batches, day partials key
+differently — exactly-once under arbitrary re-bucketing needs
+event-level dedup, which the corpus ingest sink provides for its
+domain.)  Reading collapses partials with one dimension-sized groupBy.
 
 Growth bound (ADVICE r7): the partials table gains one row per
 (day, batch), so an unbounded stream would make the per-batch rewrite
@@ -63,55 +77,101 @@ def merge_daily_partials(
     rows sit at days ≤ (frontier − ``lateness_days``), each such day
     collapses to a single ``compacted`` row; the max compacted day is
     the watermark below which incoming partials are dropped."""
-    unit_sum = F.sum(
-        (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast("long")
-    )
-    # Rows whose value is NULL (or overflows the decimal cast to NULL)
-    # are skipped by the sum above, so without a separate term two
-    # batches differing only in null/overflowing values would collide
-    # to the same key and a corrected re-delivery would be wrongly
-    # dropped as a replay (ADVICE r8).  The term is appended ONLY when
-    # nonzero so the common all-non-null path keys byte-identically to
-    # the r8 format — no key migration for healthy tables.
+    unit_val = (F.col(val_col).cast("decimal(18,4)") * F.lit(10000)).cast("long")
+    unit_sum = F.sum(unit_val)
+    # v1 only: rows whose value is NULL (or overflows the decimal cast
+    # to NULL) are skipped by the sum above, so without a separate term
+    # two batches differing only in null/overflowing values would
+    # collide to the same key (ADVICE r8).  Appended ONLY when nonzero
+    # so the common all-non-null path keys byte-identically to the r8
+    # format — no key migration for live v1 tables.
     null_vals = F.sum(
         F.when(F.col(val_col).cast("decimal(18,4)").isNull(), 1).otherwise(0)
     )
-    part = (
-        batch_df.groupBy(F.to_date(F.col(ts_col)).alias("d"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            unit_sum.cast("long").alias("su"),
-            F.md5(
-                F.concat(
-                    F.count(F.lit(1)).cast("string"),
-                    F.lit("_"),
-                    F.coalesce(unit_sum.cast("string"), F.lit("null")),
-                    F.lit("_"),
-                    F.sum(F.crc32(F.col(id_col).cast("string"))).cast("string"),
-                    F.when(
-                        null_vals > 0,
-                        F.concat(F.lit("_x"), null_vals.cast("string")),
-                    ).otherwise(F.lit("")),
-                )
-            ).alias("batch_key"),
+    key_v1 = F.md5(
+        F.concat(
+            F.count(F.lit(1)).cast("string"),
+            F.lit("_"),
+            F.coalesce(unit_sum.cast("string"), F.lit("null")),
+            F.lit("_"),
+            F.sum(F.crc32(F.col(id_col).cast("string"))).cast("string"),
+            F.when(
+                null_vals > 0,
+                F.concat(F.lit("_x"), null_vals.cast("string")),
+            ).otherwise(F.lit("")),
         )
-        .withColumn("compacted", F.lit(False))
     )
+    # v2: the crc term binds each id to ITS value (ADVICE r9 — the v1
+    # order-free id-sum + value-sum collides when values are permuted
+    # between ids); NULL values bind as the 'null' sentinel, covering
+    # the v1 null-count term's job too.
+    key_v2 = F.md5(
+        F.concat(
+            F.count(F.lit(1)).cast("string"),
+            F.lit("_"),
+            F.coalesce(unit_sum.cast("string"), F.lit("null")),
+            F.lit("_"),
+            F.sum(
+                F.crc32(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.coalesce(unit_val.cast("string"), F.lit("null")),
+                    )
+                )
+            ).cast("string"),
+            F.lit("_v2"),
+        )
+    )
+
+    def _partials(key: "F.Column", kf: int | None) -> DataFrame:
+        p = (
+            batch_df.groupBy(F.to_date(F.col(ts_col)).alias("d"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                unit_sum.cast("long").alias("su"),
+                key.alias("batch_key"),
+            )
+            .withColumn("compacted", F.lit(False))
+        )
+        return p if kf is None else p.withColumn("kf", F.lit(kf).cast("int"))
+
     if not table.exists():
-        table.write(part)
+        table.write(_partials(key_v2, kf=2))
         return
     committed = table.read()
-    if "compacted" not in committed.columns:
+    legacy_upgrade = "compacted" not in committed.columns
+    if legacy_upgrade:
         # Pre-r8 table (id-only batch keys, no compaction column).
-        # Old-format keys can never match new-format keys, so a
+        # Old-format keys can never match current keys, so a
         # re-delivery of a pre-upgrade batch would slip past the
         # anti-join and double-count its day (ADVICE r8).  Fold the
-        # whole legacy history behind the compaction watermark: mark
-        # every legacy row compacted, so the watermark rises to the
-        # legacy frontier and any re-delivery at (or before) it is
-        # dropped by the standard too-late rule.  New days proceed
-        # under the current key format.
-        committed = committed.withColumn("compacted", F.lit(True))
+        # CLOSED legacy days — d ≤ legacy frontier − lateness_days —
+        # behind the compaction watermark, so re-deliveries there are
+        # dropped by the standard too-late rule.  The OPEN-window tail
+        # (the last ``lateness_days`` legacy days) must stay live:
+        # marking it compacted would raise the watermark to the legacy
+        # frontier and silently drop genuinely NEW events for the
+        # in-progress days, not just re-deliveries (ADVICE r9, the
+        # data-loss direction).  Accepted bounded risk: a pre-upgrade
+        # batch re-delivered INTO that open window double-counts once
+        # (its old-format key can't match), a strictly better failure
+        # mode than losing fresh data on a live sink.
+        legacy_frontier = committed.agg(F.max("d")).first()[0]
+        closed = (
+            F.lit(False)
+            if legacy_frontier is None
+            else F.col("d") <= F.date_sub(F.lit(legacy_frontier), lateness_days)
+        )
+        committed = committed.withColumn("compacted", closed)
+    # Key-format detection: tables created at v2 carry a ``kf`` column;
+    # anything else (r8/r9 v1 tables, just-upgraded legacy tables —
+    # whose remaining open-window keys are id-only) stays on v1 so
+    # replays of its own committed batches still dedup exactly.
+    v2 = "kf" in committed.columns
+    part = _partials(key_v2 if v2 else key_v1, kf=2 if v2 else None)
+    if v2:
+        part = part.select(*committed.columns)
     # 1-row scalar: the compaction watermark (max compacted day).
     wm = committed.agg(F.max(F.when(F.col("compacted"), F.col("d")))).first()[0]
     incoming = part if wm is None else part.where(F.col("d") > F.lit(wm))
@@ -127,18 +187,17 @@ def merge_daily_partials(
         stale = (F.col("d") <= cutoff) & ~F.col("compacted")
         # 1-row scalar: is the stale partial population worth a rewrite?
         if merged.where(stale).count() > compact_after:
-            collapsed = (
-                merged.where(stale)
-                .groupBy("d")
-                .agg(
-                    F.sum("n").cast("long").alias("n"),
-                    F.sum("su").cast("long").alias("su"),
-                    F.md5(
-                        F.array_join(F.sort_array(F.collect_list("batch_key")), "|")
-                    ).alias("batch_key"),
-                    F.lit(True).alias("compacted"),
-                )
-            )
+            aggs = [
+                F.sum("n").cast("long").alias("n"),
+                F.sum("su").cast("long").alias("su"),
+                F.md5(
+                    F.array_join(F.sort_array(F.collect_list("batch_key")), "|")
+                ).alias("batch_key"),
+                F.lit(True).alias("compacted"),
+            ]
+            if v2:
+                aggs.append(F.max("kf").alias("kf"))
+            collapsed = merged.where(stale).groupBy("d").agg(*aggs)
             merged = merged.where(~stale).unionByName(
                 collapsed.select(*merged.columns)
             )

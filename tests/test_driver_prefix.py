@@ -1,55 +1,44 @@
-"""Driver-sample prefix contract (verdict r8 task #6).
+"""Driver-sample prefix contract (verdict r8 task #6, generalized in
+round 10 per verdict r9 task #1).
 
 The external driver's correctness gate samples the FIRST 50
-``queries()`` entries, so the prefix list is the round's most valuable
-artifact and is maintained by hand across 18 domain modules.  These
-tests pin the contract so an accidental reorder / oracle omission is
-caught by the suite, not by a red driver row.
+``queries()`` entries, so the prefix is the round's most valuable
+artifact.  Instead of pinning a hand-maintained name list, these tests
+RECOMPUTE the rotation policy (tools/prefix_policy.py): every query
+whose reachable code changed since its last green driver sample must
+sit inside the sampled window, most recently changed first.  Editing a
+package module without refreshing the prefix fails the suite —
+regenerate with ``python tools/prefix_policy.py --emit``.
 """
+
+import os
+import subprocess
+import sys
+
+import pytest
 
 from imdb_metacritic_data_warehouse_spark import entry_queries as eq
 
-# The documented round-9 prefix head: every query that had never
-# appeared in a driver sample through round 8 (union of the
-# CORRECTNESS_r01..r08 green rows = 334 of 352 names; these are the
-# other 18).  New wave-35+ queries are appended after this block and
-# before the rotation tail.
-R9_NEVER_SAMPLED_HEAD = [
-    "approx_sketches",
-    "multimodal_features",
-    "frequent_triples_parts",
-    "substring_dup_spans_docs",
-    "prd_divergence_embeddings",
-    "tokenizer_fertility_drift",
-    "kcenter_coreset_embeddings",
-    "domain_reweight_step_docs",
-    "retraction_ivm_orders",
-    "horvitz_thompson_docs",
-    "bh_fdr_sources",
-    "mann_kendall_daily",
-    "char_entropy_docs",
-    "length_bucketing_audit_docs",
-    "brier_decomposition_docs",
-    "acf_ljungbox_daily",
-    "mcnemar_rules_docs",
-    "ab_power_sample_size_events",
-]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def _git_available() -> bool:
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            check=True,
+        )
+        return True
+    except Exception:
+        return False
 
 
 def test_prefix_is_exactly_50_and_leads_queries():
     assert len(eq._PRIORITY_PREFIX) == 50
     assert list(eq.QUERIES)[:50] == eq._PRIORITY_PREFIX
-
-
-def test_prefix_head_covers_every_never_sampled_query():
-    # the whole point of the r9 rotation: all 18 never-driver-sampled
-    # names must sit inside the sampled window.
-    head = set(eq._PRIORITY_PREFIX)
-    missing = [n for n in R9_NEVER_SAMPLED_HEAD if n not in head]
-    assert not missing, missing
-    # and they lead the list (positions 0..17) so a driver that samples
-    # fewer rows than promised still covers the riskiest names first.
-    assert eq._PRIORITY_PREFIX[: len(R9_NEVER_SAMPLED_HEAD)] == R9_NEVER_SAMPLED_HEAD
 
 
 def test_every_prefix_name_has_an_oracle():
@@ -63,3 +52,47 @@ def test_prefix_names_are_unique_and_registered():
     assert len(set(eq._PRIORITY_PREFIX)) == 50
     unknown = [n for n in eq._PRIORITY_PREFIX if n not in eq.QUERIES]
     assert not unknown, unknown
+
+
+@pytest.mark.skipif(not _git_available(), reason="needs the git history")
+def test_prefix_head_matches_computed_rotation_policy():
+    """The rule itself (verdict r9 task #1): names whose reachable code
+    changed since their last green driver sample lead the prefix —
+    recomputed here from the git history + CORRECTNESS_r*.json, not
+    hand-pinned.  Order within the required head is free (the emit
+    order is one valid serialization); membership and position ahead
+    of any pure-rotation filler are not."""
+    import prefix_policy as pp
+
+    required = pp.required_head(cap=50)
+    assert required, "policy computed an empty head — tool regression?"
+    prefix = eq._PRIORITY_PREFIX
+    head = prefix[: len(required)]
+    missing = sorted(set(required) - set(head))
+    extra = sorted(set(head) - set(required))
+    assert not missing and not extra, (
+        "prefix head is out of sync with tools/prefix_policy.py — "
+        "regenerate with `python tools/prefix_policy.py --emit`.\n"
+        f"missing from head: {missing}\nunexpected in head: {extra}"
+    )
+
+
+@pytest.mark.skipif(not _git_available(), reason="needs the git history")
+def test_policy_flags_verdict_named_r9_changes():
+    """Regression pin for the policy engine: the round-9 diff touched
+    the pagerank/ppr fusion (operators/graph.py), global_prefix
+    (operators/rank.py) and the fuzzy_match collapse-exact rewrite
+    (q03_dedup_lsh.py:1845 — the hunk header says
+    quality_calibrated_filter but the changed builder is
+    fuzzy_match_part_names); the policy must flag all of them as
+    changed after their last green sample."""
+    import prefix_policy as pp
+
+    changed = pp.changed_since_last_sample()
+    for name in (
+        "pagerank_parts_copurchase",
+        "ppr_parts_seeded",
+        "fuzzy_match_part_names",
+        "wasserstein_drift_orders",
+    ):
+        assert changed.get(name, 0) >= 9, (name, changed.get(name))

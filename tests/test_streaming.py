@@ -809,22 +809,28 @@ def test_drift_null_values_key_the_batch(spark, tmp_path):
     }
 
 
-def test_drift_legacy_table_folds_behind_watermark(spark, tmp_path):
-    """ADVICE r8: a table committed under the pre-r8 id-only key scheme
-    (detectable: no `compacted` column) must not let pre-upgrade
-    re-deliveries slip past the anti-join (old-format keys never match
-    new-format keys -> double count).  On first merge the legacy rows
-    are folded behind the compaction watermark: re-deliveries at or
-    before the legacy frontier are dropped; new days merge normally."""
+def test_drift_legacy_table_folds_closed_days_keeps_open_window(spark, tmp_path):
+    """ADVICE r8+r9: a table committed under the pre-r8 id-only key
+    scheme (detectable: no `compacted` column) folds only its CLOSED
+    days — d <= legacy frontier - lateness_days — behind the
+    compaction watermark.  Re-deliveries into the closed range are
+    dropped; the OPEN-window tail stays live so genuinely NEW events
+    for the in-progress days still merge (the r9 medium finding: the
+    r8 fold marked EVERY legacy row compacted, raising the watermark
+    to the frontier and silently dropping fresh open-window data)."""
     from imdb_metacritic_data_warehouse_spark.streaming.drift import (
         daily_stats,
         merge_daily_partials,
     )
 
     table = VersionedParquetTable(spark, str(tmp_path), "daily")
-    # hand-write a legacy table: id-only batch_key, no compacted column
+    # hand-write a legacy table: id-only batch_key, no compacted column;
+    # frontier = 01-05, so with lateness_days=2 only d <= 01-03 folds.
     legacy = spark.createDataFrame(
-        [("2024-01-01", 2, 300000, "legacy-id-only-key")],
+        [
+            ("2024-01-01", 2, 300000, "legacy-id-only-key-a"),
+            ("2024-01-05", 1, 70000, "legacy-id-only-key-b"),
+        ],
         "d string, n long, su long, batch_key string",
     ).withColumn("d", F.to_date("d"))
     table.write(legacy)
@@ -833,20 +839,109 @@ def test_drift_legacy_table_folds_behind_watermark(spark, tmp_path):
         df = spark.createDataFrame(rows, "event_id long, ts string, value double")
         return df.withColumn("ts", F.to_timestamp("ts"))
 
-    # re-delivery of the pre-upgrade day-1 batch: DROPPED (folded
-    # behind the watermark), not double-counted
+    # re-delivery of the pre-upgrade CLOSED day-1 batch: DROPPED
+    # (folded behind the watermark), not double-counted
+    merge_daily_partials(
+        table, batch([(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", 20.0)])
+    )
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 300000),
+        ("2024-01-05", 1, 70000),
+    }
+    # genuinely NEW events for the open-window day 01-05 MERGE — the
+    # data the r8 fold lost.  (Bounded accepted risk, documented in the
+    # module: a pre-upgrade batch re-delivered into this window would
+    # double-count once, since its old-format key can't match.)
+    merge_daily_partials(table, batch([(9, "2024-01-05 12:00:00", 3.0)]))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 300000),
+        ("2024-01-05", 2, 100000),
+    }
+    # a NEW day merges normally under the current key format
+    merge_daily_partials(table, batch([(3, "2024-01-06 09:00:00", 5.0)]))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 2, 300000),
+        ("2024-01-05", 2, 100000),
+        ("2024-01-06", 1, 50000),
+    }
+
+
+def test_drift_v2_key_binds_values_to_ids(spark, tmp_path):
+    """ADVICE r9: two batches for the same day with the same id set and
+    the same unit-sum, but values PERMUTED between ids, must key
+    differently — the v1 order-free (id-sum, value-sum) key collided
+    there and wrongly dropped the second delivery as a replay.  New
+    tables start at the v2 id:value-bound format, which separates
+    them; an exact replay still dedups."""
+    from imdb_metacritic_data_warehouse_spark.streaming.drift import (
+        daily_stats,
+        merge_daily_partials,
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path), "daily")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    b1 = [(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", 20.0)]
+    # same ids, same sum, values swapped between the ids
+    b2 = [(1, "2024-01-01 10:00:00", 20.0), (2, "2024-01-01 11:00:00", 10.0)]
+    merge_daily_partials(table, batch(b1))
+    merge_daily_partials(table, batch(b2))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 4, 600000)
+    }
+    # exact replays of both: still anti-joined away
+    merge_daily_partials(table, batch(b1))
+    merge_daily_partials(table, batch(b2))
+    assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
+        ("2024-01-01", 4, 600000)
+    }
+
+
+def test_drift_v1_table_keeps_v1_keys(spark, tmp_path):
+    """No-migration guarantee: a table committed under the v1 key
+    format (has `compacted`, no `kf` column) keeps PRODUCING v1 keys,
+    so a replay of a batch committed before the v2 format change still
+    dedups byte-identically.  The test hand-computes the v1 key the r8
+    code emitted and asserts the replay is dropped against it."""
+    import hashlib
+    import zlib
+
+    from imdb_metacritic_data_warehouse_spark.streaming.drift import (
+        daily_stats,
+        merge_daily_partials,
+    )
+
+    table = VersionedParquetTable(spark, str(tmp_path), "daily")
+    # the exact v1 key for batch [(1, 10.0), (2, 20.0)]: n=2,
+    # su=300000, crc32 sum over the id strings, no null suffix
+    crc_sum = zlib.crc32(b"1") + zlib.crc32(b"2")
+    v1_key = hashlib.md5(f"2_300000_{crc_sum}".encode()).hexdigest()
+    v1 = spark.createDataFrame(
+        [("2024-01-01", 2, 300000, v1_key, False)],
+        "d string, n long, su long, batch_key string, compacted boolean",
+    ).withColumn("d", F.to_date("d"))
+    table.write(v1)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    # replay of the pre-change batch: keys v1 again -> dropped
     merge_daily_partials(
         table, batch([(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-01 11:00:00", 20.0)])
     )
     assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
         ("2024-01-01", 2, 300000)
     }
-    # a NEW day merges normally under the current key format
-    merge_daily_partials(table, batch([(3, "2024-01-02 09:00:00", 5.0)]))
+    # new content merges, still under v1 (no kf column appears)
+    merge_daily_partials(table, batch([(3, "2024-01-01 12:00:00", 1.0)]))
     assert {(str(r.d), r.n, r.su) for r in daily_stats(table).collect()} == {
-        ("2024-01-01", 2, 300000),
-        ("2024-01-02", 1, 50000),
+        ("2024-01-01", 3, 310000)
     }
+    assert "kf" not in table.read().columns
 
 
 def test_streaming_contamination_index_matches_batch_twin(spark, tmp_path):

@@ -111,11 +111,6 @@ def main() -> None:
     import imdb_metacritic_data_warehouse_spark.entry_queries as eq
     from imdb_metacritic_data_warehouse_spark.operators import rank
 
-    # plan audit only — keep global_prefix's eager checkpoint lazy so
-    # building wasserstein_drift's plan doesn't run the range-exchange
-    # job eagerly (ADVICE r8)
-    rank.PLAN_ONLY = True
-
     spark = get_spark("plans", cpus=8)
     sf = "/root/testdata/sf0.001"
 
@@ -125,7 +120,12 @@ def main() -> None:
     print("regenerate with `python tools/gen_plans.py`.  Each section: the")
     print("scale-relevant property, then the executed plan (AQE initial).")
     for name, note in CASES:
-        df = eq.QUERIES[name](spark, sf)
+        # plan audit only — keep global_prefix's eager checkpoint lazy
+        # so building wasserstein_drift's plan doesn't run the
+        # range-exchange job eagerly (ADVICE r8; contextvar-scoped per
+        # ADVICE r9 so nothing leaks past the audit)
+        with rank.plan_only():
+            df = eq.QUERIES[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = re.sub(r"file:[^,\]]*", "file:<path>", plan)
         plan = re.sub(r"#\d+[L]?", "", plan)

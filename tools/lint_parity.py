@@ -46,7 +46,7 @@ Rules (NOTES rule → lint id):
   (``F.array_join`` / exploded rows) instead.  Schema-based, so it
   needs a live SparkSession: run via ``lint_output_types(spark)``
   (tests/test_lint_parity.py) — plan construction, not full query
-  execution (it sets ``operators.rank.PLAN_ONLY`` so ``global_prefix``
+  execution (it runs inside ``operators.rank.plan_only()`` so ``global_prefix``
   stays lazy; ``_materialize``-based pipeline queries still run their
   bounded scratch writes when their plans are built — ADVICE r8).
 * **R4 bare float literal in oracle arithmetic** — REPORT-ONLY:
@@ -160,7 +160,7 @@ def lint_module_source(fname: str, text: str) -> list[tuple[str, str, str]]:
 def lint_output_types(spark, sf_dir: str = "/root/testdata/sf0.001") -> list[tuple[str, str, str]]:
     """R7: no top-level array/map/struct columns in driver-gated query
     output.  Builds every ``queries()`` plan for schema resolution and
-    flags non-atomic top-level fields.  Sets ``rank.PLAN_ONLY`` so
+    flags non-atomic top-level fields.  Runs inside ``rank.plan_only()`` so
     ``global_prefix``'s eager checkpoint stays lazy; queries routed
     through ``_materialize`` still execute their bounded scratch
     writes at plan-build time (ADVICE r8 — inherent to their design)."""
@@ -170,11 +170,8 @@ def lint_output_types(spark, sf_dir: str = "/root/testdata/sf0.001") -> list[tup
     from imdb_metacritic_data_warehouse_spark.operators import rank
 
     out = []
-    rank.PLAN_ONLY = True
-    try:
+    with rank.plan_only():
         plans = [(name, fn(spark, sf_dir)) for name, fn in eq.QUERIES.items()]
-    finally:
-        rank.PLAN_ONLY = False
     for name, df in plans:
         for field in df.schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
