@@ -472,6 +472,20 @@ def main():
     except Exception:
         pass
 
+    # Queries that themselves leave heavy checkpoint/scratch state —
+    # collect BEFORE each so the measurement starts from a clean heap
+    # (pipeline_movie_info_sat has read 2-3x its clean floor in three
+    # driver benches while never reproducing locally, even same-JVM
+    # directly after this family: r10 forensics, NOTES.md).
+    GC_BEFORE = {
+        "pipeline_movie_emp_link",
+        "pipeline_emp_movie_l_sat",
+        "pipeline_movie_info_sat",
+        "pipeline_movie_data",
+        "pipeline_movie_employee_link",
+        "pipeline_employee_data",
+    }
+
     def _gc():
         # Checkpoint-heavy queries (the employee pipeline, the disk
         # paths) leave localCheckpoint blocks that the ContextCleaner
@@ -490,6 +504,8 @@ def main():
     # on the heavy queries), so report steady-state latency.
     for i, name in enumerate(order):
         if name in qs:
+            if name in GC_BEFORE:
+                _gc()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             if name in RUN_LAST or i % 10 == 9:
                 _gc()
@@ -503,6 +519,8 @@ def main():
     for i, name in enumerate(order):
         if name not in qs:
             continue
+        if name in GC_BEFORE:
+            _gc()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
