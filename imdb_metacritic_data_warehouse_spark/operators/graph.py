@@ -150,8 +150,16 @@ def triangle_counts(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # orient: src = lower (d, node)
-    e = (
+    # orient (src = lower (d, node)) and pack the oriented
+    # out-neighborhoods in ONE aggregation, then checkpoint the PACKED
+    # table — node-dimension-sized (one row per non-sink node, arrays
+    # bounded O(√m) by the orientation), orders of magnitude smaller
+    # than the edge list the previous version checkpointed.  The edge
+    # view the probe joins against is re-derived by exploding the
+    # checkpointed pack: map-only, no second shuffle of the edges
+    # (r10 — this plus the fused credit explode took the clean floor
+    # from 7.1s to under the verdict's 5s gate at sf0.1).
+    oriented = (
         fwd.join(deg.withColumnRenamed("node", "x").withColumnRenamed("d", "dx"), "x")
         .join(deg.withColumnRenamed("node", "y").withColumnRenamed("d", "dy"), "y")
         .select(
@@ -163,11 +171,13 @@ def triangle_counts(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame
             .alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)  # feeds the neighbor pack + both probes
     )
-    nbrs = e.groupBy(F.col("src").alias("node")).agg(
-        F.collect_list("dst").alias("nb")
+    nbrs = (
+        oriented.groupBy(F.col("src").alias("node"))
+        .agg(F.collect_list("dst").alias("nb"))
+        .localCheckpoint(eager=True)  # feeds the edge view + both probe sides
     )
+    e = nbrs.select(F.col("node").alias("src"), F.explode("nb").alias("dst"))
     probed = (
         e.join(nbrs.select(F.col("node").alias("src"), F.col("nb").alias("nb_u")), "src")
         .join(
@@ -184,13 +194,29 @@ def triangle_counts(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame
         )
         .filter(F.size("w") > 0)
     )
-    credit_uv = probed.select(
-        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node"),
-        F.size("w").alias("n"),
+    # ONE explode emitting every credit row — (u, |w|), (v, |w|) and
+    # (w_i, 1) — built as an in-task struct array.  The previous
+    # two-branch union re-executed the whole probe pipeline (neighbor
+    # broadcast + 1.2M array_intersects) once per branch because
+    # nothing pinned the shared prefix; fusing the branches halves the
+    # intersect work without any materialization barrier (r10, the
+    # verdict's 7s-graph-floor task).
+    credits = probed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.size("w").alias("n")),
+                    F.struct(F.col("dst").alias("node"), F.size("w").alias("n")),
+                ),
+                F.transform(
+                    "w",
+                    lambda x: F.struct(x.alias("node"), F.lit(1).alias("n")),
+                ),
+            )
+        ).alias("c")
     )
-    credit_w = probed.select(F.explode("w").alias("node"), F.lit(1).alias("n"))
     return (
-        credit_uv.unionByName(credit_w)
+        credits.select(F.col("c.node").alias("node"), F.col("c.n").alias("n"))
         .groupBy("node")
         .agg(F.sum("n").cast("long").alias("tri"))
     )
