@@ -72,3 +72,33 @@ def strip_parens(s: Column) -> Column:
     """``replace(replace(x,')',''),'(','')`` from
     ``mart/employee_data.sql:6``."""
     return F.replace(F.replace(s, F.lit(")"), F.lit("")), F.lit("("), F.lit(""))
+
+
+def url_host(url: Column) -> Column:
+    """Host component of an http(s) URL (empty string if malformed).
+    Plain regexp — codegen'd JVM-side, symmetric with the DuckDB
+    oracle's ``regexp_extract`` (Spark's ``parse_url`` has no DuckDB
+    twin, so the web-corpus ops standardize on the regexp form)."""
+    return F.regexp_extract(url, r"^https?://([^/?#]+)", 1)
+
+
+def url_path(url: Column) -> Column:
+    """Path component (query string and fragment stripped)."""
+    return F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup: host with the mobile/www
+    subdomain stripped, plus the path with tracking params and
+    fragment dropped — the normalization pass a web-corpus dedup runs
+    before counting a page twice (CCNet/RefinedWeb-style)."""
+    host = F.regexp_replace(url_host(url), r"^(www|m)\.", "")
+    return F.concat(host, url_path(url))
+
+
+def registrable_domain(url: Column) -> Column:
+    """Registrable domain (eTLD+1 under a single-label public-suffix
+    assumption — the last two dot-labels of the host).  A real
+    deployment swaps in the public-suffix list; the extraction,
+    grouping and blocklist plumbing around it are unchanged."""
+    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
