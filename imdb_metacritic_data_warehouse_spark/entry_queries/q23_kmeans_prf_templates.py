@@ -1,0 +1,354 @@
+"""Round-10 wave 39 — clustering, retrieval-feedback and template ops:
+fixed-round k-means Lloyd iterations in exact integer units (the
+cluster-balanced-sampling substrate), Rocchio pseudo-relevance-feedback
+query expansion (the classic PRF step over the tf/idf machinery), and
+boilerplate template detection by shared prefix/suffix fingerprints
+(the web-template audit line-level dedup pipelines run per source).
+"""
+
+from __future__ import annotations
+
+from ._registry import F, _t, query
+
+_KM_K = 8
+_KM_DIMS = 64
+_KM_ROUNDS = 2
+
+_PRF_TERMS = ("spark", "window", "merge")
+
+
+def _units_sql(col: str) -> str:
+    """Embedding → exact 1e-4 integer units (float32→double is exact;
+    the double product and half-away round are identical on both
+    engines — the quality_units precedent)."""
+    return (
+        f"list_transform({col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
+    )
+
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(range({d}), "
+    "i -> (u[i + 1] - cu[i + 1]) * (u[i + 1] - cu[i + 1]))) AS BIGINT)"
+).format(d=_KM_DIMS)
+
+
+def _km_round_sql(r: int) -> str:
+    """One Lloyd round: integer-distance assignment against c{r-1},
+    then element-wise mean centroids re-quantized to integer units
+    (ONE correctly-rounded division per element)."""
+    return f"""a{r} AS (
+      SELECT vec_id, u, cid, d FROM (
+        SELECT e.vec_id, e.u, c.cid, {_KM_DIST} AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_DIST}, c.cid) AS rn
+        FROM e CROSS JOIN c{r - 1} c
+      ) WHERE rn = 1
+    ),
+    x{r} AS (
+      SELECT cid, unnest(u) AS x, unnest(range(len(u))) AS pos FROM a{r}
+    ),
+    c{r} AS (
+      SELECT cid, list(cv ORDER BY pos) AS cu FROM (
+        SELECT cid, pos,
+               CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS cv
+        FROM x{r} GROUP BY cid, pos
+      ) GROUP BY cid
+    )"""
+
+
+# Fixed-round k-means (Lloyd 1982) — the clustering substrate of
+# cluster-balanced sampling / SemDeDup-style curation, as a
+# DETERMINISTIC oracle-checkable operator: seeds are the k lowest
+# vec_ids, every distance is exact int64 arithmetic over 1e-4-unit
+# quantized embeddings (ties break to the lower cluster id), and each
+# new centroid element is ONE correctly-rounded division re-quantized
+# to integer units — so both engines walk bit-identical assignments
+# through every round (the kcenter/confident-noise integer
+# discipline; rounds are FIXED, convergence is reported by inertia,
+# not assumed).  Scale shape: per round, assignment is map-only
+# against a k·dim LITERAL/broadcast centroid table (no data-sized
+# join), and the recentering is one (k·dim)-row aggregate — the
+# per-round scalar collect of a dimension-sized frame, the accepted
+# pagerank/kcenter pattern.
+@query(
+    "kmeans_lloyd_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_units_sql("embedding")} AS u FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid, u AS cu FROM e
+      WHERE vec_id < {_KM_K}
+    ),
+    {_km_round_sql(1)},
+    {_km_round_sql(2)}
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d) AS BIGINT) AS inertia_units,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member
+    FROM a{_KM_ROUNDS} GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_lloyd_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"
+        ).alias("u"),
+    ).localCheckpoint(eager=True)
+
+    # seeds: the k lowest vec_ids — a bounded scalar collect of a
+    # dimension-sized frame (k rows), the kcenter literal-injection
+    # pattern; every subsequent round collects the (k·dim)-row
+    # recentering aggregate the same way.
+    seed_rows = (
+        e.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    )
+    centroids = {int(r["vec_id"]): list(r["u"]) for r in seed_rows}
+
+    assigned = None
+    for _ in range(_KM_ROUNDS):
+        cand = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with(u, array({vals}), "
+                        "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)".format(
+                            vals=", ".join(f"{v}L" for v in centroids[cid])
+                        )
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid in sorted(centroids)
+            ]
+        )
+        assigned = e.select(
+            "vec_id", "u", F.array_min(cand).alias("best")
+        ).select(
+            "vec_id", "u", F.col("best.cid").alias("cid"), F.col("best.d").alias("d")
+        )
+        recenter = (
+            assigned.select("cid", F.posexplode("u").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        new_c: dict[int, list] = {}
+        for r in recenter:
+            new_c.setdefault(int(r["cid"]), [0] * _KM_DIMS)[int(r["pos"])] = int(
+                r["cv"]
+            )
+        centroids = new_c
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d").cast("bigint").alias("inertia_units"),
+            F.min("vec_id").cast("bigint").alias("min_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# Rocchio pseudo-relevance feedback (Rocchio 1971, the classic PRF
+# expansion): retrieve the top-10 docs for a literal term query by
+# EXACT integer tf mass, then rank candidate expansion terms by their
+# tf mass inside that pseudo-relevant set weighted by corpus idf —
+# the query-expansion step of a retrieval pipeline, composed from the
+# existing tf/df machinery.  Parity: retrieval scores and rel_tf/df
+# are exact integers; the only float is the final idf weight — one
+# ln over a ratio of exact integers, rounded to 6 dp on both engines
+# before ranking (ln-discipline), with the term string as tiebreak.
+# Scale: two corpus-term aggregates (hash shuffles on term — uniform
+# after the length filter), a 10-row broadcast semi-join for the
+# relevant set, a corpus-sized df join keyed on term.
+@query(
+    "rocchio_expansion_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE length(term) >= 3 GROUP BY doc_id, term
+    ),
+    rel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, SUM(tf) AS score,
+               row_number() OVER (ORDER BY SUM(tf) DESC, doc_id) AS rk
+        FROM tf WHERE term IN {str(tuple(_PRF_TERMS))}
+        GROUP BY doc_id
+      ) WHERE rk <= 10
+    ),
+    expansion AS (
+      SELECT t.term, CAST(SUM(t.tf) AS BIGINT) AS rel_tf
+      FROM tf t JOIN rel USING (doc_id)
+      WHERE t.term NOT IN {str(tuple(_PRF_TERMS))}
+      GROUP BY t.term
+    ),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT term, rel_tf, df, weight, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT x.term, x.rel_tf, d.df,
+             round(x.rel_tf * ln(n.n_docs / d.df), 6) AS weight,
+             row_number() OVER (
+               ORDER BY round(x.rel_tf * ln(n.n_docs / d.df), 6) DESC, x.term
+             ) AS rk
+      FROM expansion x JOIN df d ON x.term = d.term CROSS JOIN n
+    ) WHERE rk <= 15 ORDER BY rk
+    """,
+)
+def rocchio_expansion_docs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    rel = (
+        tf.filter(F.col("term").isin(*_PRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("score"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("doc_id")
+    )
+    expansion = (
+        tf.join(F.broadcast(rel), "doc_id", "left_semi")
+        .filter(~F.col("term").isin(*_PRF_TERMS))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("rel_tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        expansion.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "rel_tf",
+            "df",
+            F.round(
+                F.col("rel_tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("weight"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("weight"), F.asc("term"))),
+        )
+        .filter(F.col("rk") <= 15)
+        .select("term", "rel_tf", "df", "weight", F.col("rk").cast("int").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+# Boilerplate template detection — docs inside one source that share
+# their first-8-token (or last-8-token) fingerprint are template
+# instances (headers/footers/nav chrome in a web corpus); per-source
+# template mass is what a line-/span-level boilerplate scrubber
+# should expect to remove, and a source whose top template covers a
+# large doc share is a candidate for source-level rules instead of
+# per-doc scrubbing.  Exact integers end to end: fingerprints are
+# md5 over the clamped token slices (identical clamping semantics on
+# both engines), masses are counts.  Shape: one scan, two
+# fingerprint aggregates keyed (source, md5) — uniform — and one
+# source rollup each.
+@query(
+    "boilerplate_templates_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(t[1:8], ' ')) AS pre,
+             md5(array_to_string(t[greatest(len(t) - 7, 1):len(t)], ' ')) AS suf
+      FROM w
+    ),
+    pg AS (SELECT source, pre, COUNT(*) AS c FROM fp GROUP BY source, pre),
+    sg AS (SELECT source, suf, COUNT(*) AS c FROM fp GROUP BY source, suf),
+    pa AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pre_templates,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS pre_template_docs,
+             CAST(MAX(c) AS BIGINT) AS top_pre_docs
+      FROM pg GROUP BY source
+    ),
+    sa AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS suf_templates,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS suf_template_docs,
+             CAST(MAX(c) AS BIGINT) AS top_suf_docs
+      FROM sg GROUP BY source
+    ),
+    nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM fp GROUP BY source)
+    SELECT nd.source, nd.n_docs,
+           pa.pre_templates, pa.pre_template_docs, pa.top_pre_docs,
+           sa.suf_templates, sa.suf_template_docs, sa.top_suf_docs
+    FROM nd JOIN pa USING (source) JOIN sa USING (source)
+    ORDER BY source
+    """,
+)
+def boilerplate_templates_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    fp = w.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice(F.col("t"), 1, 8), " ")).alias("pre"),
+        F.md5(
+            F.array_join(
+                F.expr("slice(t, greatest(size(t) - 7, 1), 8)"), " "
+            )
+        ).alias("suf"),
+    )
+
+    def roll(col, prefix):
+        g = fp.groupBy("source", col).agg(F.count(F.lit(1)).alias("c"))
+        return g.groupBy("source").agg(
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_templates"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_template_docs"),
+            F.max("c").cast("bigint").alias(f"top_{prefix}_docs"),
+        )
+
+    nd = fp.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        nd.join(roll("pre", "pre"), "source")
+        .join(roll("suf", "suf"), "source")
+        .select(
+            "source",
+            "n_docs",
+            "pre_templates",
+            "pre_template_docs",
+            "top_pre_docs",
+            "suf_templates",
+            "suf_template_docs",
+            "top_suf_docs",
+        )
+        .orderBy("source")
+    )

@@ -77,6 +77,13 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "signature md5 that IS oracle-compared hashes array_to_string "
         "on both engines."
     ),
+    ("R2", "rocchio_expansion_docs"): (
+        "the retrieval rank orders by SUM(tf) where tf is an exact "
+        "int64 term count — an INTEGER sum (deterministic,  "
+        "order-free), not a float aggregate; rule #7's low-bit "
+        "summation-order noise cannot occur.  The float idf weight "
+        "later in the query ranks on its round(...,6) form."
+    ),
     ("R6", "dedup.py:band_sig"): (
         "minhash components h{i} are MIN() over >=1 shingle hashes — "
         "non-null by construction (empty docs filtered) — and the "
