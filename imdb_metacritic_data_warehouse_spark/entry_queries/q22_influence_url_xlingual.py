@@ -90,18 +90,38 @@ def influence_selection_docs(spark, sf_dir):
             * F.col("nt")
         ).alias("influence_units"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("influence_units"), F.asc("doc_id")
+    # Two-phase per-source top-k (r10 64× probe: the plain
+    # source-partitioned window read 15.4× — each source partition is
+    # corpus/|sources| rows and the WindowExec sorts all of them).
+    # Phase 1 takes each input partition's local top-20 per source via
+    # sort_array+slice inside a (partition, source)-keyed aggregate —
+    # the group lives entirely in one map partition, so the partial
+    # aggregate collapses map-side and only ≤20 structs per
+    # (partition, source) ever shuffle.  Phase 2 ranks the bounded
+    # union (≤ 20·n_partitions rows per source).
+    rec = F.struct(
+        (-F.col("influence_units")).alias("k1"),
+        F.col("doc_id").alias("k2"),
+        F.col("rule_label").alias("rule_label"),
+        F.col("quality_units").alias("quality_units"),
+        F.col("influence_units").alias("influence_units"),
     )
+    partial = (
+        g.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", "source")
+        .agg(F.slice(F.sort_array(F.collect_list(rec)), 1, 20).alias("top"))
+        .select("source", F.explode("top").alias("t"))
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("t.k1"), F.asc("t.k2"))
     return (
-        g.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select(
             "source",
-            "doc_id",
-            F.col("rule_label").cast("int").alias("rule_label"),
-            "quality_units",
-            F.col("influence_units").cast("bigint").alias("influence_units"),
+            F.col("t.k2").alias("doc_id"),
+            F.col("t.rule_label").cast("int").alias("rule_label"),
+            F.col("t.quality_units").alias("quality_units"),
+            F.col("t.influence_units").cast("bigint").alias("influence_units"),
             F.col("rk").cast("int").alias("rk"),
         )
         .orderBy("source", "rk")
@@ -320,6 +340,115 @@ def crosslingual_neardup_docs(spark, sf_dir):
             "pred_a",
             "pred_b",
             (F.col("pred_a") == F.col("pred_b")).cast("int").alias("pred_match"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("uni").cast("bigint").alias("uni"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# The PRODUCTION twin of crosslingual_neardup_docs: exact duplicates
+# collapse to one representative per (content fingerprint, lang)
+# BEFORE the pair join — the Σ|clone-family|² law (SCALE.md): m
+# copies of a translated clone pair are m·m true pairs, so the
+# uncollapsed join's output explodes quadratically on a
+# duplicate-heavy corpus while this path folds replicas back to the
+# 1× problem in one fingerprint aggregate and reports multiplicities
+# for exact re-expansion (pair_mult = mult_a · mult_b).  Collapse
+# keys on (fingerprint, lang) — not fingerprint alone — so
+# cross-language exact clones survive as distinct representatives
+# (the attribution crosslingual detection exists for).
+@query(
+    "crosslingual_neardup_collapsed",
+    """
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, lang, min(text) AS text,
+             CAST(COUNT(*) AS BIGINT) AS mult
+      FROM (SELECT doc_id, lang, text,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+            FROM documents)
+      GROUP BY f, lang
+    ),
+    tokw AS (
+      SELECT doc_id, lang, mult, string_split(lower(text), ' ') AS words
+      FROM reps
+    ),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+        END AS shingles
+      FROM tokw
+    ),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS toks
+      FROM sh
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) AS sa, len(b.toks) AS sb
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa + sb - inter AS BIGINT) AS uni
+      FROM p WHERE 100 * inter >= 60 * (sa + sb - inter)
+    )
+    SELECT pr.doc_a, pr.doc_b, ra.lang AS lang_a, rb.lang AS lang_b,
+           ra.mult AS mult_a, rb.mult AS mult_b,
+           CAST(ra.mult * rb.mult AS BIGINT) AS pair_mult,
+           pr.inter, pr.uni,
+           round(CAST(pr.inter AS DOUBLE) / pr.uni, 6) AS jaccard
+    FROM pairs pr
+    JOIN reps ra ON ra.doc_id = pr.doc_a
+    JOIN reps rb ON rb.doc_id = pr.doc_b
+    WHERE ra.lang <> rb.lang
+    ORDER BY doc_a, doc_b
+    """,
+)
+def crosslingual_neardup_collapsed(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+    from ..operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    reps = (
+        d.select("doc_id", "lang", "text", fingerprint(F.col("text")).alias("f"))
+        .groupBy("f", "lang")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).cast("bigint").alias("mult"),
+        )
+        .select("doc_id", "lang", "text", "mult")
+    )
+    pairs = prefix_filter_jaccard_pairs(reps, "doc_id", "text", threshold_pct=60)
+    a = reps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("mult").alias("mult_a"),
+    )
+    b = reps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("mult").alias("mult_b"),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang_a",
+            "lang_b",
+            "mult_a",
+            "mult_b",
+            (F.col("mult_a") * F.col("mult_b")).cast("bigint").alias("pair_mult"),
             F.col("inter").cast("bigint").alias("inter"),
             F.col("uni").cast("bigint").alias("uni"),
             "jaccard",

@@ -216,15 +216,25 @@ def rocchio_expansion_docs(spark, sf_dir):
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # three consumers read tf (retrieval, expansion mass, df) — pin
+    # ONE execution of the token explode + aggregate instead of three
+    # (the dedup.pp discipline; 64× probe measured the re-execution at
+    # 3× the whole query's cost)
+    from ..operators import rank as _rank
+
+    if not _rank.is_plan_only():
+        tf = tf.localCheckpoint(eager=True)
+    # top-10 via orderBy+limit → TakeOrderedAndProject: a distributed
+    # per-partition top-k + driver merge of 10-row heads, NOT a
+    # single-partition row_number window (the r10 64× probe measured
+    # the window form at 46.7× — the whole candidate set sorted
+    # through one task).
     rel = (
         tf.filter(F.col("term").isin(*_PRF_TERMS))
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("score"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
-        )
-        .filter(F.col("rk") <= 10)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
         .select("doc_id")
     )
     expansion = (
@@ -249,12 +259,14 @@ def rocchio_expansion_docs(spark, sf_dir):
             ).alias("weight"),
         )
     )
+    # TakeOrdered the 15 winners first; the rank window then runs over
+    # a 15-row frame, never the vocabulary
+    top = scored.orderBy(F.desc("weight"), F.asc("term")).limit(15)
     return (
-        scored.withColumn(
+        top.withColumn(
             "rk",
             F.row_number().over(Window.orderBy(F.desc("weight"), F.asc("term"))),
         )
-        .filter(F.col("rk") <= 15)
         .select("term", "rel_tf", "df", "weight", F.col("rk").cast("int").alias("rk"))
         .orderBy("rk")
     )
@@ -351,4 +363,139 @@ def boilerplate_templates_docs(spark, sf_dir):
             "top_suf_docs",
         )
         .orderBy("source")
+    )
+
+
+# CUPED variance reduction (Deng et al. 2013) — the pre-experiment
+# covariate adjustment every experimentation platform applies before
+# reading an A/B test: per user, pre-period value mass predicts
+# post-period mass; theta = cov(pre, post)/var(pre) over all users,
+# and the adjusted metric post' = post − theta·(pre − mean(pre))
+# shrinks variance by the squared correlation.  Assignment is the
+# deterministic user_id parity; periods split the fixed 30-day
+# calendar in half.  Parity discipline: per-user masses are exact
+# 1e-4-unit int64 sums; every group moment (Sx, Sy, Sxy, Sxx, Syy, n)
+# is an exact int64 aggregate; theta and the variances are computed
+# from those integers in double ((double)int64 is correctly rounded
+# on both engines) with ONE final 6-dp round per output cell — and
+# var(post') expands algebraically to var(post) − 2·theta·cov +
+# theta²·var(pre), so no per-row float adjustment is ever summed.
+# Shape: one events scan → per-user aggregate (hash shuffle on
+# user_id) → one variant-sized moment rollup + a broadcast 1-row
+# pooled-theta frame.
+@query(
+    "cuped_variance_reduction_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS pre_u,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS post_u
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre_u) AS BIGINT) AS sx,
+             CAST(SUM(post_u) AS BIGINT) AS sy,
+             CAST(SUM(pre_u * post_u) AS BIGINT) AS sxy,
+             CAST(SUM(pre_u * pre_u) AS BIGINT) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT round(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS th
+      FROM pooled
+    ),
+    grp AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre_u) AS BIGINT) AS sx,
+             CAST(SUM(post_u) AS BIGINT) AS sy,
+             CAST(SUM(pre_u * post_u) AS BIGINT) AS sxy,
+             CAST(SUM(pre_u * pre_u) AS BIGINT) AS sxx,
+             CAST(SUM(post_u * post_u) AS BIGINT) AS syy
+      FROM per_user GROUP BY variant
+    )
+    SELECT variant, n AS n_users,
+           round(CAST(sy AS DOUBLE) / n / 10000, 6) AS mean_post,
+           round((CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / 1e8, 6) AS var_post,
+           th AS theta,
+           round(((CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                  - 2 * th * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                  + th * th * (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))) / 1e8, 6)
+             AS var_adjusted
+    FROM grp CROSS JOIN theta
+    ORDER BY variant
+    """,
+)
+def cuped_variance_reduction_events(spark, sf_dir):
+    from ._registry import _events
+
+    e = _events(spark, sf_dir)
+    unit = (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, unit).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pre_u"),
+        F.sum(F.when(F.col("ts") >= cut, unit).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("post_u"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "pre_u", "post_u"
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pre_u").cast("long").alias("sx"),
+            F.sum("post_u").cast("long").alias("sy"),
+            F.sum(F.col("pre_u") * F.col("post_u")).cast("long").alias("sxy"),
+            F.sum(F.col("pre_u") * F.col("pre_u")).cast("long").alias("sxx"),
+            F.sum(F.col("post_u") * F.col("post_u")).cast("long").alias("syy"),
+        )
+
+    pooled = moments(per_user, []).select(
+        F.round(
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx")
+               - F.col("sx").cast("double") * F.col("sx")),
+            6,
+        ).alias("th")
+    )
+    grp = moments(per_user, ["variant"])
+    dn = F.col("n").cast("double")
+    var_post = F.col("syy").cast("double") / dn - (
+        F.col("sy").cast("double") / dn
+    ) * (F.col("sy").cast("double") / dn)
+    cov = F.col("sxy").cast("double") / dn - (
+        F.col("sx").cast("double") / dn
+    ) * (F.col("sy").cast("double") / dn)
+    var_pre = F.col("sxx").cast("double") / dn - (
+        F.col("sx").cast("double") / dn
+    ) * (F.col("sx").cast("double") / dn)
+    return (
+        grp.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            F.col("n").alias("n_users"),
+            F.round(F.col("sy").cast("double") / dn / F.lit(10000), 6).alias(
+                "mean_post"
+            ),
+            F.round(var_post / F.lit(1e8), 6).alias("var_post"),
+            F.col("th").alias("theta"),
+            F.round(
+                (var_post - F.lit(2) * F.col("th") * cov
+                 + F.col("th") * F.col("th") * var_pre) / F.lit(1e8),
+                6,
+            ).alias("var_adjusted"),
+        )
+        .orderBy("variant")
     )

@@ -145,3 +145,35 @@ def test_crosslingual_neardup_finds_translated_clone(spark, tmp_path):
     # both sides are the same English text → predictions agree →
     # flagged as a LABEL problem, not a translation pair
     assert r["pred_a"] == "en" and r["pred_match"] == 1
+
+
+def test_crosslingual_collapsed_reexpands_to_uncollapsed_pair_count(spark, tmp_path):
+    """m_a copies of one side and m_b of the other are one collapsed
+    pair with pair_mult = m_a * m_b, matching the uncollapsed pair
+    count; cross-lang EXACT clones survive collapse (keyed on
+    (fingerprint, lang), not fingerprint alone)."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        crosslingual_neardup_collapsed,
+        crosslingual_neardup_docs,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, body, "en", "s1", 1),
+        (2, body, "en", "s1", 1),
+        (3, body, "en", "s1", 1),   # 3 EN copies
+        (4, body, "fr", "s1", 1),
+        (5, body, "fr", "s1", 1),   # 2 FR copies
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    collapsed = crosslingual_neardup_collapsed(spark, str(tmp_path)).collect()
+    assert len(collapsed) == 1
+    r = collapsed[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 4)
+    assert {r["mult_a"], r["mult_b"]} == {3, 2}
+    assert r["pair_mult"] == 6 and r["jaccard"] == 1.0
+    # the uncollapsed op emits exactly pair_mult cross-lang pairs
+    full = crosslingual_neardup_docs(spark, str(tmp_path)).collect()
+    assert len(full) == 6

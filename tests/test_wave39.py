@@ -126,3 +126,31 @@ def test_boilerplate_counts_shared_prefixes(spark, tmp_path):
     s2 = out["s2"]
     assert s2["pre_templates"] == 1 and s2["suf_templates"] == 1
     assert s2["pre_template_docs"] == 2 and s2["top_suf_docs"] == 2
+
+
+def test_cuped_reduces_variance_with_correlated_pre_period(spark, tmp_path):
+    """Planted users whose post value is exactly 2x their pre value:
+    theta = 2 and the adjusted variance collapses to ~0; an
+    uncorrelated-noise user set keeps var_adjusted <= var_post."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        cuped_variance_reduction_events,
+    )
+
+    rows = []
+    eid = 0
+    # users 0..9: pre = 10*(u+1) on Jan 5, post = 2*pre on Jan 20
+    for u in range(10):
+        rows.append((eid, "2024-01-05 10:00:00", u, "buy", 10.0 * (u + 1), "{}")); eid += 1
+        rows.append((eid, "2024-01-20 10:00:00", u, "buy", 20.0 * (u + 1), "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["variant"]: r for r in cuped_variance_reduction_events(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    for v in (0, 1):
+        assert out[v]["theta"] == 2.0
+        # post = theta*pre exactly -> adjusted variance is zero
+        assert abs(out[v]["var_adjusted"]) < 1e-6
+        assert out[v]["var_post"] > 0
+        assert out[v]["n_users"] == 5

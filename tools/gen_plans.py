@@ -34,7 +34,7 @@ CASES = [
     ("curate_corpus_end_to_end", "Four curation stages composed without re-scans: filter at the source, one fingerprint aggregate, bucketed LSH + checkpoint-bounded components, two-phase budget cumsum."),
     ("hybrid_search_rrf", "All three RRF rankings two-phase (range exchange + pid-partitioned window + broadcast offsets); scored leaves checkpointed once - no unpartitioned corpus window, no recomputed BM25 subtree."),
     ("exact_percentiles", "Exact quantiles with NO buffering aggregate: range exchange on (key, value), per-(key,partition) local ranks, broadcast offsets, bounding-rank interpolation."),
-    ("triangle_counts_parts", "Edge-iterator triangles: oriented out-neighborhoods packed per node, closure via in-task array_intersect - the wedge set never becomes shuffle rows."),
+    ("triangle_counts_parts", "Edge-iterator triangles: oriented out-neighborhoods packed per node (r10: the node-dimension pack is the ONLY checkpoint and the edge view re-derives from it map-only), closure via in-task array_intersect, all three credit classes emitted in ONE fused explode - the wedge set never becomes shuffle rows and the probe pipeline executes once."),
     ("entity_clusters_parts", "Collapse-exact entity resolution: fuzzy join + components over distinct-name representatives; parts inherit labels via a broadcast map."),
     ("bpe_train_merges_docs", "Iterative BPE: corpus collapses to the word-frequency aggregate up front; each merge round is vocabulary-sized windows + a 1-row broadcast argmax; lineage checkpoint-bounded per round."),
     ("tfidf_topk_docs", "tf/df hash aggregates, vocabulary-sized idf BROADCAST back, one doc-partitioned rank window - no global window, no corpus-side re-scan."),
@@ -103,8 +103,11 @@ CASES = [
     ("flesch_readability_docs", "One scan: words/sentences/vowel-run counts are three regexp expressions inside codegen; the only exchange is the 20-row source rollup."),
     ("effective_token_mass_docs", "One fingerprint aggregate for clone-group sizes joined back on the uniform md5 key; the 1/min(s,12) weight is the exact integer 27720/min(s,12), so per-source mass is int64 partial sums - one division per output cell."),
     ("confident_noise_docs", "Two shared corpus reductions (logit features, Gopher labels) join on doc_id; class thresholds are a broadcast 1-row frame and every comparison cross-multiplies integers - no division enters a filter."),
+    ("url_domain_dedup_docs", "Web-corpus domain audit: host/canonical extraction as codegen regexps, ONE hash shuffle on the registrable domain; blocklist is a literal predicate (broadcast join for a real list)."),
+    ("crosslingual_neardup_collapsed", "Production cross-lingual near-dup: exact dups collapse per (fingerprint, lang) BEFORE the prefix-filtered set-similarity join (Sigma|clone|^2 law), multiplicities re-expand pair counts exactly."),
+    ("influence_selection_docs", "Gradient-proxy selection: one corpus scan, exact integer influence units, source-partitioned top-k window - no joins, no float comparisons."),
+    ("kmeans_lloyd_embeddings", "Fixed-round Lloyd: assignment is map-only against k*dim literal centroids (zip_with/aggregate in codegen); recentering is one (k*dim)-row aggregate per round - no data-sized join anywhere."),
 ]
-
 
 def main() -> None:
     from imdb_metacritic_data_warehouse_spark.session import get_spark
