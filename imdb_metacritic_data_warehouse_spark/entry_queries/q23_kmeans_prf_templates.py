@@ -9,6 +9,7 @@ boilerplate template detection by shared prefix/suffix fingerprints
 from __future__ import annotations
 
 from ._registry import F, _t, query
+from .q03_dedup_lsh import _QUALITY_SQL
 
 _KM_K = 8
 _KM_DIMS = 64
@@ -498,4 +499,117 @@ def cuped_variance_reduction_events(spark, sf_dir):
             ).alias("var_adjusted"),
         )
         .orderBy("variant")
+    )
+
+
+# Black-Box Shift Estimation (Lipton et al. 2018) — label-prior shift
+# between a reference source and every other source, estimated from
+# classifier CONFUSIONS alone (no target labels needed at deploy
+# time; the rule labels here play the held-out-truth role only on the
+# reference source).  With the binary quality task, w = C⁻¹ μ has the
+# closed 2×2 form, and every entry is a ratio of exact int64 count
+# products: w0 = N0·(n11·m0 − n01·m1) / (Ms·det),
+# w1 = N0·(n00·m1 − n10·m0) / (Ms·det), det = n00·n11 − n01·n10 —
+# ONE correctly-rounded double division per output cell (rule-#6
+# discipline).  A source whose w1 deviates from 1 has a different
+# positive-label prior than the reference — the drift check a
+# deployed quality filter needs per ingest source.  Shape: one corpus
+# scan → per-source confusion counts (20-row aggregate) → broadcast
+# 1-row reference frame; nothing data-sized joins.
+@query(
+    "label_shift_bbse_docs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN len(string_split(lower(text), ' '))
+                  BETWEEN 40 AND 250 THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(round(({_QUALITY_SQL}) * 1000000, 0) AS BIGINT)
+                  >= 500000 THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    ref AS (
+      SELECT CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM s WHERE source = 'src0'
+    ),
+    tgt AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+             CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(COUNT(*) AS BIGINT) AS ms
+      FROM s GROUP BY source
+    )
+    SELECT t.source, t.ms AS n_docs,
+           round(CAST(t.m1 AS DOUBLE) / t.ms, 6) AS pred_pos_rate,
+           round(CAST(r.n0 AS DOUBLE) * (r.n11 * t.m0 - r.n01 * t.m1)
+                 / (CAST(t.ms AS DOUBLE) * (r.n00 * r.n11 - r.n01 * r.n10)), 6) AS w0,
+           round(CAST(r.n0 AS DOUBLE) * (r.n00 * t.m1 - r.n10 * t.m0)
+                 / (CAST(t.ms AS DOUBLE) * (r.n00 * r.n11 - r.n01 * r.n10)), 6) AS w1
+    FROM tgt t CROSS JOIN ref r
+    ORDER BY t.source
+    """,
+)
+def label_shift_bbse_docs(spark, sf_dir):
+    from ..operators.text import quality_score, token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        F.when(token_count_ws(F.col("text")).between(40, 250), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(
+            F.round(quality_score(F.col("text")) * F.lit(1000000), 0).cast("long")
+            >= 500000,
+            1,
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    ref = s.filter(F.col("source") == "src0").agg(
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    tgt = s.groupBy("source").agg(
+        F.sum(F.when(F.col("pred") == 0, 1).otherwise(0)).cast("long").alias("m0"),
+        F.sum(F.when(F.col("pred") == 1, 1).otherwise(0)).cast("long").alias("m1"),
+        F.count(F.lit(1)).cast("long").alias("ms"),
+    )
+    det = F.col("n00") * F.col("n11") - F.col("n01") * F.col("n10")
+    return (
+        tgt.crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            F.col("ms").alias("n_docs"),
+            F.round(F.col("m1").cast("double") / F.col("ms"), 6).alias(
+                "pred_pos_rate"
+            ),
+            F.round(
+                F.col("n0").cast("double")
+                * (F.col("n11") * F.col("m0") - F.col("n01") * F.col("m1"))
+                / (F.col("ms").cast("double") * det),
+                6,
+            ).alias("w0"),
+            F.round(
+                F.col("n0").cast("double")
+                * (F.col("n00") * F.col("m1") - F.col("n10") * F.col("m0"))
+                / (F.col("ms").cast("double") * det),
+                6,
+            ).alias("w1"),
+        )
+        .orderBy("source")
     )

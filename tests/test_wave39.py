@@ -154,3 +154,37 @@ def test_cuped_reduces_variance_with_correlated_pre_period(spark, tmp_path):
         assert abs(out[v]["var_adjusted"]) < 1e-6
         assert out[v]["var_post"] > 0
         assert out[v]["n_users"] == 5
+
+
+def test_bbse_reference_source_has_unit_weights(spark, tmp_path):
+    """On the reference source itself mu = C's column sums, so w must
+    be exactly (1, 1); a target whose positive-rate doubles shows
+    w1 > 1.  Uses a perfectly accurate classifier (pred == y) so the
+    2x2 system is diagonal and the closed form is easy to pin."""
+    from imdb_metacritic_data_warehouse_spark.entry_queries import (
+        label_shift_bbse_docs,
+    )
+
+    long_text = " ".join(["alpha beta gamma delta"] * 15)  # 60 tokens: y=1
+    short_text = "tiny doc"                                # y=0
+    rows = []
+    i = 0
+    # src0 (reference): 10 pos, 10 neg
+    for _ in range(10):
+        rows.append((i, long_text, "en", "src0", 1)); i += 1
+        rows.append((i, short_text, "en", "src0", 1)); i += 1
+    # srcT: 12 pos, 3 neg — shifted prior
+    for _ in range(12):
+        rows.append((i, long_text, "en", "srcT", 1)); i += 1
+    for _ in range(3):
+        rows.append((i, short_text, "en", "srcT", 1)); i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in label_shift_bbse_docs(spark, str(tmp_path)).collect()}
+    # sanity: the classifier is perfect on this fixture (long docs
+    # score above 0.5, the tiny one below), so w = target/source prior
+    assert out["src0"]["w0"] == 1.0 and out["src0"]["w1"] == 1.0
+    t = out["srcT"]
+    assert abs(t["w1"] - (12 / 15) / (10 / 20)) < 1e-6   # 1.6
+    assert abs(t["w0"] - (3 / 15) / (10 / 20)) < 1e-6    # 0.4
