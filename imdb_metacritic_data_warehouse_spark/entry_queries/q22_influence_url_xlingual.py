@@ -63,8 +63,6 @@ _LANGS = sorted(_H)
     """,
 )
 def influence_selection_docs(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..operators.text import quality_score, token_count_ws
 
     d = _t(spark, sf_dir, "documents").select(
@@ -90,15 +88,13 @@ def influence_selection_docs(spark, sf_dir):
             * F.col("nt")
         ).alias("influence_units"),
     )
-    # Two-phase per-source top-k (r10 64× probe: the plain
-    # source-partitioned window read 15.4× — each source partition is
-    # corpus/|sources| rows and the WindowExec sorts all of them).
-    # Phase 1 takes each input partition's local top-20 per source via
-    # sort_array+slice inside a (partition, source)-keyed aggregate —
-    # the group lives entirely in one map partition, so the partial
-    # aggregate collapses map-side and only ≤20 structs per
-    # (partition, source) ever shuffle.  Phase 2 ranks the bounded
-    # union (≤ 20·n_partitions rows per source).
+    # Two-phase per-source top-k via operators.rank.grouped_topk (r10
+    # 64× probe: the plain source-partitioned window read 15.4× — each
+    # source partition is corpus/|sources| rows and the WindowExec
+    # sorts all of them).  posexplode of the sorted per-group array is
+    # the rank — no window at all.
+    from ..operators.rank import grouped_topk
+
     rec = F.struct(
         (-F.col("influence_units")).alias("k1"),
         F.col("doc_id").alias("k2"),
@@ -106,23 +102,16 @@ def influence_selection_docs(spark, sf_dir):
         F.col("quality_units").alias("quality_units"),
         F.col("influence_units").alias("influence_units"),
     )
-    partial = (
-        g.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid", "source")
-        .agg(F.slice(F.sort_array(F.collect_list(rec)), 1, 20).alias("top"))
-        .select("source", F.explode("top").alias("t"))
-    )
-    w = Window.partitionBy("source").orderBy(F.asc("t.k1"), F.asc("t.k2"))
+    top = grouped_topk(g, ["source"], rec, 20)
     return (
-        partial.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        top.select("source", F.posexplode("__top").alias("pos", "t"))
         .select(
             "source",
             F.col("t.k2").alias("doc_id"),
             F.col("t.rule_label").cast("int").alias("rule_label"),
             F.col("t.quality_units").alias("quality_units"),
             F.col("t.influence_units").cast("bigint").alias("influence_units"),
-            F.col("rk").cast("int").alias("rk"),
+            (F.col("pos") + 1).cast("int").alias("rk"),
         )
         .orderBy("source", "rk")
     )

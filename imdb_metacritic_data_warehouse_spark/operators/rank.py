@@ -202,3 +202,39 @@ def global_prefix(
         ["__local_rn"] if rn_col is not None else []
     ) + [c for v in value_cols for c in (f"__local_{v}", f"__off_{v}")]
     return out.drop(*drop)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    rec: Column,
+    k: int,
+) -> DataFrame:
+    """The k SMALLEST ``rec`` structs per group — two-phase, so no
+    group's full membership ever sorts through one task (the plain
+    ``Window.partitionBy(group).orderBy(...)`` form sorts
+    corpus/|groups| rows per partition; the r10 64× probe measured it
+    at 15.4× on influence_selection).
+
+    Phase 1 folds each input partition's local top-k per group inside
+    a (spark_partition_id, group)-keyed aggregate — the group subset
+    lives entirely in one map partition, so the partial aggregate
+    collapses map-side and only ≤k structs per (partition, group)
+    shuffle.  Phase 2 flattens the ≤ k·n_partitions candidates per
+    group and re-slices.  Returns one row per group with a sorted
+    ``__top`` array column; ``posexplode`` it for (rank-1, row) pairs.
+
+    Order is the struct's natural field order — put the sort keys
+    first (negate for descending) and payload fields after.
+    """
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", *group_cols)
+        .agg(F.slice(F.sort_array(F.collect_list(rec)), 1, k).alias("__top"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("__top"))), 1, k
+            ).alias("__top")
+        )
+    )

@@ -12,7 +12,7 @@ from imdb_metacritic_data_warehouse_spark.entry_queries import _registry
 
 
 def test_registry_shape():
-    assert len(eq.QUERIES) == 369
+    assert len(eq.QUERIES) == 371
     # FULL oracle coverage: every registered query has a DuckDB twin
     # (ann_ivf's contract-banded oracle included)
     assert set(eq.ORACLES) == set(eq.QUERIES)
