@@ -982,3 +982,62 @@ def test_streaming_contamination_index_matches_batch_twin(spark, tmp_path):
     got = sorted(tuple(r) for r in streamed.select(*cols).collect())
     want = sorted(tuple(r) for r in batch.select(*cols).collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_kmv_sketches_match_batch_twin_and_replay(spark, tmp_path):
+    """Per-source KMV sketches built over two micro-batches (plus a
+    REPLAY of the second through a fresh checkpoint) must equal the
+    one-pass batch sketch — the min-merge is idempotent by algebra, so
+    no content keying is involved."""
+    from imdb_metacritic_data_warehouse_spark.streaming.kmv import (
+        content_hash60,
+        kmv_ingest_sink,
+    )
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    table = VersionedParquetTable(spark, str(tmp_path / "kmv"), "sketches")
+    schema = "doc_id long, text string, source string"
+    b1 = [(i, f"doc body {i} alpha", "sA") for i in range(40)] + [
+        (100 + i, f"doc body {i} beta", "sB") for i in range(10)
+    ]
+    b2 = [(200 + i, f"more text {i} gamma", "sA") for i in range(50)] + [
+        (300 + i, f"doc body {i} alpha", "sB") for i in range(5)  # overlap w/ sA
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = kmv_ingest_sink(stream, table, checkpoint=str(tmp_path / "ck1")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = kmv_ingest_sink(stream, table, checkpoint=str(tmp_path / "ck1")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    # replay batch 2 via a FRESH checkpoint: min-merge -> no change
+    stream = spark.readStream.schema(schema).parquet(str(src / "b2"))
+    q = kmv_ingest_sink(stream, table, checkpoint=str(tmp_path / "ck2")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    # batch twin: one-pass k-min over the full union
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r["source"]: list(r["l"])
+        for r in full.select(
+            "source", content_hash60(F.col("text")).alias("h")
+        )
+        .groupBy("source")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, 64).alias("l"))
+        .collect()
+    }
+    got = {r["source"]: list(r["l"]) for r in table.read().collect()}
+    assert got == want
+    # the sA sketch saw 90 distinct docs but stays capped at k
+    assert len(got["sA"]) == 64

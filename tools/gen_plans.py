@@ -105,8 +105,9 @@ CASES = [
     ("confident_noise_docs", "Two shared corpus reductions (logit features, Gopher labels) join on doc_id; class thresholds are a broadcast 1-row frame and every comparison cross-multiplies integers - no division enters a filter."),
     ("url_domain_dedup_docs", "Web-corpus domain audit: host/canonical extraction as codegen regexps, ONE hash shuffle on the registrable domain; blocklist is a literal predicate (broadcast join for a real list)."),
     ("crosslingual_neardup_collapsed", "Production cross-lingual near-dup: exact dups collapse per (fingerprint, lang) BEFORE the prefix-filtered set-similarity join (Sigma|clone|^2 law), multiplicities re-expand pair counts exactly."),
-    ("influence_selection_docs", "Gradient-proxy selection: one corpus scan, exact integer influence units, source-partitioned top-k window - no joins, no float comparisons."),
     ("kmeans_lloyd_embeddings", "Fixed-round Lloyd: assignment is map-only against k*dim literal centroids (zip_with/aggregate in codegen); recentering is one (k*dim)-row aggregate per round - no data-sized join anywhere."),
+    ("kmv_overlap_sources", "KMV sketches: one distinct aggregate + two-phase grouped_topk k-mins (no per-source window); all 190 pairwise overlaps answered from a dimension-sized sketch self-join."),
+    ("influence_selection_docs", "grouped_topk two-phase selection: map-side partial top-20 per (partition, source), bounded shuffle, posexplode rank - no WindowExec over corpus-sized partitions."),
 ]
 
 def main() -> None:
