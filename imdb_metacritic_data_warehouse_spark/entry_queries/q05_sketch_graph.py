@@ -246,7 +246,11 @@ def bfs_khop_parts(spark, sf_dir):
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = undirected_edges(pairs, "pa", "pb")
     seeds = edges.agg(F.min("src").alias("node"))
-    dists = bfs_distances(edges, seeds, max_hops=3)
+    # broadcast_frontier: parts are dimension-sized, so the frontier /
+    # visited sets broadcast and the edge list is probed map-side every
+    # hop instead of being hash-shuffled (r10; the pagerank
+    # broadcast_ranks contract).
+    dists = bfs_distances(edges, seeds, max_hops=3, broadcast_frontier=True)
     return (
         dists.groupBy("dist")
         .agg(

@@ -2021,7 +2021,14 @@ def bootstrap_ci_lineitem(spark, sf_dir):
     for b in range(32):
         aggs.append(F.sum(F.col(f"__w_{b}") * F.col("qs")).alias(f"__swq_{b}"))
         aggs.append(F.sum(f"__w_{b}").alias(f"__sw_{b}"))
+    # the point estimate folds into the SAME single-scan aggregate
+    # (r10): count + Σqs ride two extra partial sums, where the
+    # previous separate ``li.agg`` branch re-scanned lineitem end to
+    # end just for them.
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("__n_rows"))
+    aggs.append(F.sum("qs").cast("bigint").alias("__sqs"))
     folded = weighted.agg(*aggs)
+    folded = folded.localCheckpoint(eager=True)  # 1 row; feeds means + pt
     stack_args = ", ".join(
         f"{b}, __swq_{b}, __sw_{b}" for b in range(32)
     )
@@ -2034,12 +2041,14 @@ def bootstrap_ci_lineitem(spark, sf_dir):
     r = means.withColumn(
         "rn", F.row_number().over(Window.orderBy("m", "b"))
     )
-    pt = li.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    # qs IS l_quantity·10⁴ exact (same _units4 algebra), so the point
+    # mean from the shared scan is bit-identical to the old separate
+    # aggregate: Σqs double-cast then /10⁴/n in the same expression
+    # order.
+    pt = folded.select(
+        F.col("__n_rows").alias("n_rows"),
         (
-            F.sum(_units4("l_quantity")).cast("double")
-            / F.lit(10000.0)
-            / F.count(F.lit(1))
+            F.col("__sqs").cast("double") / F.lit(10000.0) / F.col("__n_rows")
         ).alias("pm"),
     )
     return (

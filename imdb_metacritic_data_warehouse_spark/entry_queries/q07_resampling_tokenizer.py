@@ -78,7 +78,11 @@ def kcore_parts_copurchase(spark, sf_dir):
     from ..operators.graph import kcore_peel
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    return kcore_peel(pairs, k=3, rounds=6)
+    # broadcast_survivors: parts are dimension-sized, so the per-round
+    # surviving-node set broadcasts and both semi-join filters run
+    # map-side — the edge list is never shuffled for the filter (r10;
+    # the pagerank broadcast_ranks contract).
+    return kcore_peel(pairs, k=3, rounds=6, broadcast_survivors=True)
 
 
 # Deadline-bounded funnel — conversion counted only when the first
@@ -612,7 +616,13 @@ def label_propagation_parts(spark, sf_dir):
     from ..operators.graph import label_propagation
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    lab = label_propagation(pairs, rounds=3)
+    # broadcast_labels: parts are dimension-sized (the pagerank
+    # broadcast_ranks contract); distinct_pairs: the co-purchase
+    # builder emits DISTINCT (pa < pb) pairs, so round 1 reduces to a
+    # min-neighbor aggregate (provably identical — see operator).
+    lab = label_propagation(
+        pairs, rounds=3, broadcast_labels=True, distinct_pairs=True
+    )
     return (
         lab.groupBy(F.col("label").alias("community"))
         .agg(
@@ -1017,28 +1027,42 @@ def adamic_adar_parts(spark, sf_dir):
     deg = und.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    seeds = und.select("src").distinct().orderBy("src").limit(8).select(
-        F.col("src").alias("x")
+    # seeds = 8 smallest node ids — read them off the (node-dimension)
+    # degree aggregate instead of a separate distinct over 2|E| edge
+    # rows (r10: one less data-sized shuffle, identical set — deg's
+    # keys ARE the distinct src values).
+    seeds = deg.select(F.col("z").alias("x")).orderBy("x").limit(8)
+    # seed adjacency: |seeds|·avg_deg rows — TINY.  Materialize once;
+    # it feeds the wedge expansion AND the non-adjacency anti-join.
+    e1 = (
+        und.join(F.broadcast(seeds), und["src"] == seeds["x"])
+        .select("x", F.col("dst").alias("z"))
+        .localCheckpoint(eager=True)
     )
-    e1 = und.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    # wedge expansion: broadcast the SEED-ADJACENT side into the edge
+    # list so the 2|E| table is probed map-side, never shuffled (r10;
+    # previously e2 was hash-shuffled on z).  deg is node-dimension —
+    # broadcast too.
     e2 = und.select(F.col("src").alias("z"), F.col("dst").alias("y"))
     wedge = (
-        F.broadcast(seeds)
-        .join(e1, "x")
-        .join(e2, "z")
+        e2.join(F.broadcast(e1), "z")
         .filter(F.col("y") != F.col("x"))
-        .join(deg, "z")
+        .join(F.broadcast(deg), "z")
     )
     term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6).cast(
         "decimal(18,6)"
     )
+    # (x, y) is an edge iff y ∈ N(x): anti-join against the broadcast
+    # seed adjacency (und is symmetric, so N(x) is complete) — the
+    # previous least/greatest expression anti-join shuffled the FULL
+    # pair list; this one is a map-side hash probe of a seed-bounded
+    # table (r10).
     cand = (
         wedge.join(
-            pairs.select(
-                F.col("pa").alias("__ea"), F.col("pb").alias("__eb")
+            F.broadcast(
+                e1.select(F.col("x").alias("__sx"), F.col("z").alias("__sy"))
             ),
-            (F.least(F.col("x"), F.col("y")) == F.col("__ea"))
-            & (F.greatest(F.col("x"), F.col("y")) == F.col("__eb")),
+            (F.col("x") == F.col("__sx")) & (F.col("y") == F.col("__sy")),
             "left_anti",
         )
         .groupBy("x", "y")

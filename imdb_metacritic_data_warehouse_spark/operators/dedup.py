@@ -826,13 +826,19 @@ def lcs_pairs(
         .over(wd)
         .cast("bigint"),
     )
-    rl = (
+    # n_anchors = Σ over (diag, grp) of the run lengths — the anchor
+    # count folds into the SAME aggregation chain as the run-length
+    # max (r10): the previous separate ``pairs.groupBy`` branch
+    # re-executed the whole gram self-join a second time (two
+    # aggregates over one un-materialized subtree share nothing), and
+    # the rl⋈anch join is gone with it.
+    return (
         runs.groupBy("da", "db", "diag", "grp")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("da", "db")
-        .agg((F.max("cnt") + (k - 1)).cast("bigint").alias("lcs_words"))
+        .agg(
+            (F.max("cnt") + (k - 1)).cast("bigint").alias("lcs_words"),
+            F.sum("cnt").cast("bigint").alias("n_anchors"),
+        )
+        .select("da", "db", "lcs_words", "n_anchors")
     )
-    anch = pairs.groupBy("da", "db").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_anchors")
-    )
-    return rl.join(anch, ["da", "db"]).select("da", "db", "lcs_words", "n_anchors")

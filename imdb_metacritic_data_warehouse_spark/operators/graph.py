@@ -226,6 +226,7 @@ def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
     max_hops: int = 3,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Minimum hop distance from a seed set, bounded at ``max_hops`` —
     the "blast radius" primitive (recall expansion from a labeled set,
@@ -244,15 +245,23 @@ def bfs_distances(
     ``edges``: (src, dst) directed — pass ``undirected_edges`` output
     for the undirected read.  ``seeds``: one column ``node``.
     Returns (node, dist) for every node within ``max_hops``.
+
+    ``broadcast_frontier``: frontier and visited are NODE-dimension-
+    sized; on dimension-sized graphs broadcasting them makes both the
+    expansion join and the anti-join map-side, so the edge list is
+    never shuffled — the only exchange per hop is the ``distinct`` on
+    the (node-bounded) next frontier (the pagerank ``broadcast_ranks``
+    contract; leave False for billion-node graphs).
     """
+    _b = F.broadcast if broadcast_frontier else (lambda df: df)
     visited = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint(eager=False)
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (
-            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            edges.join(_b(frontier.withColumnRenamed("node", "src")), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(_b(visited.select("node")), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
         nxt = nxt.localCheckpoint(eager=False)
@@ -411,6 +420,7 @@ def kcore_peel(
     rounds: int = 6,
     a: str = "pa",
     b: str = "pb",
+    broadcast_survivors: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling: repeatedly drop nodes with degree
     < k and the edges touching them.  ``rounds`` is FIXED (not
@@ -423,7 +433,17 @@ def kcore_peel(
     localCheckpoint every other round (the CC discipline).  Returns a
     ONE-ROW summary ``(n_nodes, n_edges, node_id_sum, converged)``
     where ``converged`` compares the node count after round ``rounds``
-    against round ``rounds``−1."""
+    against round ``rounds``−1.
+
+    ``broadcast_survivors``: the per-round surviving-node set is
+    NODE-dimension-sized (one row per node with degree ≥ k).  On
+    dimension-sized graphs (parts, products — the broadcast_ranks
+    contract in :func:`pagerank`) broadcasting it turns BOTH semi-join
+    filters into map-side hash probes, so the edge list is never
+    shuffled for the filter — only the degree aggregate moves data
+    (one 2|E| shuffle per round instead of three E-sized ones).  Leave
+    False for billion-node graphs, where the node set itself is data-
+    sized and the semi-joins should co-partition."""
     edges = pairs.select(F.col(a).alias("pa"), F.col(b).alias("pb"))
     prev_nodes = None
     for r in range(rounds):
@@ -434,13 +454,19 @@ def kcore_peel(
             .filter(F.col("d") >= k)
             .select(F.col("src").alias("node"))
         )
+        if broadcast_survivors:
+            deg = F.broadcast(deg)
         edges = (
             edges.join(deg.withColumnRenamed("node", "pa"), "pa", "left_semi")
             .join(deg.withColumnRenamed("node", "pb"), "pb", "left_semi")
         )
-        if r % 2 == 1 or r == rounds - 2:
+        if r % 2 == 1 or r >= rounds - 2:
             # checkpoint BEFORE aliasing prev so the final round builds
-            # on materialized edges instead of re-executing the chain
+            # on materialized edges instead of re-executing the chain.
+            # The FINAL round is checkpointed too (r10): the summary
+            # reads the last edge set three times (node stats, edge
+            # count), and unmaterialized each branch re-executed the
+            # whole last round's degree aggregate + both semi-joins.
             edges = edges.localCheckpoint(eager=True)
         if r == rounds - 2:
             prev_nodes = edges
@@ -482,6 +508,8 @@ def label_propagation(
     rounds: int = 3,
     a: str = "pa",
     b: str = "pb",
+    broadcast_labels: bool = False,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
     """Fixed-round synchronous label propagation (Raghavan 2007) —
     community detection by iterated neighbor-majority vote, the
@@ -494,41 +522,72 @@ def label_propagation(
 
     Scale shape per round: one hash join (edges × labels, keyed on the
     label side's node) + one (node, label) count aggregate + one
-    per-node argmax window over the count rows — count rows are
-    bounded by Σ min(deg, #distinct neighbor labels) ≤ E.  Lineage is
-    cut every other round with localCheckpoint (the CC discipline), so
-    the plan never compounds across rounds.  Returns (v, label)."""
-    from pyspark.sql import Window
+    per-node argmax — count rows are bounded by
+    Σ min(deg, #distinct neighbor labels) ≤ E.  The argmax is a plain
+    ``max(struct(c, -label))`` hash aggregate (r10): it partial-
+    aggregates map-side and needs no per-node sort, where the previous
+    row_number window re-shuffled AND sorted the count rows.  Lineage
+    is cut every other round with localCheckpoint (the CC discipline),
+    so the plan never compounds across rounds.  Returns (v, label).
 
+    ``broadcast_labels``: the per-round label table is one (node,
+    label) row per node — on dimension-sized graphs broadcasting it
+    makes the edges⋈labels join map-side (the pagerank
+    ``broadcast_ranks`` contract); leave False for billion-node
+    graphs.
+
+    ``distinct_pairs``: declares the input a DISTINCT (a < b) pair
+    list (what the co-purchase builder emits).  Round 1 then needs no
+    join at all: initial labels are the node ids themselves and every
+    (dst, src) edge occurs exactly once, so each neighbor label has
+    count exactly 1 and the majority vote with smallest-label
+    tie-break reduces to ``min(neighbor id)`` — one aggregate over the
+    edge list, provably identical to the generic round (the unrolled
+    SQL oracle runs the generic form; both SFs differential-checked).
+    """
     und = undirected_edges(pairs, a, b)
-    lab = (
-        und.select(F.col("src").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("label"))
-    )
-    for r in range(rounds):
+    start = 0
+    if distinct_pairs and rounds > 0:
+        lab = und.groupBy(F.col("dst").alias("v")).agg(
+            F.min("src").alias("label")
+        )
+        start = 1
+    else:
+        lab = (
+            und.select(F.col("src").alias("v"))
+            .distinct()
+            .select("v", F.col("v").alias("label"))
+        )
+    for r in range(start, rounds):
+        labside = lab.select(F.col("v").alias("src"), F.col("label").alias("nl"))
+        if broadcast_labels:
+            labside = F.broadcast(labside)
         cnt = (
-            und.join(
-                lab.select(
-                    F.col("v").alias("src"), F.col("label").alias("nl")
-                ),
-                "src",
-            )
+            und.join(labside, "src")
             .groupBy(F.col("dst").alias("v"), F.col("nl").alias("label"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        # most frequent label, ties → smallest label: max over the
+        # (count, -label) struct — labels are node ids (integers), so
+        # the negation is a total order flip with no overflow risk at
+        # any realistic id range.
         lab = (
-            cnt.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("v", "label")
+            cnt.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("label"))
         )
         if r % 2 == 1:
             lab = lab.localCheckpoint(eager=True)
     return lab
 
 
-def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
+def hits_bipartite(
+    edges: DataFrame, iters: int = 2, broadcast_scores: bool = False
+) -> DataFrame:
     """HITS hubs & authorities over a directed bipartite edge list
     (src → dst), e.g. supplier → supplied-part: a good hub points at
     good authorities and vice versa (Kleinberg's mutual-reinforcement
@@ -556,15 +615,23 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
     shuffles only, no global state; `iters` is small and fixed so the
     DuckDB oracle unrolls the same algebra.  Returns
     (node, role['hub'|'authority'], score bigint).
+
+    ``broadcast_scores``: both score tables are NODE-dimension-sized
+    (suppliers / parts); on dimension-sized graphs broadcasting them
+    makes every edges⋈scores join map-side, so the edge list is never
+    shuffled — only the per-half-step aggregate moves data (the
+    pagerank ``broadcast_ranks`` contract; leave False for data-sized
+    node sets).
     """
     edges = edges.localCheckpoint(eager=True)
     hubs = edges.select(F.col("src").alias("node")).distinct()
     h = hubs.select("node", F.lit(1).cast("long").alias("score"))
     a = None
+    _b = F.broadcast if broadcast_scores else (lambda df: df)
     for _ in range(iters):
         a = (
             edges.join(
-                h.select(F.col("node").alias("src"), "score"), "src"
+                _b(h.select(F.col("node").alias("src"), "score")), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("score").alias("score"))
@@ -572,7 +639,7 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
         )
         h = (
             edges.join(
-                a.select(F.col("node").alias("dst"), "score"), "dst"
+                _b(a.select(F.col("node").alias("dst"), "score")), "dst"
             )
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("score").alias("score"))
