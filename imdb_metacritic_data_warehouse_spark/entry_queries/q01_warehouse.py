@@ -880,7 +880,7 @@ def simhash_signatures(spark, sf_dir):
 )
 def embedding_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk(e, [0, 1, 2, 3, 4], k=10)
+    out = cosine_topk(e, [0, 1, 2, 3, 4], k=10, dims=64)
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
@@ -931,7 +931,7 @@ def _ann_lsh_oracle(n_planes: int = 4, n_tables: int = 8, dims: int = 64) -> str
 @query("ann_lsh_bucketed", _ann_lsh_oracle())
 def ann_lsh_bucketed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucketed_topk(e, [0, 1, 2, 3, 4], k=10)
+    out = lsh_bucketed_topk(e, [0, 1, 2, 3, 4], k=10, dims=64)
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
 

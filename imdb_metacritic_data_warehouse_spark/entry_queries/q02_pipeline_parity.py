@@ -1494,8 +1494,8 @@ def ann_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     index = ivf_index(e, n_lists=16)
     assigned, _ = index
-    ivf = ivf_topk(e, qids, k=10, n_probe=4, index=index)
-    bf = cosine_topk(e, qids, k=10)
+    ivf = ivf_topk(e, qids, k=10, n_probe=4, index=index, dims=64)
+    bf = cosine_topk(e, qids, k=10, dims=64)
 
     n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
     covered = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("c")).agg(
@@ -2030,7 +2030,7 @@ def embedding_centroid_outliers(spark, sf_dir):
     from ..operators.similarity import centroid_outliers
 
     e = _t(spark, sf_dir, "embeddings")
-    return centroid_outliers(e).select(
+    return centroid_outliers(e, dims=64).select(
         "vec_id", "label", "cos_centroid", F.col("outlier_rank").cast("int").alias("outlier_rank")
     )
 

@@ -407,7 +407,7 @@ from ..operators.similarity import ivf_sampled_topk  # noqa: E402
 )
 def ann_ivf_sampled(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = ivf_sampled_topk(e, [0, 1, 2, 3, 4], k=10)
+    out = ivf_sampled_topk(e, [0, 1, 2, 3, 4], k=10, dims=64)
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
     )

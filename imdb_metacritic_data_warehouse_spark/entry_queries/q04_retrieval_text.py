@@ -1438,9 +1438,9 @@ def hard_negative_mining(spark, sf_dir):
 def matryoshka_recall_audit(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
-    full = cosine_topk(e, qids, k=10).select("query_id", "vec_id")
+    full = cosine_topk(e, qids, k=10, dims=64).select("query_id", "vec_id")
     trunc = cosine_topk(
-        e.withColumn("embedding", F.slice("embedding", 1, 16)), qids, k=10
+        e.withColumn("embedding", F.slice("embedding", 1, 16)), qids, k=10, dims=16
     ).select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
     j = full.join(
         trunc,
@@ -1515,7 +1515,7 @@ def mmr_rerank_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     cand = (
-        cosine_topk(e, [5], k=20)
+        cosine_topk(e, [5], k=20, dims=64)
         .select("vec_id", F.col("score").alias("rel"))
     )
     cvec = cand.join(e.select("vec_id", "embedding"), "vec_id").select(

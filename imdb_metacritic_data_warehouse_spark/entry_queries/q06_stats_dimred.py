@@ -1395,25 +1395,53 @@ def _jl_oracle(out_dims: int = 16, dims: int = 64, seed: int = 7000) -> str:
 
 @query("jl_distortion_audit", _jl_oracle())
 def jl_distortion_audit(spark, sf_dir):
+    from ..operators.rank import is_plan_only
     from ..operators.similarity import dot_codegen, jl_project
 
     e = _t(spark, sf_dir, "embeddings")
-    p = jl_project(e, "embedding", "proj", out_dims=16)
+    # The 16×64-term projection plus the two self-dots are ~6k
+    # expression nodes; unmaterialized they sat in BOTH join branches,
+    # so Catalyst analyzed/optimized (and codegen compiled) the giant
+    # tree twice per run — measured scale-INDEPENDENT: 3.3s at sf0.001
+    # vs 3.0s at sf0.1, i.e. driver plan work, not data (r10; guide
+    # §3.3 "materialising an intermediate truncates the plan").  One
+    # eager checkpoint of the node-dimension table (vec, proj, self-
+    # dots — ~20k rows) leaves the pair join a tiny plan over an
+    # ExistingRDD.  Self-dots ride the same pass: d2o keeps the exact
+    # shape qq − 2·qc + cc with each dot's fold order unchanged, so
+    # every double is bit-identical to the oracle's.
+    p = jl_project(e, "embedding", "proj", out_dims=16).select(
+        "vec_id",
+        "embedding",
+        "proj",
+        dot_codegen("embedding", "embedding").alias("__svv"),
+        dot_codegen("proj", "proj", dims=16).alias("__spp"),
+    )
+    if not is_plan_only():
+        p = p.localCheckpoint(eager=True)
     q = p.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("proj").alias("qp"),
+        F.col("__svv").alias("__qvv"),
+        F.col("__spp").alias("__qpp"),
     )
-    c = p.select("vec_id", F.col("embedding").alias("cv"), F.col("proj").alias("cp"))
+    c = p.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        F.col("proj").alias("cp"),
+        F.col("__svv").alias("__cvv"),
+        F.col("__spp").alias("__cpp"),
+    )
     d2o = (
-        dot_codegen("qv", "qv")
+        F.col("__qvv")
         - F.lit(2) * dot_codegen("qv", "cv")
-        + dot_codegen("cv", "cv")
+        + F.col("__cvv")
     )
     d2p = (
-        dot_codegen("qp", "qp", dims=16)
+        F.col("__qpp")
         - F.lit(2) * dot_codegen("qp", "cp", dims=16)
-        + dot_codegen("cp", "cp", dims=16)
+        + F.col("__cpp")
     )
     return (
         F.broadcast(q)

@@ -2060,7 +2060,7 @@ def hll_overlap_audience_events(spark, sf_dir):
 def rerank_agreement_audit(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    cand = cosine_topk(e, [5], k=20).select(
+    cand = cosine_topk(e, [5], k=20, dims=64).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").alias("dr")
     )
     qtok = (

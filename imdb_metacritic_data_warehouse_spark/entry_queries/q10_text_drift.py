@@ -1159,7 +1159,7 @@ def mrr_retrieval_audit(spark, sf_dir):
     anchors = [5, 42, 99]
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    cand = cosine_topk(e, anchors, k=10).select(
+    cand = cosine_topk(e, anchors, k=10, dims=64).select(
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("r")
     )
     qtok = (

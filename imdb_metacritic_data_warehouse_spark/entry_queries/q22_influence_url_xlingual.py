@@ -302,11 +302,20 @@ def crosslingual_neardup_docs(spark, sf_dir):
     from ..operators.dedup import prefix_filter_jaccard_pairs
     from ..operators.text import language_id
 
+    from ..operators.rank import is_plan_only
+
     d = _t(spark, sf_dir, "documents")
     pairs = prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold_pct=60)
     ann = d.select(
         "doc_id", "lang", language_id(F.col("text")).alias("pred")
     )
+    # language_id is ~32 array_remove passes over each doc's token
+    # array; unmaterialized it sat under BOTH the doc_a and doc_b join
+    # branches and ran twice over the corpus (r10).  Checkpoint the
+    # doc-dimension (doc_id, lang, pred) rows once and broadcast both
+    # sides — the pair table then never shuffles for annotation.
+    if not is_plan_only():
+        ann = ann.localCheckpoint(eager=True)
     a = ann.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
@@ -318,8 +327,8 @@ def crosslingual_neardup_docs(spark, sf_dir):
         F.col("pred").alias("pred_b"),
     )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .filter(F.col("lang_a") != F.col("lang_b"))
         .select(
             "doc_a",
@@ -404,6 +413,8 @@ def crosslingual_neardup_collapsed(spark, sf_dir):
     from ..operators.dedup import prefix_filter_jaccard_pairs
     from ..operators.text import fingerprint
 
+    from ..operators.rank import is_plan_only
+
     d = _t(spark, sf_dir, "documents")
     reps = (
         d.select("doc_id", "lang", "text", fingerprint(F.col("text")).alias("f"))
@@ -415,6 +426,12 @@ def crosslingual_neardup_collapsed(spark, sf_dir):
         )
         .select("doc_id", "lang", "text", "mult")
     )
+    # The collapse aggregate shuffles the full corpus TEXT; it feeds
+    # the pair join AND both annotation branches, and unmaterialized it
+    # re-executed three times (r10).  Checkpoint once; the (id, lang,
+    # mult) sides then broadcast into the pair table.
+    if not is_plan_only():
+        reps = reps.localCheckpoint(eager=True)
     pairs = prefix_filter_jaccard_pairs(reps, "doc_id", "text", threshold_pct=60)
     a = reps.select(
         F.col("doc_id").alias("doc_a"),
@@ -427,8 +444,8 @@ def crosslingual_neardup_collapsed(spark, sf_dir):
         F.col("mult").alias("mult_b"),
     )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .filter(F.col("lang_a") != F.col("lang_b"))
         .select(
             "doc_a",

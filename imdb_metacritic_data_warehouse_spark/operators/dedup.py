@@ -639,13 +639,22 @@ def prefix_filter_jaccard_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sizes = tokens.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    freq = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    # Global token frequency and per-doc set size as WINDOW counts over
+    # the element table instead of two aggregates joined back (r10):
+    # the f-window rides ONE exchange on tok (the old plan shuffled
+    # tokens by tok for the join anyway, plus an aggregate exchange),
+    # and pos/sz share the doc exchange+sort (count over an unordered
+    # doc frame reuses row_number's partitioning).  4 exchanges + 2
+    # joins → 2 exchanges, values identical by construction.
     w = Window.partitionBy("doc").orderBy("f", "tok")
     ranked = (
-        tokens.join(freq, "tok")
+        tokens.withColumn(
+            "f", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
         .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "doc")
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
     )
     # prefix length: sz - ceil(theta*sz) + 1, in integer math:
     # ceil(pct*sz/100) = floor((pct*sz + 99)/100)

@@ -58,21 +58,34 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (vectors are
     unit-norm in the test corpus, so dot = cosine; self-matches
-    excluded)."""
+    excluded).
+
+    ``dims``: when the vector width is KNOWN, pass it so the |Q|·N hot
+    path scores with :func:`dot_codegen` (whole-stage codegen indexed
+    sum) instead of ``_dot``'s interpreted per-element higher-order
+    lambda — the same swap that fixed ``knn_graph`` (r7); fold order
+    and hence every double is identical.  Leave None for unknown-width
+    inputs (falls back to the interpreted path)."""
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    dot = (
+        dot_codegen("qv", "cv", dims=dims)
+        if dims is not None
+        else _dot(F.col("qv"), F.col("cv"))
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(dot, 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -163,6 +176,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     index: tuple[DataFrame, DataFrame] | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the cluster-pruned scale path.
 
@@ -200,10 +214,16 @@ def ivf_topk(
         .join(assigned, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
     )
+    # candidate scoring is the |Q|·(n_probe/n_lists)·N hot path — same
+    # codegen swap as cosine_topk (r10) when the width is known; fold
+    # order unchanged, interpreted fallback for unknown widths.
+    _sc = dot_codegen("qv", "v", dims=dims) if dims is not None else _dot(
+        F.col("qv"), F.col("v")
+    )
     scored = candidates.select(
         "query_id",
         "vec_id",
-        F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score"),
+        F.round(_sc, 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -221,6 +241,7 @@ def ivf_sampled_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF ANN with a *deterministic sampled quantizer*: centroids are
     the first ``n_lists`` corpus vectors (by id) instead of k-means
@@ -268,6 +289,9 @@ def ivf_sampled_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "qv", "cell")
     )
+    _sc = dot_codegen("qv", "v", dims=dims) if dims is not None else _dot(
+        F.col("qv"), F.col("v")
+    )
     scored = (
         F.broadcast(probed)
         .join(assigned, "cell")
@@ -275,7 +299,7 @@ def ivf_sampled_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score"),
+            F.round(_sc, 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -573,6 +597,7 @@ def centroid_outliers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding diagnostics: cosine of every vector to its own label's
     centroid, plus an in-label outlier rank (ascending cosine) — the
@@ -627,12 +652,20 @@ def centroid_outliers(
         F.col(label_col).alias("label"),
         F.col(vec_col).alias("v"),
     )
+    # per-vector cosine is the N-row hot path — codegen dot when the
+    # width is known (r10), interpreted fallback otherwise; the
+    # label-dimension self-norm above stays interpreted (tiny).
+    _dvc = dot_codegen("v", "cv", dims=dims) if dims is not None else _dot(
+        F.col("v"), F.col("cv")
+    )
+    _dvv = dot_codegen("v", "v", dims=dims) if dims is not None else _dot(
+        F.col("v"), F.col("v")
+    )
     scored = vecs.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
         F.round(
-            _dot(F.col("v"), F.col("cv"))
-            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(F.col("cc"))),
+            _dvc / (F.sqrt(_dvv) * F.sqrt(F.col("cc"))),
             6,
         ).alias("cos_centroid"),
     )
@@ -648,6 +681,7 @@ def lsh_bucketed_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -673,10 +707,13 @@ def lsh_bucketed_topk(
         .select("query_id", "qv", "vec_id", "v")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    _sc = dot_codegen("qv", "v", dims=dims) if dims is not None else _dot(
+        F.col("qv"), F.col("v")
+    )
     scored = candidates.select(
         "query_id",
         "vec_id",
-        F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score"),
+        F.round(_sc, 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
