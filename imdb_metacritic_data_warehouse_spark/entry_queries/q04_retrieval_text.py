@@ -174,7 +174,7 @@ def hybrid_search_rrf(spark, sf_dir):
     # whole scored corpus through ONE task (the round-3 scale-killer;
     # same fix as the rating_slide leaderboard, operators/rank.py:26).
     from ..operators.rank import global_row_number
-    from ..operators.similarity import _dot
+    from ..operators.similarity import dot_codegen
     from ..operators.text import bm25_scores
 
     d = _t(spark, sf_dir, "documents")
@@ -195,7 +195,7 @@ def hybrid_search_rrf(spark, sf_dir):
         .join(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(_dot(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+            F.round(dot_codegen("embedding", "qv"), 6).alias("cos"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1369,7 +1369,7 @@ def session_paths_events(spark, sf_dir):
     """,
 )
 def hard_negative_mining(spark, sf_dir):
-    from ..operators.similarity import _dot
+    from ..operators.similarity import dot_codegen
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
@@ -1387,7 +1387,7 @@ def hard_negative_mining(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qv"), F.col("embedding")), 6).alias("score"),
+            F.round(dot_codegen("qv", "embedding"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -1511,7 +1511,7 @@ def matryoshka_recall_audit(spark, sf_dir):
     """,
 )
 def mmr_rerank_topk(spark, sf_dir):
-    from ..operators.similarity import _dot
+    from ..operators.similarity import dot_codegen
 
     e = _t(spark, sf_dir, "embeddings")
     cand = (
@@ -1526,7 +1526,7 @@ def mmr_rerank_topk(spark, sf_dir):
     b = cvec.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     sim = (
         a.join(b, F.col("ia") != F.col("ib"))
-        .select("ia", "ib", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("s"))
+        .select("ia", "ib", F.round(dot_codegen("va", "vb"), 6).alias("s"))
     )
     sim = _materialize(sim)
     cand = cvec.select("vec_id", "rel")

@@ -2360,7 +2360,7 @@ def overdispersion_events(spark, sf_dir):
     """.format(buckets=_knn_buckets_sql(6, 4)),
 )
 def knn_recall_audit(spark, sf_dir):
-    from ..operators.similarity import _dot, knn_graph
+    from ..operators.similarity import dot_codegen, knn_graph
 
     e = _t(spark, sf_dir, "embeddings")
     # deterministic engine-portable query sample (the sample RATE is
@@ -2375,7 +2375,9 @@ def knn_recall_audit(spark, sf_dir):
         .select(
             "query_id",
             "cand_id",
-            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("score"),
+            # N²/50-pair hot path: codegen indexed sum, not the
+            # interpreted per-element lambda (r10; fold order identical)
+            F.round(dot_codegen("qv", "cv"), 6).alias("score"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))

@@ -1553,7 +1553,7 @@ def heaps_law_vocab_growth(spark, sf_dir):
     """,
 )
 def triplet_mining_embeddings(spark, sf_dir):
-    from ..operators.similarity import _dot
+    from ..operators.similarity import dot_codegen
 
     e = _t(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
@@ -1572,7 +1572,7 @@ def triplet_mining_embeddings(spark, sf_dir):
             "alabel",
             "vec_id",
             "clabel",
-            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(dot_codegen("qv", "cv"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
