@@ -306,14 +306,25 @@ def crosslingual_neardup_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold_pct=60)
-    ann = d.select(
+    # The annotation joins are INNER, so only docs that appear in a
+    # pair ever need a prediction — language_id (~32 array_remove
+    # passes per doc) previously ran over the WHOLE corpus, here it
+    # runs over the pair participants only (r10; the guide §8 "decide
+    # with small rows" move).  pairs is checkpointed once (it feeds
+    # the id set AND the final join), the participant set semi-joins
+    # the corpus scan, and the tiny annotated table broadcasts into
+    # both pair sides.  Inner-join semantics make the restriction
+    # provably lossless.
+    if not is_plan_only():
+        pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ann = d.join(F.broadcast(ids), "doc_id", "left_semi").select(
         "doc_id", "lang", language_id(F.col("text")).alias("pred")
     )
-    # language_id is ~32 array_remove passes over each doc's token
-    # array; unmaterialized it sat under BOTH the doc_a and doc_b join
-    # branches and ran twice over the corpus (r10).  Checkpoint the
-    # doc-dimension (doc_id, lang, pred) rows once and broadcast both
-    # sides — the pair table then never shuffles for annotation.
     if not is_plan_only():
         ann = ann.localCheckpoint(eager=True)
     a = ann.select(
