@@ -2026,29 +2026,39 @@ def bootstrap_ci_lineitem(spark, sf_dir):
         "qs",
     )
 
-    def _wt(b: int):
+    def _wt_sql(b: int) -> str:
+        # SQL-TEXT build (r11): the Column-API version of this 32-column
+        # projection cost ~3s of DRIVER time per invocation — ~1,300
+        # Column nodes each a py4j round trip — while the parser builds
+        # the identical tree from one string in <0.3s (measured
+        # same-session: build 2.9–3.5s → 0.3–0.5s, aggregates
+        # bit-identical; /tmp-experiment recorded in OPTIMIZATION_r11).
+        # Catalyst sees the same plan, so execution is unchanged.
         a1, c1, d1, a2, c2, d2 = _MIX[b]
-        hi, lo = F.col("hi"), F.col("lo")
-        v_hi = (F.lit(a1) * hi + F.lit(c1) * lo + F.lit(d1)) % F.lit(_MIX_HALF)
-        v_lo = (F.lit(a2) * lo + F.lit(c2) * hi + F.lit(d2)) % F.lit(_MIX_HALF)
-        v = v_hi * F.lit(_MIX_HALF) + v_lo
-        wt = F.when(v < _POIS1_T[0], 0)
-        for k, t in enumerate(_POIS1_T[1:], start=1):
-            wt = wt.when(v < t, k)
-        return wt.otherwise(6).cast("bigint")
+        v = (
+            f"((({a1}L * hi + {c1}L * lo + {d1}L) % {_MIX_HALF}L)"
+            f" * {_MIX_HALF}L"
+            f" + (({a2}L * lo + {c2}L * hi + {d2}L) % {_MIX_HALF}L))"
+        )
+        cases = " ".join(
+            f"WHEN {v} < {t}L THEN {k}L" for k, t in enumerate(_POIS1_T)
+        )
+        return f"CAST(CASE {cases} ELSE 6L END AS BIGINT)"
 
     # one scan, 64 bigint partial aggregates — no explode, no 32× row
     # blowup, no per-row decimal math (qs is quantity·10⁴, exact;
     # Σwt·qs ≤ 6·5e5·rows fits bigint past 10¹¹ rows).  Weights are
     # projected once per row so each CASE chain evaluates once, not
-    # twice (sum(wt·qs) and sum(wt) share the column).
-    weighted = base.select(
-        "qs", *[_wt(b).alias(f"__w_{b}") for b in range(32)]
+    # twice (sum(wt·qs) and sum(wt) share the column).  (The array/
+    # higher-order-function form was measured and REJECTED: transform()
+    # lambdas evaluate interpreted per element — 4.5s → 20.2s.)
+    weighted = base.selectExpr(
+        "qs", *[f"{_wt_sql(b)} AS __w_{b}" for b in range(32)]
     )
     aggs = []
     for b in range(32):
-        aggs.append(F.sum(F.col(f"__w_{b}") * F.col("qs")).alias(f"__swq_{b}"))
-        aggs.append(F.sum(f"__w_{b}").alias(f"__sw_{b}"))
+        aggs.append(F.expr(f"sum(__w_{b} * qs)").alias(f"__swq_{b}"))
+        aggs.append(F.expr(f"sum(__w_{b})").alias(f"__sw_{b}"))
     # the point estimate folds into the SAME single-scan aggregate
     # (r10): count + Σqs ride two extra partial sums, where the
     # previous separate ``li.agg`` branch re-scanned lineitem end to
@@ -2056,7 +2066,11 @@ def bootstrap_ci_lineitem(spark, sf_dir):
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("__n_rows"))
     aggs.append(F.sum("qs").cast("bigint").alias("__sqs"))
     folded = weighted.agg(*aggs)
-    folded = folded.localCheckpoint(eager=True)  # 1 row; feeds means + pt
+    from ..operators.rank import is_plan_only
+
+    if not is_plan_only():  # 1 row; feeds means + pt (ADVICE r10:
+        # plan-only dumps must show the full tree, not ExistingRDD)
+        folded = folded.localCheckpoint(eager=True)
     stack_args = ", ".join(
         f"{b}, __swq_{b}, __sw_{b}" for b in range(32)
     )

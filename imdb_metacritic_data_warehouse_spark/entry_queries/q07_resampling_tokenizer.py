@@ -1021,8 +1021,12 @@ def seasonal_decompose_monthly(spark, sf_dir):
 )
 def adamic_adar_parts(spark, sf_dir):
     from ..operators.graph import undirected_edges
+    from ..operators.rank import is_plan_only
 
-    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    if not is_plan_only():  # ADVICE r10: plan-only dumps must keep the
+        # full operator tree instead of truncating at ExistingRDD
+        pairs = pairs.localCheckpoint(eager=True)
     und = undirected_edges(pairs, "pa", "pb")
     deg = und.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -1034,11 +1038,11 @@ def adamic_adar_parts(spark, sf_dir):
     seeds = deg.select(F.col("z").alias("x")).orderBy("x").limit(8)
     # seed adjacency: |seeds|·avg_deg rows — TINY.  Materialize once;
     # it feeds the wedge expansion AND the non-adjacency anti-join.
-    e1 = (
-        und.join(F.broadcast(seeds), und["src"] == seeds["x"])
-        .select("x", F.col("dst").alias("z"))
-        .localCheckpoint(eager=True)
+    e1 = und.join(F.broadcast(seeds), und["src"] == seeds["x"]).select(
+        "x", F.col("dst").alias("z")
     )
+    if not is_plan_only():
+        e1 = e1.localCheckpoint(eager=True)
     # wedge expansion: broadcast the SEED-ADJACENT side into the edge
     # list so the 2|E| table is probed map-side, never shuffled (r10;
     # previously e2 was hash-shuffled on z).  deg is node-dimension —

@@ -322,6 +322,11 @@ def crosslingual_neardup_docs(spark, sf_dir):
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # SIZE CONTRACT (ADVICE r10): ids and ann are bounded by 2·|pairs|
+    # rows — the operator's own output, not the corpus.  A near-dup
+    # pair list large enough to break the 8 GB broadcast cap would mean
+    # the corpus needs the collapsed path anyway; the at-scale fallback
+    # is dropping the hint (AQE then picks the shuffle join).
     ann = d.join(F.broadcast(ids), "doc_id", "left_semi").select(
         "doc_id", "lang", language_id(F.col("text")).alias("pred")
     )
@@ -439,17 +444,33 @@ def crosslingual_neardup_collapsed(spark, sf_dir):
     )
     # The collapse aggregate shuffles the full corpus TEXT; it feeds
     # the pair join AND both annotation branches, and unmaterialized it
-    # re-executed three times (r10).  Checkpoint once; the (id, lang,
-    # mult) sides then broadcast into the pair table.
+    # re-executed three times (r10).  Checkpoint once.
     if not is_plan_only():
         reps = reps.localCheckpoint(eager=True)
     pairs = prefix_filter_jaccard_pairs(reps, "doc_id", "text", threshold_pct=60)
-    a = reps.select(
+    # SIZE CONTRACT for the annotation broadcasts (ADVICE r10): the
+    # joins below are INNER, so only representatives that appear in a
+    # pair ever contribute — semi-join the rep table down to the pair
+    # participants first (provably lossless), and the broadcast sides
+    # are then bounded by 2·|pairs| rows of (id, lang, mult), the
+    # operator's own output size, NOT the data-sized rep table.  pairs
+    # is checkpointed so the participant probe doesn't re-run the pair
+    # join; at-scale fallback if |pairs| ever outgrew the broadcast cap
+    # is dropping the hint (AQE picks the shuffle join).
+    if not is_plan_only():
+        pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    part = reps.join(F.broadcast(ids), "doc_id", "left_semi")
+    a = part.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("mult").alias("mult_a"),
     )
-    b = reps.select(
+    b = part.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("mult").alias("mult_b"),
