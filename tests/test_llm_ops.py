@@ -815,6 +815,62 @@ def test_vocab_truncate_marks_oov_and_preserves_order(spark, tmp_path):
     assert out[1]["n_tokens"] == 62
 
 
+def test_prefix_filter_jaccard_position_filter_lossless(spark):
+    """The PPJoin position filter (r11) must never drop a true pair:
+    compare against a brute-force all-pairs join over the SAME shingle
+    sets on a randomized corpus dense with borderline-threshold pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from imdb_metacritic_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from imdb_metacritic_data_warehouse_spark.operators.text import shingle_rows
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(5, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # seed exact and near clones so pairs straddle the 60% threshold
+    for i in range(8):
+        base = rows[i][1]
+        rows.append((100 + i, base))
+        rows.append((200 + i, base + " " + rng.choice(vocab)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = (
+        shingle_rows(df, "doc_id", "text")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("tok"),
+        )
+        .distinct()
+    )
+    sets = {}
+    for r in toks.collect():
+        sets.setdefault(r["doc"], set()).add(r["tok"])
+    expected = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if 100 * inter >= 60 * uni:
+                expected[(a, b)] = (inter, uni)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 60).collect()
+    }
+    assert got == expected and len(expected) >= 8
+
+
 def test_prefix_filter_jaccard_exact_pairs(spark):
     from imdb_metacritic_data_warehouse_spark.operators.dedup import (
         prefix_filter_jaccard_pairs,
