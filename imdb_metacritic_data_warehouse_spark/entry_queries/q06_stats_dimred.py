@@ -771,7 +771,12 @@ def partitioned_overwrite_orders(spark, sf_dir):
         .alias("amount"),
         ym.alias("ym"),
     )
-    o.write.partitionBy("ym").mode("overwrite").parquet(path)
+    # r11: cluster by the partition key before the write (guide §6) —
+    # unclustered, the single scan task wrote all 84 ym directories
+    # serially (profiled: one 1.94s task = 60% of the query); hashing
+    # ym across tasks parallelizes the write AND yields one file per
+    # partition instead of (tasks × partitions) small files at scale.
+    o.repartition("ym").write.partitionBy("ym").mode("overwrite").parquet(path)
     restated = o.filter(F.col("ym") == 48).withColumn(
         "amount",
         (F.col("amount") * F.lit("1.1").cast("decimal(2,1)")).cast("decimal(22,3)"),

@@ -68,12 +68,25 @@ from .q02_pipeline_parity import Window, _materialize
     """,
 )
 def winnowing_fingerprints_docs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.rank import is_plan_only
     from ..operators.text import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
     fp = winnow_fingerprints(d, "doc_id", "text", n=3, w=4)
-    dfreq = fp.groupBy("fph").agg(F.count(F.lit(1)).alias("d"))
-    small = fp.join(dfreq.filter(F.col("d") <= 64), "fph")
+    # r11: document frequency as a WINDOW count riding the fph exchange
+    # (the jaccard r10 trick — one exchange instead of aggregate+join),
+    # and the filtered table checkpointed ONCE: the profile showed the
+    # winnow chain executing twice and its exchange read four times
+    # (dfreq + join probe + both self-join sides).
+    small = (
+        fp.withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("fph")))
+        .filter(F.col("d") <= 64)
+        .select("fph", "doc_id")
+    )
+    if not is_plan_only():
+        small = small.localCheckpoint(eager=True)
     pairs = (
         small.alias("a")
         .join(
