@@ -187,11 +187,16 @@ def triangle_counts(pairs: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame
     oriented = oriented.repartition(
         pairs.sparkSession.sparkContext.defaultParallelism, "src"
     )
-    nbrs = (
-        oriented.groupBy(F.col("src").alias("node"))
-        .agg(F.collect_list("dst").alias("nb"))
-        .localCheckpoint(eager=True)  # feeds the edge view + both probe sides
+    nbrs = oriented.groupBy(F.col("src").alias("node")).agg(
+        F.collect_list("dst").alias("nb")
     )
+    from .rank import is_plan_only
+
+    if not is_plan_only():
+        # feeds the edge view + both probe sides; plan-only dumps skip
+        # the boundary so the full tree (incl. the pinned exchange) is
+        # visible to plan audits
+        nbrs = nbrs.localCheckpoint(eager=True)
     e = nbrs.select(F.col("node").alias("src"), F.explode("nb").alias("dst"))
     probed = (
         e.join(nbrs.select(F.col("node").alias("src"), F.col("nb").alias("nb_u")), "src")
